@@ -1,0 +1,48 @@
+"""Parquet table catalog for the engine's star schema.
+
+Mirrors the reference's schema surface (see /root/reference/SQL/
+database_schema.txt) onto the TPC-H-ish testdata: dims (region, nation,
+customer, supplier, part) + facts (orders, lineitem, events) + pipeline
+tables (documents, embeddings).
+
+Scans stay fully declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown and column pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins. At TPC-H
+# proportions region/nation are O(10..100) rows even at 100 TB; supplier
+# stays in the tens of MB.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can use spark.sql."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
