@@ -28,3 +28,286 @@ WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+ORACLES["q02_engagement_rollup"] = """
+WITH per_cust AS (
+    SELECT
+        c.c_custkey,
+        c.c_mktsegment,
+        count(o.o_orderkey) AS n_orders,
+        coalesce(sum(o.o_totalprice), 0.0) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+),
+seg AS (
+    SELECT *,
+        CASE WHEN n_orders = 0 THEN 'Inactive'
+             WHEN n_orders <= 5 THEN 'Light'
+             WHEN n_orders <= 12 THEN 'Medium'
+             ELSE 'Heavy' END AS order_segment
+    FROM per_cust
+)
+SELECT
+    c_mktsegment,
+    order_segment,
+    CAST(grouping(c_mktsegment) AS INTEGER)  AS g_mktsegment,
+    CAST(grouping(order_segment) AS INTEGER) AS g_order_segment,
+    count(*)                                 AS user_count,
+    round(avg(n_orders), 4)                  AS avg_orders,
+    round(avg(spend), 2)                     AS avg_spend,
+    round(sum(spend), 2)                     AS total_spend
+FROM seg
+GROUP BY ROLLUP (c_mktsegment, order_segment)
+HAVING count(*) > 10
+ORDER BY g_mktsegment, g_order_segment, c_mktsegment, order_segment
+"""
+
+ORACLES["q03_sessionization"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN prev_ts IS NULL
+               OR (epoch_us(ts) / 1000000.0 - epoch_us(prev_ts) / 1000000.0) > 1800
+             THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sess AS (
+    SELECT *,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq,
+        count(*) AS n_events,
+        (max(epoch_us(ts) / 1000000.0) - min(epoch_us(ts) / 1000000.0)) / 60.0
+            AS minutes,
+        sum(value) AS sess_value
+    FROM sess
+    GROUP BY user_id, session_seq
+)
+SELECT
+    user_id,
+    count(*)                        AS n_sessions,
+    round(avg(n_events), 4)         AS avg_session_events,
+    round(avg(minutes), 4)          AS avg_session_minutes,
+    max(n_events)                   AS max_session_events,
+    round(sum(sess_value), 2)       AS total_value
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["q04_churn_risk"] = """
+WITH per_cust AS (
+    SELECT
+        c.c_custkey,
+        c.c_mktsegment,
+        CAST(sum(CASE WHEN o.o_orderdate >= TIMESTAMP '2000-08-01' THEN 1 ELSE 0 END) AS BIGINT)
+            AS recent_orders,
+        CAST(sum(CASE WHEN o.o_orderdate >= TIMESTAMP '1999-08-01'
+                       AND o.o_orderdate < TIMESTAMP '2000-08-01' THEN 1 ELSE 0 END) AS BIGINT)
+            AS hist_orders,
+        round(coalesce(sum(CASE WHEN o.o_orderdate >= TIMESTAMP '2000-08-01'
+                                THEN o.o_totalprice END), 0.0), 2) AS recent_spend,
+        count(DISTINCT o.o_orderpriority) AS n_priorities
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+),
+scored AS (
+    SELECT *,
+        (CASE WHEN recent_orders = 0 THEN 40 ELSE 0 END
+         + CASE WHEN hist_orders > 0 AND (hist_orders - recent_orders) * 2 > hist_orders
+                THEN 30 ELSE 0 END
+         + CASE WHEN recent_spend < 50000 THEN 20 ELSE 0 END
+         + CASE WHEN n_priorities <= 1 THEN 10 ELSE 0 END) AS risk_points,
+        CASE WHEN recent_orders = 0 THEN 'Inactive'
+             WHEN hist_orders > 0 AND (hist_orders - recent_orders) * 2 > hist_orders
+                  THEN 'Declining'
+             WHEN recent_orders < 3 THEN 'Light'
+             ELSE 'Active' END AS churn_segment
+    FROM per_cust
+)
+SELECT
+    c_mktsegment,
+    churn_segment,
+    count(*)                                                        AS user_count,
+    round(avg(risk_points), 4)                                      AS avg_risk_points,
+    CAST(sum(CASE WHEN risk_points >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS high_risk_users,
+    CAST(sum(CASE WHEN risk_points >= 30 AND risk_points < 60 THEN 1 ELSE 0 END) AS BIGINT)
+        AS medium_risk_users,
+    round(avg(recent_orders), 4)                                    AS avg_recent_orders,
+    round(avg(hist_orders), 4)                                      AS avg_hist_orders
+FROM scored
+GROUP BY c_mktsegment, churn_segment
+HAVING count(*) >= 5
+ORDER BY c_mktsegment, churn_segment
+"""
+
+ORACLES["q05_cohort_retention"] = """
+WITH activity AS (
+    SELECT o_custkey AS entity,
+           date_trunc('month', o_orderdate) AS month_ts,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month
+    FROM orders
+),
+first AS (
+    SELECT entity, min(month_ts) AS cohort_ts, min(month) AS cohort_month
+    FROM activity GROUP BY entity
+),
+matrix AS (
+    SELECT f.cohort_month,
+           datediff('month', f.cohort_ts, a.month_ts) AS month_offset,
+           count(DISTINCT a.entity) AS active_entities
+    FROM activity a JOIN first f ON a.entity = f.entity
+    GROUP BY f.cohort_month, datediff('month', f.cohort_ts, a.month_ts)
+)
+SELECT cohort_month,
+       CAST(month_offset AS INTEGER) AS month_offset,
+       active_entities,
+       round(active_entities * 100.0 /
+             max(CASE WHEN month_offset = 0 THEN active_entities END)
+                 OVER (PARTITION BY cohort_month), 4) AS retention_pct
+FROM matrix
+ORDER BY cohort_month, month_offset
+"""
+
+ORACLES["q06_market_basket"] = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+)
+SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_count
+FROM items a
+JOIN items b ON a.basket = b.basket AND a.item < b.item
+GROUP BY a.item, b.item
+ORDER BY pair_count DESC, item_a, item_b
+LIMIT 100
+"""
+
+ORACLES["q07_catalog_gap"] = """
+WITH never AS (
+    SELECT p.*
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+),
+brand_totals AS (
+    SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand
+),
+brand_missing AS (
+    SELECT p_brand, count(*) AS n_never_ordered FROM never GROUP BY p_brand
+)
+SELECT t.p_brand,
+       t.n_parts,
+       coalesce(m.n_never_ordered, 0) AS n_never_ordered,
+       round(coalesce(m.n_never_ordered, 0) * 100.0 / t.n_parts, 4)
+           AS pct_never_ordered
+FROM brand_totals t
+LEFT JOIN brand_missing m ON t.p_brand = m.p_brand
+ORDER BY t.p_brand
+"""
+
+ORACLES["q08_pivot_platform"] = """
+WITH pivoted AS (
+    SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+        count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id, n_view, n_click, n_purchase, n_signup, n_error,
+       (n_view + n_click + n_purchase + n_signup + n_error) AS n_total,
+       round(CASE WHEN n_view > 0 THEN n_click * 1.0 / n_view END, 4)
+           AS click_rate,
+       round(CASE WHEN n_click > 0 THEN n_purchase * 1.0 / n_click END, 4)
+           AS purchase_rate
+FROM pivoted
+ORDER BY user_id
+"""
+
+ORACLES["q09_geo_topk"] = """
+WITH per_cust AS (
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           c.c_custkey AS custkey,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name, c.c_custkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY nation_name
+                                 ORDER BY revenue DESC, custkey) AS rnk
+    FROM per_cust
+)
+SELECT region_name, nation_name, CAST(rnk AS INTEGER) AS rnk, custkey, revenue
+FROM ranked WHERE rnk <= 3
+ORDER BY region_name, nation_name, rnk
+"""
+
+ORACLES["q10_seasonal"] = """
+WITH monthly AS (
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS revenue
+    FROM orders
+    GROUP BY month(o_orderdate)
+)
+SELECT month, n_orders,
+       round(revenue, 2) AS revenue,
+       round(revenue / avg(revenue) OVER (), 4) AS seasonal_index
+FROM monthly
+ORDER BY month
+"""
+
+ORACLES["q11_state_transitions"] = """
+WITH pairs AS (
+    SELECT lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS from_state,
+           o_orderpriority AS to_state
+    FROM orders
+),
+counts AS (
+    SELECT from_state, to_state, count(*) AS n_transitions
+    FROM pairs WHERE from_state IS NOT NULL
+    GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n_transitions,
+       round(n_transitions * 100.0 /
+             sum(n_transitions) OVER (PARTITION BY from_state), 4) AS pct_of_from
+FROM counts
+ORDER BY from_state, to_state
+"""
+
+ORACLES["q12_ltv_deciles"] = """
+WITH ltv AS (
+    SELECT o_custkey,
+           round(sum(o_totalprice), 2) AS ltv,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+),
+tiled AS (
+    SELECT *, ntile(10) OVER (ORDER BY ltv DESC, o_custkey) AS decile
+    FROM ltv
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       count(*) AS n_customers,
+       round(avg(ltv), 2) AS avg_ltv,
+       round(min(ltv), 2) AS min_ltv,
+       round(max(ltv), 2) AS max_ltv,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""

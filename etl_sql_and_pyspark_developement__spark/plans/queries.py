@@ -64,3 +64,395 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query("q02_engagement_rollup")
+def q02_engagement_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi LEFT JOIN + CASE segmentation + ROLLUP + GROUPING + HAVING.
+
+    Reference parity: SQL/User Engagement Funnel Analysis.txt (WITH
+    ROLLUP over engagement segments) and its pyspark twin's
+    rollup(...).agg(...) stage.
+
+    Scale: the customer⋈orders join shuffles on the key once; the
+    rollup runs on the already-aggregated per-customer table (one row
+    per customer), so super-aggregate rows cost a second tiny pass.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+        .withColumn(
+            "order_segment",
+            F.when(F.col("n_orders") == 0, "Inactive")
+            .when(F.col("n_orders") <= 5, "Light")
+            .when(F.col("n_orders") <= 12, "Medium")
+            .otherwise("Heavy"),
+        )
+    )
+    return (
+        per_cust.rollup("c_mktsegment", "order_segment")
+        .agg(
+            F.grouping("c_mktsegment").alias("g_mktsegment"),
+            F.grouping("order_segment").alias("g_order_segment"),
+            F.count("*").alias("user_count"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+            F.round(F.avg("spend"), 2).alias("avg_spend"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+        .filter(F.col("user_count") > 10)
+        .orderBy("g_mktsegment", "g_order_segment", "c_mktsegment", "order_segment")
+    )
+
+
+@query("q03_sessionization")
+def q03_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (LAG + cumulative session ids) and
+    per-user session statistics.
+
+    Reference parity: SQL/Binge-Watching Behavior Analysis.txt:10-56
+    (LAG over profile/time, 4-hour max gap, per-binge aggregates).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sessionize import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")))
+            / 60.0
+        ).alias("minutes"),
+        F.sum("value").alias("sess_value"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+            F.round(F.avg("minutes"), 4).alias("avg_session_minutes"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sess_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("q04_churn_risk")
+def q04_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent-vs-historical conditional aggregation + integer risk
+    scoring + segment rollup.
+
+    Reference parity: pyspark/Churn Prediction and Risk Analysis.py
+    (recent_period/historical_period conditional aggs, churn_risk_score,
+    engagement_segment, final segment rollup). Integer risk points
+    instead of float weights keep classification boundaries exact.
+
+    Scale: single groupBy on the fact; all conditionals are map-side.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    recent_start = F.to_timestamp(F.lit("2000-08-01"))
+    hist_start = F.to_timestamp(F.lit("1999-08-01"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") >= recent_start, 1).otherwise(0)).alias(
+                "recent_orders"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") >= hist_start)
+                    & (F.col("o_orderdate") < recent_start),
+                    1,
+                ).otherwise(0)
+            ).alias("hist_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") >= recent_start, F.col("o_totalprice")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("recent_spend"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+    scored = per_cust.withColumn(
+        "risk_points",
+        F.when(F.col("recent_orders") == 0, 40).otherwise(0)
+        + F.when(
+            (F.col("hist_orders") > 0)
+            & ((F.col("hist_orders") - F.col("recent_orders")) * 2 > F.col("hist_orders")),
+            30,
+        ).otherwise(0)
+        + F.when(F.col("recent_spend") < 50000, 20).otherwise(0)
+        + F.when(F.col("n_priorities") <= 1, 10).otherwise(0),
+    ).withColumn(
+        "churn_segment",
+        F.when(F.col("recent_orders") == 0, "Inactive")
+        .when(
+            (F.col("hist_orders") > 0)
+            & ((F.col("hist_orders") - F.col("recent_orders")) * 2 > F.col("hist_orders")),
+            "Declining",
+        )
+        .when(F.col("recent_orders") < F.lit(3), "Light")
+        .otherwise("Active"),
+    )
+    return (
+        scored.groupBy("c_mktsegment", "churn_segment")
+        .agg(
+            F.count("*").alias("user_count"),
+            F.round(F.avg("risk_points"), 4).alias("avg_risk_points"),
+            F.sum(F.when(F.col("risk_points") >= 60, 1).otherwise(0)).alias(
+                "high_risk_users"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("risk_points") >= 30) & (F.col("risk_points") < 60), 1
+                ).otherwise(0)
+            ).alias("medium_risk_users"),
+            F.round(F.avg("recent_orders"), 4).alias("avg_recent_orders"),
+            F.round(F.avg("hist_orders"), 4).alias("avg_hist_orders"),
+        )
+        .filter(F.col("user_count") >= 5)
+        .orderBy("c_mktsegment", "churn_segment")
+    )
+
+
+@query("q05_cohort_retention")
+def q05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order-month cohort × month-offset retention matrix.
+
+    Reference parity: SQL/Content Performance with Cohort Analysis.txt
+    (cohort_month via MIN over first activity, retention vs cohort
+    size).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return cohort_retention(orders, "o_custkey", "o_orderdate").orderBy(
+        "cohort_month", "month_offset"
+    )
+
+
+@query("q06_market_basket")
+def q06_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join co-occurrence pairs with support counts.
+
+    Reference parity: SQL/Content Affinity and Cross-Genre Analysis.txt
+    (profiles watching both A and B; pair ranking).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.cooccurrence import (
+        pair_cooccurrence,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = pair_cooccurrence(li, "l_orderkey", "l_partkey")
+    return pairs.orderBy(
+        F.desc("pair_count"), "item_a", "item_b"
+    ).limit(100)
+
+
+@query("q07_catalog_gap")
+def q07_catalog_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join demand-vs-catalog gap analysis (NOT EXISTS).
+
+    Reference parity: SQL/Content Catalog Gap Analysis.txt (content
+    present in catalog but never viewed / demanded but missing).
+
+    Scale: left_anti join shuffles on l_partkey after a distinct that
+    collapses the fact; per-brand counts are partial-agg friendly.
+    """
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    ordered_keys = li.select(F.col("l_partkey").alias("p_partkey")).distinct()
+    never = part.join(ordered_keys, "p_partkey", "left_anti")
+    brand_totals = part.groupBy("p_brand").agg(F.count("*").alias("n_parts"))
+    brand_missing = never.groupBy("p_brand").agg(
+        F.count("*").alias("n_never_ordered")
+    )
+    return (
+        brand_totals.join(brand_missing, "p_brand", "left")
+        .withColumn(
+            "n_never_ordered", F.coalesce(F.col("n_never_ordered"), F.lit(0))
+        )
+        .withColumn(
+            "pct_never_ordered",
+            F.round(F.col("n_never_ordered") * 100.0 / F.col("n_parts"), 4),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query("q08_pivot_platform")
+def q08_pivot_platform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on a categorical column + per-entity mix ratios.
+
+    Reference parity: SQL/Cross-Platform User Behavior Analysis.txt
+    (device-type pivot per user) — Spark's .pivot() with an explicit
+    value list so the plan is static (no extra distinct pass).
+    """
+    ev = table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+    renamed = pivoted.select(
+        "user_id", *[F.col(k).alias(f"n_{k}") for k in kinds]
+    )
+    total = sum(F.col(f"n_{k}") for k in kinds)
+    return (
+        renamed.withColumn("n_total", total.cast("long"))
+        .withColumn(
+            "click_rate",
+            F.round(
+                F.when(F.col("n_view") > 0, F.col("n_click") / F.col("n_view")), 4
+            ),
+        )
+        .withColumn(
+            "purchase_rate",
+            F.round(
+                F.when(F.col("n_click") > 0, F.col("n_purchase") / F.col("n_click")),
+                4,
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("q09_geo_topk")
+def q09_geo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo hierarchy join + rank-per-group top-k.
+
+    Reference parity: SQL/Geographic Content Preference Mapping.txt
+    (per-region content ranking).
+
+    Scale: region/nation broadcast (tiny dims); the only shuffle is
+    the per-customer aggregation; the window's partition key reuses it.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.topk import top_k_per_group
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    geo = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(geo, cust.c_nationkey == F.col("n_nationkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_custkey").alias("custkey"),
+            "revenue",
+        )
+    )
+    return (
+        top_k_per_group(
+            per_cust,
+            ["nation_name"],
+            [F.desc("revenue"), F.col("custkey")],
+            k=3,
+            rank_name="rnk",
+        )
+        .select("region_name", "nation_name", "rnk", "custkey", "revenue")
+        .orderBy("region_name", "nation_name", "rnk")
+    )
+
+
+@query("q10_seasonal")
+def q10_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_part seasonality with a seasonal index vs overall mean.
+
+    Reference parity: SQL/Seasonal Viewing Pattern Analysis.txt
+    (month-of-year viewing intensity vs annual average).
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    w = Window.partitionBy()
+    return (
+        monthly.withColumn(
+            "seasonal_index",
+            F.round(F.col("revenue") / F.avg("revenue").over(w), 4),
+        )
+        .select(
+            "month",
+            "n_orders",
+            F.round("revenue", 2).alias("revenue"),
+            "seasonal_index",
+        )
+        .orderBy("month")
+    )
+
+
+@query("q11_state_transitions")
+def q11_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG state machine → transition matrix.
+
+    Reference parity: SQL/Subscription Upgrade-Downgrade Patterns.txt
+    (consecutive subscription states per user via LAG, transition
+    counts and shares).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.transitions import (
+        state_transitions,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return state_transitions(
+        orders, "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    ).orderBy("from_state", "to_state")
+
+
+@query("q12_ltv_deciles")
+def q12_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing over customer lifetime value.
+
+    Reference parity: pyspark/User Lifetime Value Prediction.py
+    (per-user LTV, value-tier bucketing).
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("ltv"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("ltv"), F.col("o_custkey"))
+    return (
+        ltv.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("ltv"), 2).alias("avg_ltv"),
+            F.round(F.min("ltv"), 2).alias("min_ltv"),
+            F.round(F.max("ltv"), 2).alias("max_ltv"),
+            F.sum("n_orders").alias("total_orders"),
+        )
+        .orderBy("decile")
+    )

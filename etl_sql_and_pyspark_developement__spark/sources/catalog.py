@@ -12,6 +12,7 @@ predicate pushdown and column pruning for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -35,6 +36,17 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS), which the Spark
+        # parquet reader rejects. Read nanos as long and truncate to
+        # microseconds — the same truncation DuckDB applies when it
+        # loads timestamp[ns] into its µs TIMESTAMP, so oracle parity
+        # holds exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Integer `div`, not `/`: nano epochs (~1.7e18) exceed double's
+        # 2^53 integer range, so float division would corrupt the tail.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
