@@ -311,3 +311,246 @@ FROM tiled
 GROUP BY decile
 ORDER BY decile
 """
+
+ORACLES["q13_ab_test"] = """
+SELECT
+    CAST(user_id % 2 AS INTEGER) AS arm,
+    count(*) AS n_events,
+    count(DISTINCT user_id) AS n_users,
+    round(avg(value), 4) AS mean_value,
+    round(stddev_samp(value), 4) AS stddev_value,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_purchases,
+    round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+          / count(*), 4) AS purchase_rate
+FROM events
+GROUP BY user_id % 2
+ORDER BY arm
+"""
+
+ORACLES["q14_percentile_benchmark"] = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+),
+per_supp AS (
+    SELECT s.s_suppkey AS suppkey, n.n_name AS nation_name, r.revenue
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+ranked AS (
+    SELECT *,
+        round(percent_rank() OVER (ORDER BY revenue), 6) AS pct_rank,
+        CAST(ntile(4) OVER (ORDER BY revenue DESC, suppkey) AS INTEGER) AS quartile
+    FROM per_supp
+),
+medians AS (
+    SELECT nation_name,
+        round(quantile_cont(revenue, 0.5), 2) AS nation_median_revenue,
+        round(quantile_cont(revenue, 0.9), 2) AS nation_p90_revenue
+    FROM per_supp GROUP BY nation_name
+)
+SELECT r.suppkey, r.nation_name, r.revenue, r.pct_rank, r.quartile,
+       m.nation_median_revenue, m.nation_p90_revenue
+FROM ranked r JOIN medians m ON r.nation_name = m.nation_name
+ORDER BY r.suppkey
+"""
+
+ORACLES["q15_corr_features"] = """
+SELECT
+    p.p_type,
+    count(*) AS n_lines,
+    round(corr(l.l_discount, l.l_quantity), 4) AS corr_disc_qty,
+    round(corr(l.l_extendedprice, l.l_quantity), 4) AS corr_price_qty,
+    round(stddev_samp(l.l_quantity), 4) AS stddev_qty,
+    round(avg(l.l_quantity), 4) AS avg_qty,
+    round(avg(l.l_discount), 4) AS avg_disc
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+ORDER BY p.p_type
+"""
+
+ORACLES["q16_roi_deciles"] = """
+WITH per_part AS (
+    SELECT l.l_partkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           sum(l.l_quantity) AS qty
+    FROM lineitem l
+    GROUP BY l.l_partkey
+),
+with_roi AS (
+    SELECT pp.l_partkey AS p_key,
+           pp.revenue,
+           round(pp.revenue / (p.p_retailprice * pp.qty), 6) AS roi
+    FROM per_part pp
+    JOIN part p ON pp.l_partkey = p.p_partkey
+),
+tiled AS (
+    SELECT *, ntile(10) OVER (ORDER BY roi DESC, p_key) AS roi_decile
+    FROM with_roi
+)
+SELECT CAST(roi_decile AS INTEGER) AS roi_decile,
+       count(*) AS n_parts,
+       round(avg(roi), 6) AS avg_roi,
+       round(sum(revenue), 2) AS total_revenue,
+       round(avg(revenue), 2) AS avg_revenue
+FROM tiled
+GROUP BY roi_decile
+ORDER BY roi_decile
+"""
+
+ORACLES["q17_daily_growth"] = """
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+)
+SELECT day, n_events, total_value,
+       round((n_events - lag(n_events) OVER (ORDER BY day)) * 100.0
+             / lag(n_events) OVER (ORDER BY day), 4) AS growth_pct,
+       round(avg(n_events) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_events
+FROM daily
+ORDER BY day
+"""
+
+ORACLES["q18_distribution_stats"] = """
+WITH per_cust AS (
+    SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_nationkey
+)
+SELECT n.n_name AS nation_name,
+       count(*) AS n_customers,
+       round(avg(n_orders), 4) AS avg_orders,
+       round(stddev_samp(n_orders), 4) AS stddev_orders,
+       round(quantile_cont(n_orders, 0.5), 4) AS median_orders,
+       min(n_orders) AS min_orders,
+       max(n_orders) AS max_orders
+FROM per_cust pc
+JOIN nation n ON pc.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+ORACLES["q19_funnel_conversion"] = """
+WITH per_user AS (
+    SELECT user_id,
+        CAST(user_id % 5 AS INTEGER) AS channel,
+        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+    FROM events
+    GROUP BY user_id
+),
+agg AS (
+    SELECT channel,
+        count(*) AS n_users,
+        CAST(sum(saw) AS BIGINT) AS viewers,
+        CAST(sum(CASE WHEN saw = 1 AND clicked = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS clickers,
+        CAST(sum(CASE WHEN saw = 1 AND clicked = 1 AND purchased = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS purchasers
+    FROM per_user
+    GROUP BY channel
+)
+SELECT channel, n_users, viewers, clickers, purchasers,
+       round(CASE WHEN viewers > 0 THEN clickers * 1.0 / viewers END, 4)
+           AS view_to_click,
+       round(CASE WHEN clickers > 0 THEN purchasers * 1.0 / clickers END, 4)
+           AS click_to_purchase
+FROM agg
+ORDER BY channel
+"""
+
+ORACLES["q20_reco_precision"] = """
+WITH parsed AS (
+    SELECT *,
+        CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 3 AS algorithm_version,
+        CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k
+    FROM events
+)
+SELECT CAST(algorithm_version AS INTEGER) AS algorithm_version,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value,
+       round(avg(k), 4) AS avg_k,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS purchase_rate
+FROM parsed
+GROUP BY algorithm_version
+ORDER BY algorithm_version
+"""
+
+ORACLES["q21_topk_per_group"] = """
+WITH rev AS (
+    SELECT n.n_name AS nation_name,
+           l.l_partkey AS partkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, l.l_partkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY nation_name
+                                 ORDER BY revenue DESC, partkey) AS rnk
+    FROM rev
+)
+SELECT nation_name, CAST(rnk AS INTEGER) AS rnk, partkey, revenue
+FROM ranked WHERE rnk <= 5
+ORDER BY nation_name, rnk
+"""
+
+ORACLES["q22_setops_except"] = """
+WITH urgent AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+low AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '5-LOW'
+)
+SELECT 'urgent_only' AS cohort, custkey FROM (
+    SELECT custkey FROM urgent EXCEPT SELECT custkey FROM low
+)
+UNION ALL
+SELECT 'both' AS cohort, custkey FROM (
+    SELECT custkey FROM urgent INTERSECT SELECT custkey FROM low
+)
+ORDER BY cohort, custkey
+"""
+
+ORACLES["q23_exists_semijoin"] = """
+SELECT c.c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+ORACLES["q24_conditional_pivot_cube"] = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""

@@ -456,3 +456,420 @@ def q12_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query("q13_ab_test")
+def q13_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm A/B test statistics (n, mean, sample stddev, conversion).
+
+    Reference parity: SQL/Test Analysis.txt (per-test-arm engagement
+    means/stddevs and lift). Arm assignment is a deterministic hash
+    split (user_id parity), the standard production A/B bucketing.
+    """
+    ev = table(spark, sf_dir, "events")
+    armed = ev.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    return (
+        armed.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.stddev("value"), 4).alias("stddev_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                4,
+            ).alias("purchase_rate"),
+        )
+        .orderBy("arm")
+    )
+
+
+@query("q14_percentile_benchmark")
+def q14_percentile_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + exact interpolated percentiles (PERCENTILE_CONT)
+    benchmarking each supplier against the population and its nation.
+
+    Reference parity: SQL/Competitive Content Benchmarking.txt
+    (PERCENTILE_CONT / PERCENT_RANK cross-benchmarks).
+
+    Scale: per-supplier agg shuffles once on l_suppkey; nation medians
+    aggregate the tiny per-supplier table; the dim join broadcasts.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    per_supp = rev.join(
+        F.broadcast(supp.join(nation, supp.s_nationkey == nation.n_nationkey)),
+        rev.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        F.col("s_suppkey").alias("suppkey"), F.col("n_name").alias("nation_name"), "revenue"
+    )
+    w = Window.orderBy("revenue")
+    ranked = per_supp.withColumn(
+        "pct_rank", F.round(F.percent_rank().over(w), 6)
+    ).withColumn("quartile", F.ntile(4).over(Window.orderBy(F.desc("revenue"), F.col("suppkey"))))
+    medians = per_supp.groupBy("nation_name").agg(
+        F.round(F.expr("percentile(revenue, 0.5)"), 2).alias("nation_median_revenue"),
+        F.round(F.expr("percentile(revenue, 0.9)"), 2).alias("nation_p90_revenue"),
+    )
+    return (
+        ranked.join(medians, "nation_name")
+        .select(
+            "suppkey",
+            "nation_name",
+            "revenue",
+            "pct_rank",
+            "quartile",
+            "nation_median_revenue",
+            "nation_p90_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query("q15_corr_features")
+def q15_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + dispersion features per group.
+
+    Reference parity: SQL/Predictive Content Performance Modeling.txt
+    (CORR feature engineering per content segment).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    return (
+        joined.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.corr("l_discount", "l_quantity"), 4).alias("corr_disc_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+                "corr_price_qty"
+            ),
+            F.round(F.stddev("l_quantity"), 4).alias("stddev_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query("q16_roi_deciles")
+def q16_roi_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-vs-list-value ROI ratio + decile bucketing.
+
+    Reference parity: SQL/Content Production ROI Analysis.txt
+    (production cost vs generated revenue, ROI tiers).
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("list_value", F.col("p_retailprice") * F.col("qty"))
+        .withColumn("roi", F.round(F.col("revenue") / F.col("list_value"), 6))
+    )
+    w = Window.orderBy(F.desc("roi"), F.col("p_partkey"))
+    return (
+        per_part.withColumn("roi_decile", F.ntile(10).over(w))
+        .groupBy("roi_decile")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("roi"), 6).alias("avg_roi"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.round(F.avg("revenue"), 2).alias("avg_revenue"),
+        )
+        .orderBy("roi_decile")
+    )
+
+
+@query("q17_daily_growth")
+def q17_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time series with LAG growth rate and 7-day moving average.
+
+    Reference parity: SQL/Social Network Effects on Content Virality.txt
+    (day-over-day viewing growth, viral velocity windows).
+
+    Scale: facts collapse to one row per day FIRST (partial-agg
+    groupBy); the windows then run over the tiny series — never a
+    global window over raw facts.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.orderBy("day")
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "growth_pct",
+            F.round(
+                (F.col("n_events") - F.lag("n_events").over(w))
+                * 100.0
+                / F.lag("n_events").over(w),
+                4,
+            ),
+        )
+        .withColumn("ma7_events", F.round(F.avg("n_events").over(w7), 4))
+        .orderBy("day")
+    )
+
+
+@query("q18_distribution_stats")
+def q18_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution statistics (stddev, exact median, range).
+
+    Reference parity: SQL/Multi-Profile Family Usage Patterns.txt
+    (per-account profile-count distributions).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+            F.round(F.stddev("n_orders"), 4).alias("stddev_orders"),
+            F.round(F.expr("percentile(n_orders, 0.5)"), 4).alias("median_orders"),
+            F.min("n_orders").alias("min_orders"),
+            F.max("n_orders").alias("max_orders"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+@query("q19_funnel_conversion")
+def q19_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel with per-stage user counts and conversion rates.
+
+    Reference parity: SQL/Real-time Personalization Effectiveness.txt +
+    User Engagement Funnel (impression→click→conversion staging).
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.withColumn("channel", (F.col("user_id") % 5).cast("int"))
+        .groupBy("user_id", "channel")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicked"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchased"
+            ),
+        )
+    )
+    return (
+        per_user.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("saw").alias("viewers"),
+            F.sum(F.when((F.col("saw") == 1) & (F.col("clicked") == 1), 1).otherwise(0)).alias(
+                "clickers"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("saw") == 1)
+                    & (F.col("clicked") == 1)
+                    & (F.col("purchased") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("purchasers"),
+        )
+        .withColumn(
+            "view_to_click",
+            F.round(
+                F.when(F.col("viewers") > 0, F.col("clickers") * 1.0 / F.col("viewers")),
+                4,
+            ),
+        )
+        .withColumn(
+            "click_to_purchase",
+            F.round(
+                F.when(
+                    F.col("clickers") > 0, F.col("purchasers") * 1.0 / F.col("clickers")
+                ),
+                4,
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+@query("q20_reco_precision")
+def q20_reco_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + algorithm-arm performance comparison.
+
+    Reference parity: SQL/Advanced Recommendation System Performance.txt
+    (recommendation_score / algorithm_version comparison); props JSON
+    plays the recommendation payload, k % 3 the algorithm version.
+    """
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    ).withColumn("algorithm_version", (F.col("k") % 3).cast("int"))
+    return (
+        parsed.groupBy("algorithm_version")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                4,
+            ).alias("purchase_rate"),
+        )
+        .orderBy("algorithm_version")
+    )
+
+
+@query("q21_topk_per_group")
+def q21_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number top-k with deterministic tiebreaks.
+
+    Reference parity: SQL/Geographic Content Preference Mapping.txt
+    (top content per geography).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.topk import top_k_per_group
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(
+                supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+                    "s_suppkey", "n_name"
+                )
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"), F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        top_k_per_group(
+            rev,
+            ["nation_name"],
+            [F.desc("revenue"), F.col("partkey")],
+            k=5,
+            rank_name="rnk",
+        )
+        .select("nation_name", "rnk", "partkey", "revenue")
+        .orderBy("nation_name", "rnk")
+    )
+
+
+@query("q22_setops_except")
+def q22_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set semantics over customer cohorts.
+
+    Reference parity: the catalog-gap / cross-platform workloads'
+    set-difference logic (users on platform A but not B).
+    """
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent_only = urgent.distinct().subtract(low.distinct()).withColumn(
+        "cohort", F.lit("urgent_only")
+    )
+    both = urgent.intersect(low).withColumn("cohort", F.lit("both"))
+    return (
+        urgent_only.unionByName(both)
+        .select("cohort", "custkey")
+        .orderBy("cohort", "custkey")
+    )
+
+
+@query("q23_exists_semijoin")
+def q23_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join + segment aggregation.
+
+    Reference parity: SQL/Multi-Profile Family Usage Patterns.txt /
+    Catalog Gap (EXISTS subqueries).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("q24_conditional_pivot_cube")
+def q24_conditional_pivot_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping flags over two categoricals.
+
+    Reference parity: the reference's WITH ROLLUP usage generalized to
+    CUBE (User Engagement Funnel Analysis) — all four grouping-set
+    combinations in one pass.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
+    )
