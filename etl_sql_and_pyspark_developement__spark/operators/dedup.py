@@ -1,0 +1,263 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, from cheapest to fuzziest:
+- exact: md5 of normalized text, one hash-groupBy shuffle.
+- bag: md5 of the sorted token bag (catches reorderings), same cost.
+- n-gram Jaccard: exact set similarity over word 3-gram shingles —
+  the *verifier*, quadratic in candidate count, so only ever run on
+  candidate pairs.
+- MinHash + LSH: the 100 TB path. Signatures are computed with
+  built-in xxhash64 (JVM, no Python UDF): minhash_j(doc) =
+  min_j(xxhash64(j, shingle)). Banding turns near-duplicate search
+  into an equi-join on (band_id, band_hash) — the only shuffle —
+  and candidates are then verified with exact Jaccard.
+- SimHash: 64-bit signature via per-bit weighted sums of token
+  hashes; hamming-ball candidates found by 16-bit chunk equality
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+
+Reference note: the reference repo has no dedup surface — these are
+the training-data-pipeline extensions SURVEY §2 lists as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 128
+N_BANDS = 32  # 32 bands x 4 rows
+
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-gram shingles per doc."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            )
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+    return df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+
+
+def exact_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group exact + bag dedup statistics (n_docs vs n_unique)."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bag_fingerprint,
+        exact_fingerprint,
+    )
+
+    keyed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        exact_fingerprint(text_col).alias("exact_fp"),
+        bag_fingerprint(text_col).alias("bag_fp"),
+    )
+    return (
+        keyed.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("exact_fp").alias("n_unique_exact"),
+            F.countDistinct("bag_fp").alias("n_unique_bag"),
+        )
+        .withColumn(
+            "exact_dup_pct",
+            F.round((F.col("n_docs") - F.col("n_unique_exact")) * 100.0 / F.col("n_docs"), 4),
+        )
+        .withColumn(
+            "bag_dup_pct",
+            F.round((F.col("n_docs") - F.col("n_unique_bag")) * 100.0 / F.col("n_docs"), 4),
+        )
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exact pairwise n-gram Jaccard over ALL pairs sharing ≥1 shingle.
+
+    Quadratic in colliding docs — the small-data oracle / verifier.
+    At scale use minhash_lsh_pairs, which feeds only LSH candidates
+    into this same verification math.
+    """
+    sh = shingle_df(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """128 minhash values per doc, computed as 128 parallel MIN
+    aggregates of seeded xxhash64 over the doc's shingles — all
+    JVM-side partial aggregation, zero Python."""
+    sh = shingle_df(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation → exact Jaccard verification.
+
+    Scale path: signatures are one shuffle (groupBy doc); banding
+    explodes 32 narrow rows per doc; the bucket groupBy is the only
+    wide shuffle, keyed by (band_id, band_hash) which is uniform by
+    construction (hash values) — no skew. Verification touches only
+    candidate pairs.
+    """
+    rows_per_band = N_MINHASH // N_BANDS
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(
+        "doc", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (join shingle sets only for
+    # candidate docs).
+    sh = shingle_df(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as 4×16-bit chunks (c0..c3).
+
+    Per-bit weighted sums of token xxhash64 bits, computed as 64
+    conditional-sum aggregates (JVM partial agg); chunking enables the
+    pigeonhole candidate join (hamming ≤ 3 ⇒ some chunk equal).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc").agg(*bit_sums)
+    chunks = []
+    for c in range(4):
+        expr = None
+        for b in range(16):
+            bit = F.when(F.col(f"s_{16 * c + b}") > 0, 1 << b).otherwise(0)
+            expr = bit if expr is None else expr + bit
+        chunks.append(expr.cast("long").alias(f"c{c}"))
+    return sums.select("doc", *chunks)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidates come from an EQUI-join on exploded (chunk_id, chunk
+    value) rows — pigeonhole guarantees hamming ≤ 3 pairs share a
+    chunk. An OR-of-equalities join condition would have degenerated
+    into a nested-loop join (quadratic at scale); exploding 4 narrow
+    rows per doc keeps it a hash join.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk_val")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"c{c}").alias(f"a_c{c}") for c in range(4)]
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"c{c}").alias(f"b_c{c}") for c in range(4)]
+    )
+    hamming = sum(F.bit_count(F.expr(f"a_c{c} ^ b_c{c}")) for c in range(4))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,63 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched mapInPandas.
+
+The Spark-side shape is the real thing — binary column, explicit
+output schema, batch iterator, partition-preserving — while the decode
+kernel is STUBBED (this container has no image/audio codecs): it
+derives deterministic fake dimensions from the payload bytes. Swap
+`_decode_stub` for PIL/ffmpeg and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, status string"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a blob column (real pipelines read image/audio bytes
+    from object storage; here the doc text is the payload)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """STUB for the real image decode (no codec libs in this
+    container). Deterministic fake dimensions from the byte content —
+    replace with PIL.Image.open(io.BytesIO(payload)).size in prod."""
+    if not payload:
+        return 0, 0, "empty"
+    w = 64 + (payload[0] % 64)
+    h = 64 + (payload[-1] % 64)
+    return w, h, "ok"
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: Arrow batches in, metadata rows out.
+
+    Scale: partition-preserving narrow op — no shuffle; batch size is
+    controlled by spark.sql.execution.arrow.maxRecordsPerBatch. The
+    pattern (iterator of pandas DataFrames) is the production shape
+    for CPU-bound per-row media work.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf[id_col]
+            payloads = pdf["payload"]
+            out["n_bytes"] = payloads.map(lambda p: len(p) if p is not None else 0)
+            decoded = payloads.map(lambda p: _decode_stub(bytes(p) if p is not None else b""))
+            out["width"] = decoded.map(lambda t: t[0])
+            out["height"] = decoded.map(lambda t: t[1])
+            out["status"] = decoded.map(lambda t: t[2])
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(decode, DECODE_SCHEMA)

@@ -1,0 +1,123 @@
+"""Text-analysis operators for LLM training-data pipelines: quality
+scoring, language-ID heuristic, token counting, content fingerprints.
+
+All four are pure built-in column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs — so they scan-scale linearly: one pass over
+the documents table, no shuffle until the (optional) final aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("a", "the")
+
+# Marker-token profiles for the n-gram/stopword language heuristic.
+# Real corpora would use per-language character n-gram tables; the
+# mechanism (score per language from token evidence, argmax) is the
+# same and stays fully declarative.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + a 0-100 quality score."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct * 1.0 / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(n_stop * 1.0 / n_tokens, 6))
+        .withColumn("avg_token_len", F.round(avg_token_len, 6))
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Deterministic 0-100 quality score over the feature columns
+    (expects quality_features() output)."""
+    length_pts = F.when(F.col("n_tokens") >= 50, 40).when(
+        F.col("n_tokens") >= 20, 25
+    ).when(F.col("n_tokens") >= 5, 10).otherwise(0)
+    stop_pts = F.when(
+        (F.col("stopword_ratio") >= 0.01) & (F.col("stopword_ratio") <= 0.2), 30
+    ).otherwise(10)
+    token_pts = F.when(
+        (F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 10), 30
+    ).otherwise(10)
+    return df.withColumn("quality_score", length_pts + stop_pts + token_pts)
+
+
+def _isin_pred(markers: tuple[str, ...]):
+    # A plain closure: a default-arg lambda would grow a second
+    # parameter, which F.filter interprets as the (value, index)
+    # two-arg lambda form.
+    return lambda t: t.isin(*markers)
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens(F.col(text_col))
+    return {
+        lang: F.size(F.filter(toks, _isin_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax language over marker-token scores; 'und' when no evidence.
+
+    Ties break by language-code order (deterministic), matching the
+    SQL oracle's greatest-score-first CASE chain.
+    """
+    scores = lang_scores(text_col)
+    out = df
+    for lang, score in scores.items():
+        out = out.withColumn(f"score_{lang}", score)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # first max wins -> deterministic tie-break
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return out.withColumn("predicted_lang", pred)
+
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex segmentation count (letters
+    runs / digit runs / other symbols), the standard cheap proxy for
+    tokenizer cost in data pipelines."""
+    return df.withColumn(
+        "ws_tokens", F.size(tokens(F.col(text_col)))
+    ).withColumn(
+        "bpe_ish_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    )
+
+
+def bag_fingerprint(text_col: str = "text") -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token bag. Detects shuffled/reordered near-duplicates that exact
+    hashing misses."""
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " "
+    )
+    return F.md5(bag)
+
+
+def exact_fingerprint(text_col: str = "text") -> Column:
+    """Exact-dedup key: md5 of lowercased, trimmed text."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))

@@ -554,3 +554,164 @@ FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
 """
+
+ORACLES["t01_text_quality"] = """
+WITH feats AS (
+    SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a', 'the'))) AS n_stop
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id,
+        n_tokens,
+        round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+        round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len
+    FROM feats
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
+    (CASE WHEN n_tokens >= 50 THEN 40 WHEN n_tokens >= 20 THEN 25
+          WHEN n_tokens >= 5 THEN 10 ELSE 0 END
+     + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.2 THEN 30 ELSE 10 END
+     + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 30 ELSE 10 END)
+        AS quality_score
+FROM ratios
+ORDER BY doc_id
+"""
+
+ORACLES["t02_lang_id"] = """
+WITH scored AS (
+    SELECT lang,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','of')))  AS score_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','et')))  AS score_fr,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','la','de')))  AS score_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS score_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('的','是','了')))   AS score_zh
+    FROM documents
+),
+best AS (
+    SELECT lang,
+        greatest(score_en, score_fr, score_es, score_de, score_zh) AS best_score,
+        CASE WHEN greatest(score_en, score_fr, score_es, score_de, score_zh) = 0 THEN 'und'
+             WHEN score_en = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'en'
+             WHEN score_fr = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'fr'
+             WHEN score_es = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'es'
+             WHEN score_de = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'de'
+             ELSE 'zh' END AS predicted_lang
+    FROM scored
+)
+SELECT lang, predicted_lang, count(*) AS n_docs
+FROM best
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+ORACLES["t03_token_count"] = """
+WITH counted AS (
+    SELECT source,
+        len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+)
+SELECT source,
+    count(*) AS n_docs,
+    CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+    CAST(sum(bpe_ish_tokens) AS BIGINT) AS total_bpe_ish_tokens,
+    round(avg(ws_tokens), 4) AS avg_ws_tokens,
+    round(avg(bpe_ish_tokens), 4) AS avg_bpe_ish_tokens
+FROM counted
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["t04_fingerprint"] = """
+SELECT doc_id,
+    md5(lower(trim(text))) AS exact_fp,
+    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        AS bag_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES["d01_dedup_exact"] = """
+WITH keyed AS (
+    SELECT source,
+        md5(lower(trim(text))) AS exact_fp,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+            AS bag_fp
+    FROM documents
+)
+SELECT source,
+    count(*) AS n_docs,
+    count(DISTINCT exact_fp) AS n_unique_exact,
+    count(DISTINCT bag_fp) AS n_unique_bag,
+    round((count(*) - count(DISTINCT exact_fp)) * 100.0 / count(*), 4)
+        AS exact_dup_pct,
+    round((count(*) - count(DISTINCT bag_fp)) * 100.0 / count(*), 4)
+        AS bag_dup_pct
+FROM keyed
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["d02_dedup_ngram_jaccard"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        unnest(CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+    sa.n_sh AS n_a, sb.n_sh AS n_b,
+    round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+ORACLES["s01_cosine_topk"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+        round(
+            list_dot_product(
+                list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+            / (sqrt(list_dot_product(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                                     list_transform(q.q_vec, x -> CAST(x AS DOUBLE))))
+               * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+            6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM pairs
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""

@@ -873,3 +873,187 @@ def q24_conditional_pivot_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §2 table 2)
+# ---------------------------------------------------------------------------
+
+
+@query("t01_text_quality")
+def t01_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + score (pure built-in exprs)."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        quality_features,
+        quality_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_score(quality_features(docs))
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+@query("t02_lang_id")
+def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic + agreement vs labeled lang."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        predict_lang,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pred = predict_lang(docs)
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@query("t03_token_count")
+def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts, aggregated per source."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        token_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counted = token_counts(docs)
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_ish_tokens").alias("total_bpe_ish_tokens"),
+            F.round(F.avg("ws_tokens"), 4).alias("avg_ws_tokens"),
+            F.round(F.avg("bpe_ish_tokens"), 4).alias("avg_bpe_ish_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("t04_fingerprint")
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag fingerprint per document."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bag_fingerprint,
+        exact_fingerprint,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        exact_fingerprint("text").alias("exact_fp"),
+        bag_fingerprint("text").alias("bag_fp"),
+    ).orderBy("doc_id")
+
+
+@query("d01_dedup_exact")
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + bag dedup statistics per source (hash-groupBy dedup)."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        exact_dedup_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        exact_dedup_stats(docs, "doc_id", "text", "source")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    )
+
+
+@query("d02_dedup_ngram_jaccard")
+def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar document pairs by exact 3-gram Jaccard."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(docs, "doc_id", "text", n=3)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query("d03_dedup_minhash_lsh")
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32 bands) candidates, Jaccard-verified ≥ 0.5.
+
+    No SQL oracle (probabilistic banding); recall vs exact Jaccard is
+    property-tested in tests/test_dedup.py with planted near-dups.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("d04_dedup_simhash")
+def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via chunk-equality candidates.
+
+    No SQL oracle (hash-dependent); invariants property-tested.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import simhash_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("s01_cosine_topk")
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries_df, k=5).orderBy("query_id", "rnk")
+
+
+@query("s02_ann_lsh")
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (scale path for s01).
+
+    No SQL oracle (bucketing is hash-dependent); recall vs s01 is
+    asserted in tests/test_similarity.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_lsh_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, queries_df, k=5, n_bits=4, dim=64).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@query("m01_multimodal_meta")
+def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing via mapInPandas (decode stubbed).
+
+    No SQL oracle (Pandas-UDF path); schema/batch behavior tested in
+    tests/test_multimodal.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        decode_metadata,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_metadata(with_binary_payload(docs)).orderBy("doc_id")

@@ -1,0 +1,15 @@
+from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+    EVENTS_SCHEMA,
+    read_event_stream,
+    session_window_agg,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_event_stream",
+    "windowed_event_counts",
+    "session_window_agg",
+    "streaming_dedup",
+]

@@ -1,0 +1,96 @@
+"""Structured Streaming pipelines: the streaming twins of the batch
+event analytics (SURVEY §2 st01–st03).
+
+The reference's "Real-time Personalization Effectiveness" workload is
+a batch query over an events feed; in Spark the native re-expression
+is readStream + watermark + windowed/sessionized aggregation. File
+source here (tests drive it with processAllAvailable); swap
+`.format("kafka")` in production — the transformations are identical.
+
+Scale notes:
+- Watermarks bound state: without them, windowed aggs grow state
+  forever at 100 TB/day event rates.
+- session_window is Spark's native gap-sessionization — the streaming
+  equivalent of operators/sessionize.py (same 30-min gap).
+- dropDuplicates WITH the watermark column bounds the dedup state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.parquet stores TIMESTAMP(NANOS); for the file-source stream we
+# declare ts as long nanos and convert, matching sources/catalog.py.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """st01: watermarked sliding-window counts per event type."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """st02: native session_window gap sessionization per user."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """st03: stateful exactly-once-per-key dedup within the watermark."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Drive a streaming query to completion over the available files
+    (synchronous; for tests/smoke).  Caller reads `SELECT * FROM name`."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

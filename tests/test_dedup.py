@@ -1,0 +1,125 @@
+"""Property tests for the dedup family: planted near-duplicates must be
+found by MinHash-LSH and SimHash; exact Jaccard is the ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "under the warm sun and the birds sing in the tall green trees near "
+    "the old stone bridge by the quiet river bank every single morning"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with two planted near-duplicates of doc 0 and unrelated docs."""
+    near1 = BASE.replace("quick", "swift")  # 1 token changed
+    near2 = BASE.replace("morning", "evening").replace("cat", "kitten")
+    rows = [(0, BASE), (1, near1), (2, near2)]
+    for i in range(3, 40):
+        rows.append(
+            (
+                i,
+                " ".join(
+                    f"tok{(i * 37 + j * 11) % 211}" for j in range(45)
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_jaccard_finds_planted(spark, planted):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import jaccard_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(planted, "doc_id", "text").collect()
+    }
+    assert pairs[(0, 1)] > 0.7, pairs.get((0, 1))
+    assert pairs[(0, 2)] > 0.6
+    # jaccard bounded
+    assert all(0 <= j <= 1 for j in pairs.values())
+
+
+def test_minhash_lsh_recall_on_planted(spark, planted):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    found = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(planted, "doc_id", "text", threshold=0.5).collect()
+    }
+    # 32 bands x 4 rows: P(candidate) at j=0.7 is 1-(1-0.7^4)^32 ≈ 0.9998
+    assert (0, 1) in found
+    assert (0, 2) in found
+    # verified jaccard is exact, so it must match jaccard_pairs' value
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import jaccard_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(planted, "doc_id", "text").collect()
+    }
+    for pair, j in found.items():
+        assert abs(exact[pair] - j) < 1e-9
+
+
+def test_minhash_no_false_positives_above_threshold(spark, planted):
+    """Everything LSH returns is verified >= threshold by construction."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    for r in minhash_lsh_pairs(planted, "doc_id", "text", threshold=0.5).collect():
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, "completely different words here xyz abc")],
+        ["doc_id", "text"],
+    )
+    found = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, "doc_id", "text").collect()}
+    assert found.get((0, 1)) == 0
+    assert (0, 2) not in found
+
+
+def test_simhash_near_dup_low_hamming(spark, planted):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    sigs = {r.doc: (r.c0, r.c1, r.c2, r.c3) for r in simhash_signatures(planted, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert hamming(sigs[0], sigs[1]) <= 8  # 1-token change barely moves simhash
+    assert hamming(sigs[0], sigs[3]) > 12  # unrelated doc is far
+
+
+def test_exact_dedup_stats_counts(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        exact_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "s1"),
+            (1, "a b c", "s1"),  # exact dup
+            (2, "c b a", "s1"),  # bag dup only
+            (3, "x y z", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r.grp: r for r in exact_dedup_stats(df, "doc_id", "text", "source").collect()}
+    assert rows["s1"].n_docs == 3
+    assert rows["s1"].n_unique_exact == 2
+    assert rows["s1"].n_unique_bag == 1
+    assert rows["s2"].n_unique_exact == 1

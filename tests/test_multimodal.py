@@ -1,0 +1,45 @@
+"""Multimodal plumbing: binary payload column + mapInPandas decode stub
+must produce the declared schema, one output row per input, and
+deterministic metadata."""
+
+from __future__ import annotations
+
+
+def test_decode_metadata_schema_and_rows(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        decode_metadata,
+        with_binary_payload,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = decode_metadata(with_binary_payload(docs))
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "status",
+    ]
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r.status == "ok"
+        assert r.n_bytes > 0
+        assert 64 <= r.width < 128
+        assert 64 <= r.height < 128
+
+
+def test_decode_deterministic(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        decode_metadata,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "")], ["doc_id", "text"])
+    out1 = sorted(decode_metadata(with_binary_payload(df)).collect())
+    out2 = sorted(decode_metadata(with_binary_payload(df)).collect())
+    assert out1 == out2
+    empty = [r for r in out1 if r.doc_id == 2][0]
+    assert empty.status == "empty"
+    assert empty.n_bytes == 0

@@ -1,0 +1,101 @@
+"""ANN invariants: brute-force is the ground truth; LSH must place a
+vector in its own bucket (self-similarity) and achieve nonzero recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import struct
+
+    def gen(i):
+        # deterministic pseudo-random unit-ish vector
+        vals = []
+        state = i * 2654435761 % (1 << 32)
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vals.append((state / (1 << 30)) - 1.0)
+        return vals
+
+    rows = [(i, [float(v) for v in gen(i)]) for i in range(60)]
+    # vector 50 = copy of vector 0 (cosine 1.0 with it)
+    rows[50] = (50, rows[0][1][:])
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_bruteforce_finds_exact_copy(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = cosine_topk(vectors, q, k=3).collect()
+    assert top[0].cand_id == 50
+    assert abs(top[0].cosine - 1.0) < 1e-5
+
+
+def test_bruteforce_cosine_bounds_and_ranks(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    rows = cosine_topk(vectors, q, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = [r.rnk for r in rs]
+        assert ranks == sorted(ranks)
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_self_bucket_and_recall(spark, vectors):
+    """An exact copy hashes to the same bucket, so LSH must find it;
+    overall recall vs brute force must be positive."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") == 0)
+    approx = ann_lsh_topk(vectors, q, k=3, n_bits=4, dim=16).collect()
+    assert approx, "copy of query must share its bucket"
+    assert approx[0].cand_id == 50
+
+    qs = vectors.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(vectors, qs, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ann_lsh_topk(vectors, qs, k=5, n_bits=4, dim=16).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall > 0.2, f"LSH recall too low: {recall}"
+
+
+def test_lsh_results_subset_of_universe(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_lsh_topk,
+    )
+
+    qs = vectors.filter(F.col("vec_id") < 3)
+    for r in ann_lsh_topk(vectors, qs, k=5, n_bits=4, dim=16).collect():
+        assert r.cand_id != r.query_id
+        assert 1 <= r.rnk <= 5

@@ -1,0 +1,111 @@
+"""Structured Streaming twins (st01–st03): drive the file source to
+completion and check the results against batch-computed equivalents."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """A directory holding only events.parquet (file-source streams
+    read whole directories)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = windowed_event_counts(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "st01_out", "append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM st01_out").collect()
+    }
+
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    # The final (open) windows may be withheld by the watermark in
+    # append mode; everything emitted must match batch exactly.
+    assert got, "stream emitted nothing"
+    for key, val in got.items():
+        assert expected[key] == val
+    assert len(got) >= len(expected) * 0.9
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir, events_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.sessionize import (
+        sessionize,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        session_window_agg,
+    )
+
+    stream = session_window_agg(read_event_stream(spark, events_dir))
+    run_to_memory(stream, "st02_out", "append")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM st02_out").collect()
+    }
+    assert got, "stream emitted nothing"
+
+    ev = table(spark, sf_dir, "events")
+    batch_sessions = (
+        sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    expected = {
+        (r.user_id, r.session_start): r.n_events for r in batch_sessions.collect()
+    }
+    # Emitted (watermark-closed) streaming sessions must agree with the
+    # batch lag+cumsum sessionization — same gap semantics.
+    matched = sum(1 for k, v in got.items() if expected.get(k) == v)
+    assert matched / len(got) > 0.95
+
+
+def test_streaming_dedup_removes_injected_dups(spark, events_dir, tmp_path_factory):
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    d = tmp_path_factory.mktemp("dup_stream")
+    shutil.copy(f"{events_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", d / "b.parquet")  # full duplicate batch
+    stream = streaming_dedup(read_event_stream(spark, str(d)))
+    run_to_memory(stream, "st03_out", "append")
+    n = spark.sql("SELECT count(*) AS n FROM st03_out").collect()[0].n
+    n_src = spark.read.parquet(f"{events_dir}/events.parquet").count()
+    assert n == n_src, f"dedup kept {n}, expected {n_src}"
