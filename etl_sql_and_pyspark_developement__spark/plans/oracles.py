@@ -757,3 +757,61 @@ FROM rolled
 GROUP BY o_custkey
 ORDER BY custkey
 """
+
+ORACLES["q28_gap_fill"] = """
+WITH bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+    SELECT t.event_type,
+           CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM types t, bounds b
+),
+daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT s.event_type,
+    strftime(s.day, '%Y-%m-%d') AS day,
+    CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+    CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS was_filled
+FROM spine s
+LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""
+
+ORACLES["q29_scd2_merge"] = """
+WITH dim AS (
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           round(c_acctbal, 2) AS acctbal,
+           '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM customer
+),
+updates AS (
+    SELECT c_custkey AS custkey, 'PROMOTED' AS segment,
+           round(c_acctbal + 100, 2) AS acctbal
+    FROM customer WHERE c_custkey % 10 = 0
+),
+joined AS (
+    SELECT d.*, u.segment AS new_segment, u.acctbal AS new_acctbal
+    FROM dim d LEFT JOIN updates u ON d.custkey = u.custkey
+),
+changed AS (
+    SELECT * FROM joined
+    WHERE new_segment IS NOT NULL
+      AND (segment IS DISTINCT FROM new_segment
+           OR acctbal IS DISTINCT FROM new_acctbal)
+)
+SELECT custkey, segment, acctbal, valid_from, '2000-01-01' AS valid_to
+FROM changed
+UNION ALL
+SELECT custkey, new_segment, new_acctbal, '2000-01-01', NULL FROM changed
+UNION ALL
+SELECT custkey, segment, acctbal, valid_from, valid_to
+FROM joined
+WHERE new_segment IS NULL
+   OR (segment IS NOT DISTINCT FROM new_segment
+       AND acctbal IS NOT DISTINCT FROM new_acctbal)
+ORDER BY custkey, valid_from, valid_to
+"""

@@ -1156,3 +1156,70 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("q28_gap_fill")
+def q28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: dense daily spine per event type via
+    sequence+explode, zero-filled where no events occurred.
+
+    Reference parity: Seasonal Viewing Pattern Analysis needs dense
+    calendars; this is the canonical Spark date-spine pattern.
+
+    Scale: the spine is |types| × |days| (tiny) built from an
+    aggregated bounds row — never a per-event explosion.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("was_filled"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query("q29_scd2_merge")
+def q29_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge emulation (MERGE INTO without a lake format):
+    deterministic synthetic updates against the customer dimension.
+
+    Updates: every custkey % 10 == 0 moves to segment 'PROMOTED' with
+    acctbal + 100, effective 2000-01-01.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.scd2 import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit("PROMOTED").alias("segment"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+        )
+    )
+    return scd2_apply(
+        dim, updates, key="custkey", attr_cols=["segment", "acctbal"],
+        effective_date="2000-01-01",
+    ).orderBy("custkey", "valid_from", "valid_to")

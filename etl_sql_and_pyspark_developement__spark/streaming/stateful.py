@@ -1,0 +1,96 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user running statistics with anomaly flagging.
+
+This is the pattern for operators Structured Streaming's built-ins
+can't express: arbitrary per-key state (here Welford-style running
+count/mean/M2) updated batch-by-batch.
+
+The reference's "Real-time Personalization Effectiveness" tracks
+per-user engagement against their history — this is that computation
+expressed as a native streaming operator instead of a batch self-join.
+
+State expiry: pass `expire_ms` to arm ProcessingTimeTimeout-based
+eviction (bounds state at 100 TB/day rates). Note that an armed
+processing-time timeout makes the engine schedule perpetual
+timeout-evaluation micro-batches, so `processAllAvailable()`-driven
+tests/smoke runs must use the default expire_ms=None (NoTimeout).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, mean_value double, std_value double, "
+    "n_anomalies bigint"
+)
+STATE_SCHEMA = "count bigint, mean double, m2 double"
+
+
+def _make_update_fn(expire_ms: int | None):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if expire_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            count, mean, m2 = state.get
+        else:
+            count, mean, m2 = 0, 0.0, 0.0
+        anomalies = 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                v = float(v)
+                # flag before updating: anomaly = outside 3 sigma of history
+                if count >= 10:
+                    std = math.sqrt(m2 / (count - 1)) if count > 1 else 0.0
+                    if std > 0 and abs(v - mean) > 3 * std:
+                        anomalies += 1
+                count += 1
+                delta = v - mean
+                mean += delta / count
+                m2 += delta * (v - mean)
+        state.update((count, mean, m2))
+        if expire_ms is not None:
+            state.setTimeoutDuration(expire_ms)
+        std = math.sqrt(m2 / (count - 1)) if count > 1 else 0.0
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [count],
+                "mean_value": [mean],
+                "std_value": [std],
+                "n_anomalies": [anomalies],
+            }
+        )
+
+    return update
+
+
+def running_user_stats(events: DataFrame, expire_ms: int | None = None) -> DataFrame:
+    """Per-user running mean/std + 3-sigma anomaly counts, maintained
+    as keyed state across micro-batches."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if expire_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_fn(expire_ms),
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            timeout,
+        )
+    )

@@ -109,3 +109,54 @@ def test_streaming_dedup_removes_injected_dups(spark, events_dir, tmp_path_facto
     n = spark.sql("SELECT count(*) AS n FROM st03_out").collect()[0].n
     n_src = spark.read.parquet(f"{events_dir}/events.parquet").count()
     assert n == n_src, f"dedup kept {n}, expected {n_src}"
+
+
+def test_stateful_running_stats(spark, sf_dir, events_dir):
+    """st04: applyInPandasWithState running stats must agree with batch
+    count/mean per user after processing all files."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    stream = running_user_stats(read_event_stream(spark, events_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st04_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user wins
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) AS rn FROM st04_out) "
+            "WHERE rn = 1"
+        ).collect()
+    }
+    assert got, "no stateful output"
+
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    batch = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev("value").alias("std"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, r in got.items():
+        assert r.n_events == batch[uid].n
+        assert abs(r.mean_value - batch[uid].mean) < 1e-6
+        assert abs(r.std_value - (batch[uid].std or 0.0)) < 1e-6
