@@ -1,0 +1,74 @@
+"""Skew mitigation: salted joins and two-phase (partial) aggregation.
+
+AQE's skew-join handles moderate skew automatically; explicit salting
+is the tool for *known* pathological keys (the null key, the megacity,
+the viral item) where one partition would otherwise receive a large
+fraction of 100 TB.
+
+- salted_join: replicate the small side `salt` times, scatter the big
+  side's hot keys across `salt` sub-partitions. Trades `salt`× small-
+  side duplication for an even shuffle.
+- two_phase_agg: groupBy(key, salt) → groupBy(key) — breaks a hot
+  group's partial aggregation across executors. Only valid for
+  decomposable aggregates (sum/count/min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    The salt column is derived from a deterministic hash of the whole
+    big-side row id space (monotonically varying values), so hot keys
+    spread across `salt` partitions.
+    """
+    big_salted = big.withColumn(
+        "__salt", (F.pmod(F.xxhash64(*big.columns), F.lit(salt))).cast("int")
+    )
+    small_rep = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_salted.join(small_rep, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Salted two-phase aggregation for decomposable aggregates.
+
+    agg_exprs: {output_col: "sum(col)" | "count(*)" | "min(col)" |
+    "max(col)"} — phase 1 computes per-(key, salt) partials, phase 2
+    merges (sum→sum, count→sum, min→min, max→max).
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    phase1_aggs = []
+    phase2_aggs = []
+    for out_name, expr in agg_exprs.items():
+        fn_name = expr.split("(", 1)[0].strip().lower()
+        if fn_name not in merge_fn:
+            raise ValueError(
+                f"{fn_name!r} is not decomposable; two_phase_agg supports "
+                f"{sorted(merge_fn)}"
+            )
+        phase1_aggs.append(F.expr(expr).alias(f"__p_{out_name}"))
+        phase2_aggs.append(merge_fn[fn_name](f"__p_{out_name}").alias(out_name))
+    partial = salted.groupBy(*key_cols, "__salt").agg(*phase1_aggs)
+    return partial.groupBy(*key_cols).agg(*phase2_aggs)

@@ -1223,3 +1223,37 @@ def q29_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, updates, key="custkey", attr_cols=["segment", "acctbal"],
         effective_date="2000-01-01",
     ).orderBy("custkey", "valid_from", "valid_to")
+
+
+@query("q30_sql_surface")
+def q30_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's Spark-SQL text surface (the reference ships every
+    workload as SQL text too): TPC-H Q5-shaped regional revenue via
+    registered views + spark.sql.
+
+    Catalyst plans this identically to the DataFrame twin — same
+    pushdown, same broadcasts — demonstrating both API surfaces hit
+    one optimizer.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation_name
+        """
+    )

@@ -1,0 +1,65 @@
+"""Salted join / two-phase agg must be result-identical to the plain
+versions (they only change the physical distribution)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.salt import salted_join
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, cust, "o_custkey", salt=4)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_two_phase_agg_matches_plain(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.salt import two_phase_agg
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, r.q, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("q"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    two = {
+        r.l_returnflag: (r.n, r.q, r.mx)
+        for r in two_phase_agg(
+            li,
+            ["l_returnflag"],
+            {"n": "count(*)", "q": "sum(l_quantity)", "mx": "max(l_extendedprice)"},
+            salt=8,
+        ).collect()
+    }
+    assert set(plain) == set(two)
+    for k in plain:
+        assert plain[k][0] == two[k][0]
+        assert abs(plain[k][1] - two[k][1]) < 1e-6
+        assert plain[k][2] == two[k][2]
+
+
+def test_two_phase_rejects_nondecomposable(spark, sf_dir):
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.salt import two_phase_agg
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="not decomposable"):
+        two_phase_agg(li, ["l_returnflag"], {"a": "avg(l_quantity)"})

@@ -1,0 +1,93 @@
+"""Property tests (hypothesis) for the text-analysis operators:
+invariants that must hold for ANY input text, not just the corpus."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hypothesis import given, settings, strategies as st
+
+# token alphabet: lowercase words + punctuation, single-space joined —
+# the documents-table shape
+words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz.,!?;:0123456789", min_size=1, max_size=8),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.fixture(scope="module")
+def make_df(spark):
+    def _make(texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+
+    return _make
+
+
+@settings(max_examples=15, deadline=None)
+@given(words)
+def test_quality_features_bounds(spark, toks):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        quality_features,
+        quality_score,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = quality_score(quality_features(df)).collect()[0]
+    assert r.n_tokens == len(toks)
+    assert 0.0 <= r.punct_ratio <= 1.0
+    assert 0.0 <= r.stopword_ratio <= 1.0
+    assert 0 <= r.quality_score <= 100
+
+
+@settings(max_examples=15, deadline=None)
+@given(words)
+def test_bag_fingerprint_order_invariant(spark, toks):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bag_fingerprint,
+    )
+    from pyspark.sql import functions as F
+
+    fwd = " ".join(toks)
+    rev = " ".join(reversed(toks))
+    df = spark.createDataFrame([(1, fwd), (2, rev)], ["doc_id", "text"])
+    fps = [
+        r.fp for r in df.select(bag_fingerprint("text").alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1], "bag fingerprint must ignore token order"
+
+
+@settings(max_examples=15, deadline=None)
+@given(words)
+def test_token_counts_match_python(spark, toks):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        BPE_ISH_PATTERN,
+        token_counts,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = token_counts(df).collect()[0]
+    assert r.ws_tokens == len(text.split(" "))
+    assert r.bpe_ish_tokens == len(re.findall(BPE_ISH_PATTERN, text))
+
+
+def test_predict_lang_deterministic_tiebreak(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        predict_lang,
+    )
+
+    # 'la' is a marker for both fr and es; fr wins (language-code order)
+    df = spark.createDataFrame(
+        [(1, "la la la"), (2, "zzz qqq"), (3, "the the le")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.predicted_lang for r in predict_lang(df).collect()}
+    assert got[1] == "fr"
+    assert got[2] == "und"
+    assert got[3] == "en"
