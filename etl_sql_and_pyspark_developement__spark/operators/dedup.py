@@ -90,7 +90,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     At scale use minhash_lsh_pairs, which feeds only LSH candidates
     into this same verification math.
     """
-    sh = shingle_df(df, id_col, text_col, n)
+    # The shingle set feeds sizes AND both sides of the pair join —
+    # persist it so the tokenize+explode runs once, not three times.
+    sh = shingle_df(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     # Shingles unique to one doc can't intersect any pair — dropping
     # them before the self-join is semantics-preserving (sizes are
@@ -149,7 +151,14 @@ def minhash_lsh_pairs(
     candidate pairs.
     """
     rows_per_band = N_MINHASH // N_BANDS
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    # One shingle pass feeds signatures, sizes, and candidate
+    # verification — persist it (reused 4×).
+    sh = shingle_df(df, id_col, text_col, n).persist()
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
+        for j in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy("doc").agg(*aggs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -176,7 +185,6 @@ def minhash_lsh_pairs(
     )
     # Verify candidates with exact Jaccard (join shingle sets only for
     # candidate docs).
-    sh = shingle_df(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         candidates.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
