@@ -156,3 +156,140 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "cand_id", "cosine")
     )
+
+
+def kmeans_lite_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations for IVF coarse quantization.
+
+    Seeds: the k vectors with the lowest ids (deterministic, no RNG).
+    Each iteration: assign every vector to its nearest centroid
+    (distributed argmin over a broadcast centroid array), then average
+    per cluster (one groupBy). The centroid list itself is tiny
+    (k × dim floats) — collecting it to the driver is the standard IVF
+    training pattern, NOT a data collect.
+    """
+    id_col = corpus.columns[0]
+    seeds = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in row[0]] for row in seeds]
+    for _ in range(iterations):
+        assigned = corpus.select(
+            _nearest_centroid(vec_col, centroids).alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        # per-cluster mean, component-wise: explode positions once
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("v")).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_c = [row[:] for row in centroids]
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.s
+            cnt[r.cluster] = max(cnt.get(r.cluster, 0), r.n)
+        for c, vec in acc.items():
+            new_c[c] = [x / cnt[c] for x in vec]
+        centroids = new_c
+    return centroids
+
+
+def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
+    """Argmin over squared L2 distance to each (literal) centroid —
+    pure column expressions, evaluated JVM-side.
+
+    Implemented as array_sort over (distance, id) structs so every
+    distance expression appears exactly ONCE in the plan. A chained
+    when(closer, d).otherwise(best) fold would duplicate each distance
+    subtree at every step — exponential expression growth that stalls
+    Catalyst past ~10 centroids.
+    """
+    entries = []
+    for i, c in enumerate(centroids):
+        cent = F.array(*[F.lit(v) for v in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), cent, lambda x, w: (x.cast("double") - w) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cluster")))
+    return F.array_sort(F.array(*entries))[0]["cluster"].cast("int")
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    n_clusters inverted lists; each query scores only the n_probe
+    nearest lists.
+
+    Scale: training touches aggregates only; assignment is a map-side
+    expression; the probe join is an equi-join on cluster id, cutting
+    scored candidates to ~n_probe/n_clusters of the corpus. Recall vs
+    brute force is asserted in tests/test_similarity.py.
+    """
+    centroids = kmeans_lite_centroids(corpus, vec_col, n_clusters, 2, dim)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(vec_col, centroids).alias("cluster"),
+    )
+    # each query probes its n_probe nearest centroids
+    dists = [
+        (
+            i,
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(v) for v in cent]),
+                    lambda x, w: (x.cast("double") - w) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        for i, cent in enumerate(centroids)
+    ]
+    probe_structs = F.array(
+        *[F.struct(d.alias("d"), F.lit(i).alias("cluster")) for i, d in dists]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, n_probe)
+        ).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.cluster").alias("cluster"))
+    pairs = c.join(F.broadcast(q), "cluster").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "cosine")
+    )

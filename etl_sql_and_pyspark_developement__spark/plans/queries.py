@@ -1257,3 +1257,22 @@ def q30_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, nation_name
         """
     )
+
+
+@query("s03_ann_ivf")
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 (coarse k-means quantizer +
+    n_probe inverted lists) — the second scale path next to s02's LSH.
+
+    No SQL oracle (quantizer is engine-specific); recall vs s01 is
+    asserted in tests/test_similarity.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(
+        emb, queries_df, k=5, n_clusters=16, n_probe=4, dim=64
+    ).orderBy("query_id", "rnk")

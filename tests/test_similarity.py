@@ -99,3 +99,27 @@ def test_lsh_results_subset_of_universe(spark, vectors):
     for r in ann_lsh_topk(vectors, qs, k=5, n_bits=4, dim=16).collect():
         assert r.cand_id != r.query_id
         assert 1 <= r.rnk <= 5
+
+
+def test_ivf_recall_vs_bruteforce(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    qs = vectors.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(vectors, qs, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ann_ivf_topk(
+            vectors, qs, k=5, n_clusters=8, n_probe=4, dim=16
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall > 0.5, f"IVF recall too low: {recall}"
+    # the planted exact copy shares its query's cluster -> must be found
+    q0 = vectors.filter(F.col("vec_id") == 0)
+    top = ann_ivf_topk(vectors, q0, k=3, n_clusters=8, n_probe=2, dim=16).collect()
+    assert top and top[0].cand_id == 50
