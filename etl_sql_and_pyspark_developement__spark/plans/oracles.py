@@ -831,3 +831,50 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, nation_name
 """
+
+ORACLES["q31_unpivot"] = """
+WITH wide AS (
+    SELECT c.c_mktsegment,
+           round(sum(o.o_totalprice), 2) AS total_spend,
+           round(avg(o.o_totalprice), 4) AS avg_spend,
+           round(max(o.o_totalprice), 2) AS max_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment, metric, value FROM (
+    SELECT c_mktsegment, 'total_spend' AS metric, total_spend AS value FROM wide
+    UNION ALL
+    SELECT c_mktsegment, 'avg_spend', avg_spend FROM wide
+    UNION ALL
+    SELECT c_mktsegment, 'max_spend', max_spend FROM wide
+)
+ORDER BY c_mktsegment, metric
+"""
+
+ORACLES["q32_collect_agg"] = """
+SELECT c.c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT o.o_orderpriority)), ',')
+           AS priorities_seen,
+       count(DISTINCT o.o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+ORACLES["d05_dedup_edit_distance"] = """
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(doc_id // 25 AS BIGINT) AS block,
+           substring(text, 1, 64) AS prefix
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS prefix_dist
+FROM keyed a
+JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 30
+ORDER BY doc_a, doc_b
+"""

@@ -1276,3 +1276,86 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(
         emb, queries_df, k=5, n_clusters=16, n_probe=4, dim=64
     ).orderBy("query_id", "rnk")
+
+
+@query("q31_unpivot")
+def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) via stack(): the inverse of q08's
+    pivot, turning per-metric columns into (metric, value) rows.
+
+    Reference parity: Cross-Platform workload's device-mix reshaping.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    wide = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_spend"),
+            F.round(F.max("o_totalprice"), 2).alias("max_spend"),
+        )
+    )
+    return (
+        wide.selectExpr(
+            "c_mktsegment",
+            "stack(3, 'total_spend', total_spend, 'avg_spend', avg_spend, "
+            "'max_spend', max_spend) AS (metric, value)",
+        )
+        .orderBy("c_mktsegment", "metric")
+    )
+
+
+@query("q32_collect_agg")
+def q32_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collection aggregation (collect_set) with deterministic
+    ordering, emitted as a joined string for engine-portable equality.
+
+    Reference parity: Content Affinity's per-profile genre lists.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities_seen"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("d05_dedup_edit_distance")
+def d05_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection on blocked candidate pairs
+    (built-in levenshtein — JVM-side; blocking bounds the quadratic).
+
+    Blocks of 25 doc_ids; distance computed on the 64-char prefix (the
+    standard cheap screen before full-text verification).
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (F.col("doc_id") / 25).cast("long").alias("block"),
+        F.substring("text", 1, 64).alias("prefix"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("prefix_dist"),
+        )
+        .filter(F.col("prefix_dist") <= 30)
+        .orderBy("doc_a", "doc_b")
+    )
