@@ -878,3 +878,36 @@ JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE levenshtein(a.prefix, b.prefix) <= 30
 ORDER BY doc_a, doc_b
 """
+
+ORACLES["q33_data_quality"] = """
+WITH agg AS (
+    SELECT count(*) AS total,
+        sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS l_orderkey_null,
+        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS l_shipdate_null,
+        sum(CASE WHEN l_discount IS NOT NULL
+                  AND (l_discount < 0.0 OR l_discount > 0.5) THEN 1 ELSE 0 END)
+            AS l_discount_out_of_range,
+        sum(CASE WHEN l_quantity IS NOT NULL
+                  AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END)
+            AS l_quantity_out_of_range,
+        sum(CASE WHEN l_extendedprice IS NOT NULL
+                  AND (l_extendedprice < 0.0 OR l_extendedprice > 200000.0)
+                 THEN 1 ELSE 0 END) AS l_extendedprice_out_of_range,
+        sum(CASE WHEN l_returnflag IS NOT NULL
+                  AND NOT regexp_matches(l_returnflag, '^[ANR]$')
+                 THEN 1 ELSE 0 END) AS l_returnflag_bad_format
+    FROM lineitem
+)
+SELECT check_name,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       round(n_violations * 100.0 / total, 6) AS violation_pct
+FROM (
+    SELECT total, 'l_orderkey_null' AS check_name, l_orderkey_null AS n_violations FROM agg
+    UNION ALL SELECT total, 'l_shipdate_null', l_shipdate_null FROM agg
+    UNION ALL SELECT total, 'l_discount_out_of_range', l_discount_out_of_range FROM agg
+    UNION ALL SELECT total, 'l_quantity_out_of_range', l_quantity_out_of_range FROM agg
+    UNION ALL SELECT total, 'l_extendedprice_out_of_range', l_extendedprice_out_of_range FROM agg
+    UNION ALL SELECT total, 'l_returnflag_bad_format', l_returnflag_bad_format FROM agg
+)
+ORDER BY check_name
+"""

@@ -1359,3 +1359,26 @@ def d05_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prefix_dist") <= 30)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("q33_data_quality")
+def q33_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over lineitem, evaluated
+    as one pass of conditional aggregates (operators/quality.py)."""
+    from etl_sql_and_pyspark_developement__spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        validate,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    checks = [
+        not_null("l_orderkey"),
+        not_null("l_shipdate"),
+        in_range("l_discount", 0.0, 0.5),
+        in_range("l_quantity", 1.0, 50.0),
+        in_range("l_extendedprice", 0.0, 200000.0),
+        matches("l_returnflag", "^[ANR]$"),
+    ]
+    return validate(li, checks).orderBy("check_name")

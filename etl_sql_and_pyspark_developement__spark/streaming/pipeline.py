@@ -94,3 +94,39 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """st05: stream-static join — enrich the event stream with a
+    broadcastable static dimension, then windowed per-attribute rollup.
+
+    Stream-static joins are stateless in Spark (each micro-batch joins
+    against the static side's current snapshot) — the standard pattern
+    for dimension enrichment at ingest."""
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left")
+        .withColumn("segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "segment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sink_foreach_batch_parquet(stream_df: DataFrame, out_dir: str):
+    """Exactly-once-style sink via foreachBatch: each micro-batch is
+    written as an idempotent overwrite of its epoch partition."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return stream_df.writeStream.foreachBatch(write_batch)

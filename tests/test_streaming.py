@@ -160,3 +160,44 @@ def test_stateful_running_stats(spark, sf_dir, events_dir):
         assert r.n_events == batch[uid].n
         assert abs(r.mean_value - batch[uid].mean) < 1e-6
         assert abs(r.std_value - (batch[uid].std or 0.0)) < 1e-6
+
+
+def test_stream_static_enrich_and_foreach_batch(spark, sf_dir, events_dir, tmp_path):
+    """st05: stream-static join rollup, delivered through a
+    foreachBatch parquet sink, must match the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        sink_foreach_batch_parquet,
+        stream_static_enrich,
+    )
+
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = stream_static_enrich(read_event_stream(spark, events_dir), dim)
+    out = str(tmp_path / "st05_sink")
+    q = sink_foreach_batch_parquet(stream, out).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.window_start, r.segment): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "foreachBatch sink wrote nothing"
+
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left")
+        .withColumn("segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")))
+        .groupBy(F.window("ts", "10 minutes"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("ws"), "segment", "n_events", "total_value")
+    )
+    expected = {(r.ws, r.segment): (r.n_events, r.total_value) for r in batch.collect()}
+    for key, val in got.items():
+        assert expected[key] == val
