@@ -47,8 +47,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single shuffle on two low-cardinality keys; all aggregates
     decompose into partial (map-side) + final — optimal at any SF.
     """
+    from etl_sql_and_pyspark_developement__spark.functions import disc_price as _dp
+
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _dp()
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
@@ -304,6 +306,8 @@ def q08_pivot_platform(spark: SparkSession, sf_dir: str) -> DataFrame:
     (device-type pivot per user) — Spark's .pivot() with an explicit
     value list so the plan is static (no extra distinct pass).
     """
+    from etl_sql_and_pyspark_developement__spark.functions import safe_div
+
     ev = table(spark, sf_dir, "events")
     kinds = ["view", "click", "purchase", "signup", "error"]
     pivoted = (
@@ -319,17 +323,10 @@ def q08_pivot_platform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         renamed.withColumn("n_total", total.cast("long"))
         .withColumn(
-            "click_rate",
-            F.round(
-                F.when(F.col("n_view") > 0, F.col("n_click") / F.col("n_view")), 4
-            ),
+            "click_rate", safe_div(F.col("n_click"), F.col("n_view"))
         )
         .withColumn(
-            "purchase_rate",
-            F.round(
-                F.when(F.col("n_click") > 0, F.col("n_purchase") / F.col("n_click")),
-                4,
-            ),
+            "purchase_rate", safe_div(F.col("n_purchase"), F.col("n_click"))
         )
         .orderBy("user_id")
     )
@@ -682,6 +679,8 @@ def q19_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: SQL/Real-time Personalization Effectiveness.txt +
     User Engagement Funnel (impression→click→conversion staging).
     """
+    from etl_sql_and_pyspark_developement__spark.functions import safe_div
+
     ev = table(spark, sf_dir, "events")
     per_user = (
         ev.withColumn("channel", (F.col("user_id") % 5).cast("int"))
@@ -714,20 +713,11 @@ def q19_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchasers"),
         )
         .withColumn(
-            "view_to_click",
-            F.round(
-                F.when(F.col("viewers") > 0, F.col("clickers") * 1.0 / F.col("viewers")),
-                4,
-            ),
+            "view_to_click", safe_div(F.col("clickers") * 1.0, F.col("viewers"))
         )
         .withColumn(
             "click_to_purchase",
-            F.round(
-                F.when(
-                    F.col("clickers") > 0, F.col("purchasers") * 1.0 / F.col("clickers")
-                ),
-                4,
-            ),
+            safe_div(F.col("purchasers") * 1.0, F.col("clickers")),
         )
         .orderBy("channel")
     )
