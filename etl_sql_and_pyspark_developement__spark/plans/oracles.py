@@ -911,3 +911,88 @@ FROM (
 )
 ORDER BY check_name
 """
+
+ORACLES["q34_interval_attribution"] = """
+-- deliberately written in the reference's correlated-subquery style
+-- (DuckDB decorrelates); the Spark side uses the join re-expression.
+WITH per_order AS (
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        CASE WHEN EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate >= o.o_orderdate
+              AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        ) THEN 1 ELSE 0 END AS shipped_30d,
+        (SELECT min(datediff('day', o.o_orderdate, l.l_shipdate))
+         FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate >= o.o_orderdate) AS days_to_first_ship
+    FROM orders o
+)
+SELECT o_orderpriority,
+    count(*) AS total_orders,
+    CAST(sum(shipped_30d) AS BIGINT) AS shipped_within_30d,
+    round(avg(shipped_30d) * 100, 4) AS acceptance_rate,
+    round(avg(CASE WHEN shipped_30d = 1 THEN days_to_first_ship END), 4)
+        AS avg_days_to_first_ship,
+    round(corr(o_totalprice, shipped_30d), 4) AS corr_price_shipped
+FROM per_order
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q35_binge_pipeline"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN prev_ts IS NULL
+               OR (epoch_us(ts) / 1000000.0 - epoch_us(prev_ts) / 1000000.0) > 1800
+             THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sess AS (
+    SELECT *,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq,
+        count(*) AS n_events,
+        (max(epoch_us(ts) / 1000000.0) - min(epoch_us(ts) / 1000000.0)) / 60.0
+            AS minutes,
+        hour(min(ts)) AS start_hour
+    FROM sess GROUP BY user_id, session_seq
+),
+binges AS (
+    SELECT *,
+        CASE WHEN n_events >= 8 THEN 'High Intensity Binge'
+             WHEN n_events >= 6 THEN 'Moderate Binge'
+             ELSE 'Casual Binge' END AS intensity
+    FROM per_session WHERE n_events >= 4
+),
+user_behavior AS (
+    SELECT user_id, count(*) AS n_binges
+    FROM binges GROUP BY user_id
+),
+heavy AS (
+    SELECT user_id, n_binges FROM user_behavior WHERE n_binges >= 2
+)
+SELECT b.intensity,
+    count(*) AS n_binge_sessions,
+    count(DISTINCT b.user_id) AS n_users,
+    round(avg(b.n_events), 4) AS avg_events,
+    round(avg(b.minutes), 4) AS avg_minutes,
+    CAST(sum(CASE WHEN h.n_binges IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS heavy_binger_sessions,
+    round(count(*) * 0.3 + avg(b.n_events) * 0.25 + avg(b.minutes) * 0.25
+          + count(DISTINCT b.user_id) * 0.2, 4) AS bingeability_score
+FROM binges b
+LEFT JOIN heavy h ON b.user_id = h.user_id
+GROUP BY b.intensity
+ORDER BY b.intensity
+"""

@@ -1372,3 +1372,117 @@ def q33_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches("l_returnflag", "^[ANR]$"),
     ]
     return validate(li, checks).orderBy("check_name")
+
+
+@query("q34_interval_attribution")
+def q34_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery workload decorrelated Spark-first.
+
+    Reference parity: SQL/Advanced Recommendation System
+    Performance.txt builds per-recommendation features from FOUR
+    correlated scalar subqueries (EXISTS within a 30-day interval,
+    MIN time-to-action, conditional AVG, CORR of score vs outcome).
+    Spark's DataFrame API has no correlated subqueries; the idiomatic
+    re-expression is ONE join + conditional aggregates — a single
+    shuffle instead of four correlated probes.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    in_30d = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(
+            F.max(F.when(in_30d, 1).otherwise(0)).alias("shipped_30d"),
+            F.min(
+                F.when(
+                    F.col("l_shipdate") >= F.col("o_orderdate"),
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")),
+                )
+            ).alias("days_to_first_ship"),
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("total_orders"),
+            F.sum("shipped_30d").alias("shipped_within_30d"),
+            F.round(F.avg("shipped_30d") * 100, 4).alias("acceptance_rate"),
+            F.round(
+                F.avg(
+                    F.when(F.col("shipped_30d") == 1, F.col("days_to_first_ship"))
+                ),
+                4,
+            ).alias("avg_days_to_first_ship"),
+            F.round(F.corr("o_totalprice", "shipped_30d"), 4).alias(
+                "corr_price_shipped"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q35_binge_pipeline")
+def q35_binge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 4-stage pipeline mirroring the reference's marquee
+    Binge-Watching workload end-to-end (SQL/Binge-Watching Behavior
+    Analysis.txt): gap sessions → binge classification → per-user
+    behavior → cohort scoring with a weighted bingeability score.
+
+    Scale: stage 1 is the single user_id shuffle; every later stage
+    aggregates strictly smaller data.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sessionize import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")))
+            / 60.0
+        ).alias("minutes"),
+        F.hour(F.min("ts")).alias("start_hour"),
+    )
+    binges = per_session.filter(F.col("n_events") >= 4).withColumn(
+        "intensity",
+        F.when(F.col("n_events") >= 8, "High Intensity Binge")
+        .when(F.col("n_events") >= 6, "Moderate Binge")
+        .otherwise("Casual Binge"),
+    )
+    user_behavior = binges.groupBy("user_id").agg(
+        F.count("*").alias("n_binges"),
+        F.round(F.avg("n_events"), 4).alias("avg_binge_events"),
+        F.round(F.avg("minutes"), 4).alias("avg_binge_minutes"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("start_hour") >= 18) & (F.col("start_hour") <= 23), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("evening_binge_ratio"),
+    )
+    heavy = user_behavior.filter(F.col("n_binges") >= 2)
+    return (
+        binges.join(heavy.select("user_id", "n_binges"), "user_id", "left")
+        .withColumn("is_heavy_binger", F.when(F.col("n_binges").isNotNull(), 1).otherwise(0))
+        .groupBy("intensity")
+        .agg(
+            F.count("*").alias("n_binge_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg("minutes"), 4).alias("avg_minutes"),
+            F.sum("is_heavy_binger").alias("heavy_binger_sessions"),
+            F.round(
+                F.count("*") * 0.3
+                + F.avg("n_events") * 0.25
+                + F.avg("minutes") * 0.25
+                + F.countDistinct("user_id") * 0.2,
+                4,
+            ).alias("bingeability_score"),
+        )
+        .orderBy("intensity")
+    )
