@@ -22,14 +22,18 @@ def get_spark(
     app_name: str = "etl-sql-pyspark-engine",
     cpus: int | str | None = None,
     shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard config."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = shuffle_partitions or os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)
     )
+    builder = SparkSession.builder
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.appName(app_name)
+        builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

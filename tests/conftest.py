@@ -8,10 +8,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from etl_sql_and_pyspark_developement__spark.session import get_spark
 
-    s = get_spark("engine-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "engine-tests",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield s
     s.stop()
 

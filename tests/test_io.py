@@ -52,3 +52,41 @@ def test_delta_stub_raises(spark, tmp_path):
 
     with pytest.raises((NotImplementedError, Exception)):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """The 100 TB co-location strategy: two tables bucketed on the join
+    key must join with ZERO Exchange operators in the plan."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        write_bucketed_table,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed_table(orders, "orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed_table(li, "lineitem_b", "o_orderkey", n_buckets=8)
+    joined = (
+        spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, (
+        "bucketed join must not shuffle on the join key"
+    )
+    # result must still be correct
+    expected = {
+        r.o_orderpriority: r.n
+        for r in orders.join(li, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.o_orderpriority: r.n for r in joined.collect()}
+    assert got == expected
