@@ -996,3 +996,18 @@ LEFT JOIN heavy h ON b.user_id = h.user_id
 GROUP BY b.intensity
 ORDER BY b.intensity
 """
+
+ORACLES["p01_per_group_cap"] = """
+WITH ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_kept,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM ranked WHERE rn <= 30
+GROUP BY lang
+ORDER BY lang
+"""

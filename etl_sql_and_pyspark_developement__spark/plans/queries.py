@@ -1486,3 +1486,39 @@ def q35_binge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("intensity")
     )
+
+
+@query("p01_per_group_cap")
+def p01_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group downsampling (cap over-represented
+    strata): at most 30 docs per language, chosen by doc_id order."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    capped = per_group_cap(docs, "lang", "doc_id", cap=30)
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("p02_stratified_sample")
+def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling per language (rows-only oracle —
+    Bernoulli draws are engine-specific; stability and per-stratum
+    rates are asserted in tests/test_sampling.py)."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 1.0}
+    sampled = stratified_sample(docs, "lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled")).orderBy("lang")

@@ -1,0 +1,65 @@
+"""Sampling invariants: determinism, per-stratum rates, split
+disjointness/completeness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stratified_sample_deterministic_and_rates(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        stratified_sample,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "fr": 1.0, "es": 0.0, "de": 1.0, "zh": 1.0}
+    s1 = stratified_sample(docs, "lang", fractions, seed=42)
+    s2 = stratified_sample(docs, "lang", fractions, seed=42)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    ), "same seed must give the same sample"
+
+    counts = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "es" not in counts  # fraction 0 -> excluded entirely
+    assert counts["fr"] == totals["fr"]  # fraction 1 -> everything
+    rate = counts["en"] / totals["en"]
+    assert 0.3 < rate < 0.7, f"en sampling rate {rate} far from 0.5"
+
+
+def test_train_test_split_disjoint_complete(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        train_test_split,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction_pct=10)
+    n_train, n_test, n_all = train.count(), test.count(), docs.count()
+    assert n_train + n_test == n_all
+    assert train.join(test, "doc_id").count() == 0
+    assert 0.02 < n_test / n_all < 0.25  # ~10% with hash variance
+
+    # stable across invocations (hash-based, not random)
+    train2, test2 = train_test_split(docs, "doc_id", test_fraction_pct=10)
+    assert sorted(r.doc_id for r in test.collect()) == sorted(
+        r.doc_id for r in test2.collect()
+    )
+
+
+def test_per_group_cap_exact(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ["a", "b"] for i in range(10)], ["grp", "i"]
+    )
+    capped = per_group_cap(df, "grp", "i", cap=3)
+    rows = capped.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r.i)
+    assert sorted(by_grp["a"]) == [0, 1, 2]
+    assert sorted(by_grp["b"]) == [0, 1, 2]
