@@ -61,3 +61,53 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "payload").mapInPandas(decode, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_bytes int, feature double"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_size: int = 32,
+    every_kth: int = 4,
+) -> DataFrame:
+    """Frame sampling over an opaque binary payload: chunk the payload
+    into fixed-size "frames", keep every k-th, and emit one row per
+    sampled frame with a cheap per-frame feature.
+
+    The chunk/sample/flatten shape is exactly a video-frame sampler's
+    (payload → frames → stride sample → per-frame features); the
+    "decode" is the same stub as decode_metadata (no codecs here).
+    Scale: mapInPandas, narrow, output rows ∝ payload/(frame_size*k).
+    """
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes, out_feat = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                frames = [
+                    data[i : i + frame_size]
+                    for i in range(0, len(data), frame_size)
+                ]
+                for idx in range(0, len(frames), every_kth):
+                    frame = frames[idx]
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_bytes.append(len(frame))
+                    # STUB feature: mean byte value (a real pipeline
+                    # would run an image/audio feature extractor here)
+                    out_feat.append(sum(frame) / len(frame) if frame else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "frame_idx": out_idx,
+                    "frame_bytes": out_bytes,
+                    "feature": out_feat,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(sampler, FRAME_SCHEMA)

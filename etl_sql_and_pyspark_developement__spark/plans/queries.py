@@ -1522,3 +1522,25 @@ def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 1.0}
     sampled = stratified_sample(docs, "lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled")).orderBy("lang")
+
+
+@query("m02_frame_sample")
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video-sampler plumbing,
+    stubbed decode), aggregated per doc. Rows-only oracle; chunk math
+    is verified in tests/test_multimodal.py."""
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs), frame_size=32, every_kth=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled_frames"),
+            F.round(F.avg("feature"), 4).alias("avg_feature"),
+        )
+        .orderBy("doc_id")
+    )

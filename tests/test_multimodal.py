@@ -43,3 +43,27 @@ def test_decode_deterministic(spark):
     empty = [r for r in out1 if r.doc_id == 2][0]
     assert empty.status == "empty"
     assert empty.n_bytes == 0
+
+
+def test_sample_frames_chunk_math(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    text = "x" * 300  # 300 bytes -> 10 frames of 32 (last partial)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sample_frames(
+        with_binary_payload(df), frame_size=32, every_kth=4
+    ).collect()
+    # frames 0,4,8 sampled (frame 9, the 12-byte partial, is not)
+    assert [r.frame_idx for r in rows] == [0, 4, 8]
+    assert all(r.frame_bytes == 32 for r in rows)
+    assert all(abs(r.feature - ord("x")) < 1e-9 for r in rows)
+
+    # partial last frame IS sampled when the stride lands on it
+    rows2 = sample_frames(
+        with_binary_payload(df), frame_size=32, every_kth=9
+    ).collect()
+    assert [r.frame_idx for r in rows2] == [0, 9]
+    assert rows2[-1].frame_bytes == 300 - 9 * 32
