@@ -1011,3 +1011,16 @@ FROM ranked WHERE rn <= 30
 GROUP BY lang
 ORDER BY lang
 """
+
+ORACLES["q36_grouping_sets"] = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""

@@ -1544,3 +1544,28 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("q36_grouping_sets")
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of q02's ROLLUP / q24's CUBE:
+    exactly the grouping combinations the report needs, one pass."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+        ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+        """
+    )

@@ -54,3 +54,24 @@ def test_s01_no_python_vector_math(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan, "query side should broadcast"
+
+
+def test_q34_decorrelated_single_join(spark, sf_dir):
+    """The reference's four correlated subqueries must become ONE join
+    — not four probes of lineitem."""
+    plan = plan_of(spark, "q34_interval_attribution", sf_dir)
+    # formatted explain lists each scan twice (tree + detail section),
+    # so 2 actual scans (orders + lineitem) => 4 occurrences
+    assert plan.count("Scan parquet") == 4, "exactly orders + lineitem scans"
+
+
+def test_q25_asof_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "q25_asof_attribution", sf_dir)
+    # union + window: one hash exchange on the key (plus the final agg)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_q33_single_pass(spark, sf_dir):
+    plan = plan_of(spark, "q33_data_quality", sf_dir)
+    # one actual scan => two occurrences in formatted explain
+    assert plan.count("Scan parquet") == 2, "all checks in one scan"
