@@ -1024,3 +1024,51 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                         (o_orderpriority, o_orderstatus))
 ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
 """
+
+ORACLES["q37_full_outer"] = """
+WITH spend AS (
+    SELECT c.c_custkey AS entity_id, round(sum(o.o_totalprice), 2) AS spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+),
+activity AS (
+    SELECT user_id AS entity_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+joined AS (
+    SELECT coalesce(s.entity_id, a.entity_id) AS entity_id, s.spend, a.n_events,
+        CASE WHEN s.spend IS NOT NULL AND a.n_events IS NOT NULL THEN 'both'
+             WHEN s.spend IS NOT NULL THEN 'orders_only'
+             ELSE 'events_only' END AS presence
+    FROM spend s FULL OUTER JOIN activity a ON s.entity_id = a.entity_id
+)
+SELECT presence,
+    count(*) AS n_entities,
+    round(coalesce(sum(spend), 0.0), 2) AS total_spend,
+    CAST(coalesce(sum(n_events), 0) AS BIGINT) AS total_events
+FROM joined
+GROUP BY presence
+ORDER BY presence
+"""
+
+ORACLES["q38_window_gallery"] = """
+WITH enriched AS (
+    SELECT o_orderpriority, o_totalprice,
+        first_value(o_totalprice) OVER w_full AS first_price,
+        last_value(o_totalprice) OVER w_full AS last_price,
+        nth_value(o_totalprice, 2) OVER w_full AS second_price,
+        cume_dist() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS price_cume
+    FROM orders
+    WINDOW w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_orderpriority,
+    count(*) AS n_orders,
+    round(avg(last_price - first_price), 4) AS avg_first_to_last_delta,
+    round(avg(CASE WHEN second_price IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+        AS pct_with_second_order,
+    round(avg(price_cume), 6) AS avg_cume_dist
+FROM enriched
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -1569,3 +1569,70 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
         """
     )
+
+
+@query("q37_full_outer")
+def q37_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation of two entity universes
+    (customers-with-orders vs event-active users), the classic
+    which-side-is-missing audit."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_custkey").alias("entity_id"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    activity = ev.groupBy(F.col("user_id").alias("entity_id")).agg(
+        F.count("*").alias("n_events")
+    )
+    joined = spend.join(activity, "entity_id", "full_outer").withColumn(
+        "presence",
+        F.when(F.col("spend").isNotNull() & F.col("n_events").isNotNull(), "both")
+        .when(F.col("spend").isNotNull(), "orders_only")
+        .otherwise("events_only"),
+    )
+    return (
+        joined.groupBy("presence")
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.round(F.coalesce(F.sum("spend"), F.lit(0.0)), 2).alias("total_spend"),
+            F.coalesce(F.sum("n_events"), F.lit(0)).alias("total_events"),
+        )
+        .orderBy("presence")
+    )
+
+
+@query("q38_window_gallery")
+def q38_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one pass: FIRST_VALUE /
+    LAST_VALUE (full frame), NTH_VALUE(2), CUME_DIST — per-customer
+    order sequences, aggregated per priority for a compact result."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pri = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    enriched = (
+        orders.withColumn("first_price", F.first("o_totalprice").over(full))
+        .withColumn("last_price", F.last("o_totalprice").over(full))
+        .withColumn("second_price", F.nth_value("o_totalprice", 2).over(full))
+        .withColumn("price_cume", F.cume_dist().over(pri))
+    )
+    return (
+        enriched.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(F.col("last_price") - F.col("first_price")), 4).alias(
+                "avg_first_to_last_delta"
+            ),
+            F.round(
+                F.avg(F.when(F.col("second_price").isNotNull(), 1.0).otherwise(0.0)),
+                4,
+            ).alias("pct_with_second_order"),
+            F.round(F.avg("price_cume"), 6).alias("avg_cume_dist"),
+        )
+        .orderBy("o_orderpriority")
+    )
