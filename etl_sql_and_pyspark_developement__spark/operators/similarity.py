@@ -158,58 +158,30 @@ def ann_lsh_topk(
     )
 
 
-def kmeans_lite_centroids(
-    corpus: DataFrame,
-    vec_col: str = "embedding",
-    k: int = 16,
-    iterations: int = 2,
-    dim: int = 64,
-) -> list[list[float]]:
-    """Deterministic Lloyd's iterations for IVF coarse quantization.
-
-    Seeds: the k vectors with the lowest ids (deterministic, no RNG).
-    Each iteration: assign every vector to its nearest centroid
-    (distributed argmin over a broadcast centroid array), then average
-    per cluster (one groupBy). The centroid list itself is tiny
-    (k × dim floats) — collecting it to the driver is the standard IVF
-    training pattern, NOT a data collect.
-    """
-    id_col = corpus.columns[0]
-    seeds = (
-        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+def _centroids_df(spark, centroids: list[list[float]]):
+    """Tiny (k rows) DataFrame of centroid vectors — joined broadcast
+    instead of inlined as literals, so plans stay small at any k."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
     )
-    centroids = [[float(x) for x in row[0]] for row in seeds]
-    for _ in range(iterations):
-        assigned = corpus.select(
-            _nearest_centroid(vec_col, centroids).alias("cluster"),
-            F.col(vec_col).alias("v"),
-        )
-        # per-cluster mean, component-wise: explode positions once
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode(F.col("v")).alias("pos", "x")
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        new_c = [row[:] for row in centroids]
-        acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.s
-            cnt[r.cluster] = max(cnt.get(r.cluster, 0), r.n)
-        for c, vec in acc.items():
-            new_c[c] = [x / cnt[c] for x in vec]
-        centroids = new_c
-    return centroids
+
+
+def _sq_l2(vec_col: str, cent_col: str) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(cent_col),
+            lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
-    """Argmin over squared L2 distance to each (literal) centroid —
-    pure column expressions, evaluated JVM-side.
-
-    Implemented as array_sort over (distance, id) structs so every
+    """Map-side argmin over squared L2 distance to each (literal)
+    centroid, as array_sort over (distance, id) structs so every
     distance expression appears exactly ONCE in the plan. A chained
     when(closer, d).otherwise(best) fold would duplicate each distance
     subtree at every step — exponential expression growth that stalls
@@ -229,6 +201,92 @@ def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
     return F.array_sort(F.array(*entries))[0]["cluster"].cast("int")
 
 
+MAX_INLINE_CENTROID_CELLS = 4096  # k*dim above this -> join formulation
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, cluster) — two formulations, picked by k×dim:
+
+    - small quantizers: centroid literals inlined, argmin via
+      array_sort-of-structs → a pure MAP-SIDE expression, zero shuffle
+      of the corpus. Plan grows with k×dim, so capped.
+    - large quantizers: broadcast join against a centroid table +
+      min_by argmin → plan size independent of k, at the cost of a
+      k× row expansion + groupBy shuffle. The right trade once the
+      inline plan would stall Catalyst.
+    """
+    if len(centroids) * len(centroids[0]) <= MAX_INLINE_CENTROID_CELLS:
+        return corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid(vec_col, centroids).alias("cluster"),
+        )
+    spark = corpus.sparkSession
+    cents = _centroids_df(spark, centroids)
+    scored = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).join(F.broadcast(cents), F.lit(True))
+    return (
+        scored.withColumn("__dist", _sq_l2("__vec", "centroid"))
+        .groupBy("__id")
+        .agg(
+            F.min_by("cluster", F.col("__dist")).alias("cluster"),
+            F.first("__vec").alias("__vec"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__vec").alias(vec_col),
+            "cluster",
+        )
+    )
+
+
+def kmeans_lite_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations for IVF coarse quantization.
+
+    Seeds: the k vectors with the lowest ids (deterministic, no RNG).
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast centroid table + min_by argmin), then average per
+    cluster (one groupBy). The centroid list itself is tiny (k × dim
+    floats) — collecting it to the driver is the standard IVF training
+    pattern, NOT a data collect.
+    """
+    id_col = corpus.columns[0]
+    seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in row[0]] for row in seeds]
+    for _ in range(iterations):
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_c = [row[:] for row in centroids]
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.s
+            cnt[r.cluster] = max(cnt.get(r.cluster, 0), r.n)
+        for c, vec in acc.items():
+            new_c[c] = [x / cnt[c] for x in vec]
+        centroids = new_c
+    return centroids
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -243,43 +301,33 @@ def ann_ivf_topk(
     n_clusters inverted lists; each query scores only the n_probe
     nearest lists.
 
-    Scale: training touches aggregates only; assignment is a map-side
-    expression; the probe join is an equi-join on cluster id, cutting
-    scored candidates to ~n_probe/n_clusters of the corpus. Recall vs
-    brute force is asserted in tests/test_similarity.py.
+    Scale: training touches aggregates only; assignment and probe
+    selection join a broadcast centroid table (plan size independent
+    of k — works at k=4096 as at k=16); the probe join is an equi-join
+    on cluster id, cutting scored candidates to ~n_probe/n_clusters of
+    the corpus. Recall vs brute force is asserted in
+    tests/test_similarity.py.
     """
+    spark = corpus.sparkSession
     centroids = kmeans_lite_centroids(corpus, vec_col, n_clusters, 2, dim)
-    c = corpus.select(
+    c = assign_clusters(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
-        _nearest_centroid(vec_col, centroids).alias("cluster"),
+        "cluster",
     )
     # each query probes its n_probe nearest centroids
-    dists = [
-        (
-            i,
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(v) for v in cent]),
-                    lambda x, w: (x.cast("double") - w) ** 2,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        for i, cent in enumerate(centroids)
-    ]
-    probe_structs = F.array(
-        *[F.struct(d.alias("d"), F.lit(i).alias("cluster")) for i, d in dists]
+    cents = _centroids_df(spark, centroids)
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(cents), F.lit(True)).withColumn(
+        "__dist", _sq_l2("q_vec", "centroid")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(F.array_sort(probe_structs), 1, n_probe)
-        ).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.cluster").alias("cluster"))
+    probe_w = Window.partitionBy("query_id").orderBy("__dist", "cluster")
+    q = (
+        q_scored.withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "q_vec", "cluster")
+    )
     pairs = c.join(F.broadcast(q), "cluster").filter(
         F.col("cand_id") != F.col("query_id")
     )

@@ -123,3 +123,21 @@ def test_ivf_recall_vs_bruteforce(spark, vectors):
     q0 = vectors.filter(F.col("vec_id") == 0)
     top = ann_ivf_topk(vectors, q0, k=3, n_clusters=8, n_probe=2, dim=16).collect()
     assert top and top[0].cand_id == 50
+
+
+def test_assign_clusters_join_path_matches_inline(spark, vectors, monkeypatch):
+    """Both assignment formulations (map-side literals vs broadcast
+    join + min_by) must agree exactly."""
+    from etl_sql_and_pyspark_developement__spark.operators import similarity as sim
+
+    cents = sim.kmeans_lite_centroids(vectors, "embedding", k=4, iterations=1, dim=16)
+    inline = {
+        r.vec_id: r.cluster
+        for r in sim.assign_clusters(vectors, cents, "vec_id", "embedding").collect()
+    }
+    monkeypatch.setattr(sim, "MAX_INLINE_CENTROID_CELLS", 0)
+    joined = {
+        r.vec_id: r.cluster
+        for r in sim.assign_clusters(vectors, cents, "vec_id", "embedding").collect()
+    }
+    assert inline == joined
