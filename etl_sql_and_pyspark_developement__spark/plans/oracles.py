@@ -17,8 +17,8 @@ SELECT
     l_linestatus,
     round(sum(l_quantity), 2)                                        AS sum_qty,
     round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-    round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+    round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 3)  AS sum_charge,
     round(avg(l_quantity), 4)                                        AS avg_qty,
     round(avg(l_extendedprice), 4)                                   AS avg_price,
     round(avg(l_discount), 4)                                        AS avg_disc,
@@ -331,7 +331,7 @@ ORDER BY arm
 ORACLES["q14_percentile_benchmark"] = """
 WITH rev AS (
     SELECT l_suppkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem GROUP BY l_suppkey
 ),
 per_supp AS (
@@ -395,8 +395,8 @@ tiled AS (
 SELECT CAST(roi_decile AS INTEGER) AS roi_decile,
        count(*) AS n_parts,
        round(avg(roi), 6) AS avg_roi,
-       round(sum(revenue), 2) AS total_revenue,
-       round(avg(revenue), 2) AS avg_revenue
+       round(sum(revenue), 4) AS total_revenue,
+       round(avg(revenue), 4) AS avg_revenue
 FROM tiled
 GROUP BY roi_decile
 ORDER BY roi_decile
@@ -494,7 +494,7 @@ ORACLES["q21_topk_per_group"] = """
 WITH rev AS (
     SELECT n.n_name AS nation_name,
            l.l_partkey AS partkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -818,7 +818,7 @@ ORDER BY custkey, valid_from, valid_to
 
 ORACLES["q30_sql_surface"] = """
 SELECT n.n_name AS nation_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

@@ -57,8 +57,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 3).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -503,7 +503,7 @@ def q14_percentile_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "revenue"
         )
     )
@@ -598,8 +598,8 @@ def q16_roi_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_parts"),
             F.round(F.avg("roi"), 6).alias("avg_roi"),
-            F.round(F.sum("revenue"), 2).alias("total_revenue"),
-            F.round(F.avg("revenue"), 2).alias("avg_revenue"),
+            F.round(F.sum("revenue"), 4).alias("total_revenue"),
+            F.round(F.avg("revenue"), 4).alias("avg_revenue"),
         )
         .orderBy("roi_decile")
     )
@@ -779,7 +779,10 @@ def q21_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation_name"), F.col("l_partkey").alias("partkey"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            # 4 dp, not 2: these sums are exact 4-decimal values (2dp
+            # price x 2dp discount), so 2dp rounding lands exactly on
+            # .xx5 boundaries where Spark and DuckDB disagree
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -1233,7 +1236,7 @@ def q30_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name AS nation_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
                count(DISTINCT o.o_orderkey) AS n_orders
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1287,10 +1290,11 @@ def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        wide.selectExpr(
-            "c_mktsegment",
-            "stack(3, 'total_spend', total_spend, 'avg_spend', avg_spend, "
-            "'max_spend', max_spend) AS (metric, value)",
+        wide.unpivot(
+            ids=["c_mktsegment"],
+            values=["total_spend", "avg_spend", "max_spend"],
+            variableColumnName="metric",
+            valueColumnName="value",
         )
         .orderBy("c_mktsegment", "metric")
     )
