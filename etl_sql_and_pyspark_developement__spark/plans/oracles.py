@@ -362,8 +362,8 @@ ORACLES["q15_corr_features"] = """
 SELECT
     p.p_type,
     count(*) AS n_lines,
-    round(corr(l.l_discount, l.l_quantity), 4) AS corr_disc_qty,
-    round(corr(l.l_extendedprice, l.l_quantity), 4) AS corr_price_qty,
+    round(corr(l.l_discount, l.l_quantity), 4) + 0.0 AS corr_disc_qty,
+    round(corr(l.l_extendedprice, l.l_quantity), 4) + 0.0 AS corr_price_qty,
     round(stddev_samp(l.l_quantity), 4) AS stddev_qty,
     round(avg(l.l_quantity), 4) AS avg_qty,
     round(avg(l.l_discount), 4) AS avg_disc
@@ -935,7 +935,7 @@ SELECT o_orderpriority,
     round(avg(shipped_30d) * 100, 4) AS acceptance_rate,
     round(avg(CASE WHEN shipped_30d = 1 THEN days_to_first_ship END), 4)
         AS avg_days_to_first_ship,
-    round(corr(o_totalprice, shipped_30d), 4) AS corr_price_shipped
+    round(corr(o_totalprice, shipped_30d), 4) + 0.0 AS corr_price_shipped
 FROM per_order
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

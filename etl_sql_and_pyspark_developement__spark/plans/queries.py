@@ -553,8 +553,8 @@ def q15_corr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("p_type")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.corr("l_discount", "l_quantity"), 4).alias("corr_disc_qty"),
-            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+            (F.round(F.corr("l_discount", "l_quantity"), 4) + 0.0).alias("corr_disc_qty"),
+            (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
                 "corr_price_qty"
             ),
             F.round(F.stddev("l_quantity"), 4).alias("stddev_qty"),
@@ -1420,7 +1420,7 @@ def q34_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("avg_days_to_first_ship"),
-            F.round(F.corr("o_totalprice", "shipped_30d"), 4).alias(
+            (F.round(F.corr("o_totalprice", "shipped_30d"), 4) + 0.0).alias(
                 "corr_price_shipped"
             ),
         )
