@@ -36,9 +36,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
-        return f"{v:.6f}"
+        # bit-exact: queries are required to produce byte-identical
+        # doubles to the oracle (rounding discipline + -0.0 handling),
+        # so compare the full repr, not a truncated format
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     # numpy scalars -> python
