@@ -1072,3 +1072,31 @@ FROM enriched
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLES["q27_approx_sketches"] = """
+SELECT l_returnflag,
+    count(DISTINCT l_partkey) AS exact_distinct_parts,
+    round(quantile_cont(l_extendedprice, 0.5), 3) AS exact_median_price,
+    TRUE AS hll_within_10pct,
+    TRUE AS quantile_sketch_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["m01_multimodal_meta"] = """
+-- the decode stub is deterministic arithmetic over the payload bytes
+-- (ASCII corpus): n_bytes = octet_length, width/height from the
+-- first/last byte values — so even the Pandas-UDF path is
+-- oracle-verified.
+SELECT doc_id,
+    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+         ELSE 64 + (ord(substr(text, 1, 1)) % 64) END AS INTEGER) AS width,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+         ELSE 64 + (ord(substr(text, length(text), 1)) % 64) END AS INTEGER)
+        AS height,
+    CASE WHEN length(text) = 0 THEN 'empty' ELSE 'ok' END AS status
+FROM documents
+ORDER BY doc_id
+"""

