@@ -287,3 +287,62 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc, component)
+    where component = the smallest doc id reachable through the pair
+    graph. Turns pairwise dedup output into dedup GROUPS, from which a
+    pipeline keeps one canonical doc per component.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood; rounds double the reachable
+    radius, so it converges in O(log(diameter)) iterations — near-dup
+    clusters are tiny (stars/cliques), so 2-3 rounds in practice. The
+    loop is driver-side control flow over fully distributed steps
+    (joins + min aggregations), the standard Spark CC pattern.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("component", F.col("doc"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc", "component")

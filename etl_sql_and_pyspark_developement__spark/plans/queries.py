@@ -1658,3 +1658,29 @@ def q38_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("d06_dedup_components")
+def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH pairs → connected
+    components → per-component summary (the canonical-doc selection
+    step of a dedup pipeline). Rows-only oracle (components derive
+    from LSH candidates); graph invariants tested in tests/test_dedup.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    comps = dedup_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc").alias("canonical_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+        .orderBy("component")
+    )

@@ -130,3 +130,38 @@ def sink_foreach_batch_parquet(stream_df: DataFrame, out_dir: str):
         )
 
     return stream_df.writeStream.foreachBatch(write_batch)
+
+
+def stream_stream_attribution(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """st06: stream-stream interval join — each purchase joins the
+    view by the same user within the preceding hour (the streaming
+    twin of the q25 as-of attribution).
+
+    Both sides carry watermarks so Spark can bound the join state; the
+    interval condition (view_ts in [purchase_ts - 1h, purchase_ts])
+    tells the engine exactly when buffered rows expire.
+    """
+    purchases = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    views = (
+        events_b.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_ts")

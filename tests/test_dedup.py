@@ -123,3 +123,33 @@ def test_exact_dedup_stats_counts(spark):
     assert rows["s1"].n_unique_exact == 2
     assert rows["s1"].n_unique_bag == 1
     assert rows["s2"].n_unique_exact == 1
+
+
+def test_dedup_components_groups(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+    )
+
+    # two clusters: {1,2,3,4} via a chain, {10,11}; 20-21-22 via star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r.doc: r.component for r in dedup_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_dedup_components_on_planted(spark, planted):
+    """End-to-end: LSH pairs -> components; the planted near-dups of
+    doc 0 must land in one component labeled 0."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(planted, "doc_id", "text", threshold=0.5)
+    comp = {r.doc: r.component for r in dedup_components(pairs).collect()}
+    assert comp.get(1) == 0
+    assert comp.get(2) == 0

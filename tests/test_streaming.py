@@ -201,3 +201,44 @@ def test_stream_static_enrich_and_foreach_batch(spark, sf_dir, events_dir, tmp_p
     expected = {(r.ws, r.segment): (r.n_events, r.total_value) for r in batch.collect()}
     for key, val in got.items():
         assert expected[key] == val
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """st06: stream-stream interval join must match the equivalent
+    batch interval join exactly (inner join, bounded interval)."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        stream_stream_attribution,
+    )
+
+    a = read_event_stream(spark, events_dir)
+    b = read_event_stream(spark, events_dir)
+    stream = stream_stream_attribution(a, b)
+    run_to_memory(stream, "st06_out", "append")
+    got = {
+        (r.purchase_id, r.view_ts)
+        for r in spark.sql("SELECT * FROM st06_out").collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
+    )
+    batch = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    expected = {(r.purchase_id, r.view_ts) for r in batch.collect()}
+    assert got == expected
