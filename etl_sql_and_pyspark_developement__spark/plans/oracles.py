@@ -1100,3 +1100,133 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+ORACLES["d07_components_exact"] = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        unnest(CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= 0.4
+),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(n, lab) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.n WHERE w.lab < u.b
+),
+comp AS (
+    SELECT n AS doc, min(lab) AS component FROM walk GROUP BY n
+)
+SELECT component,
+    count(*) AS n_docs,
+    min(doc) AS canonical_doc,
+    max(doc) AS max_doc
+FROM comp
+GROUP BY component
+ORDER BY component
+"""
+
+ORACLES["p03_hash_split"] = """
+WITH b AS (
+    SELECT lang, n_chars,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 10
+             THEN 'test' ELSE 'train' END AS split
+    FROM documents
+)
+SELECT lang, split,
+    count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+ORACLES["q39_range_join"] = """
+WITH inc AS (
+    SELECT event_id AS incident_id, user_id,
+        ts - INTERVAL 30 MINUTE AS lo,
+        ts + INTERVAL 30 MINUTE AS hi
+    FROM events WHERE event_type = 'error'
+),
+pts AS (
+    SELECT user_id, ts, event_type, value
+    FROM events WHERE event_type <> 'error'
+)
+SELECT i.incident_id,
+    count(*) AS n_nearby,
+    count(DISTINCT p.event_type) AS n_types,
+    round(sum(p.value), 2) AS sum_value
+FROM inc i
+JOIN pts p ON p.user_id = i.user_id AND p.ts BETWEEN i.lo AND i.hi
+GROUP BY i.incident_id
+ORDER BY i.incident_id
+"""
+
+ORACLES["q40_json_extract"] = """
+SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)
+           AS k_bucket,
+    event_type,
+    count(*) AS n_events,
+    round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY k_bucket, event_type
+ORDER BY k_bucket, event_type
+"""
+
+ORACLES["q41_higher_order"] = """
+WITH v AS (
+    SELECT label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+),
+per AS (
+    SELECT label,
+        sqrt(list_sum(list_transform(vec, x -> x * x))) AS norm,
+        len(list_filter(vec, x -> x > 0)) AS n_pos,
+        list_max(list_transform(vec, x -> abs(x))) AS maxabs
+    FROM v
+)
+SELECT label,
+    count(*) AS n_vecs,
+    round(avg(norm), 4) AS avg_norm,
+    CAST(sum(n_pos) AS BIGINT) AS total_pos,
+    round(max(maxabs), 6) AS max_abs_component
+FROM per
+GROUP BY label
+ORDER BY label
+"""
+
+ORACLES["q42_salted_agg"] = """
+SELECT event_type,
+    count(*) AS n_events,
+    round(sum(value), 2) AS sum_value,
+    round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1684,3 +1684,207 @@ def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query("d07_components_exact")
+def d07_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over EXACT n-gram Jaccard pairs (≥ 0.4) —
+    the fully oracle-backed twin of d06 (whose pairs come from
+    MinHash-LSH and are therefore rows-only). The DuckDB oracle runs a
+    recursive-CTE min-label reachability over the identical pair set,
+    so the whole pairs → components → cluster-summary path is verified
+    value-for-value, not just via graph invariants.
+
+    Scale: pair generation is the d02 path (shared-shingle equi-join,
+    singleton shingles pruned); component propagation is O(log diameter)
+    rounds of join+min — near-dup clusters are stars/cliques, so 2-3
+    rounds. Swap in minhash_lsh_pairs (d06) when exact pairing is too
+    wide; the component step is unchanged.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+        jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text").filter(
+        (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))) >= 0.4
+    )
+    comps = dedup_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc").alias("canonical_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+        .orderBy("component")
+    )
+
+
+@query("p03_hash_split")
+def p03_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/test split (10% test) summarized
+    per lang × split. Engine-portable: both Spark and DuckDB render the
+    same md5 hex for the same id string, so the assignment — not just
+    the rate — is oracle-verified. xxhash64 (operators/sampling.
+    train_test_split) is the faster JVM-side scale path with the same
+    stability property; md5 is the cross-engine-checkable variant.
+
+    Scale: narrow (no shuffle before the tiny groupBy); the hash is
+    per-row arithmetic inside whole-stage codegen.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < 10, F.lit("test")).otherwise(F.lit("train"))
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query("q39_range_join")
+def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: for every error event (an
+    "incident") find same-user activity within ±30 minutes. Spark OSS
+    plans a bare BETWEEN join as a nested loop; operators/rangejoin.py
+    rewrites it as bin-bucketed equi-join + residual filter (the
+    range-join-hint semantics, open-source). Reference parity: the
+    interval-scoped correlated lookups in R14/R20 (recommendation
+    shown→watched windows).
+
+    Scale: interval side grows ~3× (1h span / 30min bins); the join is
+    a shuffled equi-join on (bin, user_id) — distributable, AQE-skew
+    capable, never O(n²).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.rangejoin import (
+        range_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    joined = range_join(
+        points, incidents, "ts", "lo", "hi", bin_width=1800, keys=("user_id",)
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+@query("q40_json_extract")
+def q40_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from a semi-structured props column
+    (from_json with an explicit schema — schema-on-read, no inference
+    pass), bucketed rollup of the extracted key. Reference parity: the
+    reference's event-props handling in R14/R20 (personalization payload
+    fields).
+
+    Scale: from_json is JVM-side codegen (no Python); the groupBy is on
+    two low-cardinality derived keys — one shuffle, partial-agg friendly.
+    """
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    )
+    return (
+        parsed.groupBy(
+            F.floor(F.col("k") / 10).cast("int").alias("k_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("k_bucket", "event_type")
+    )
+
+
+@query("q41_higher_order")
+def q41_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column —
+    transform / filter / aggregate (fold) / array_max — all JVM-side
+    lambda expressions inside whole-stage codegen, zero Python. The
+    vector math that feeds s01-s03 ANN, exercised as a first-class
+    capability: per-label L2-norm stats, positive-component counts,
+    max absolute component.
+
+    Scale: per-row array math is narrow; the only shuffle is the tiny
+    per-label groupBy (10 labels).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    per_row = emb.select(
+        "label",
+        F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+        F.array_max(F.transform(vec, lambda x: F.abs(x))).alias("maxabs"),
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.sum("n_pos").alias("total_pos"),
+            F.round(F.max("maxabs"), 6).alias("max_abs_component"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("q42_salted_agg")
+def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically hot key
+    (event_type has 5 values — at 100 TB each group is ~20 TB, far
+    beyond one executor's partition). groupBy(key, salt) spreads each
+    hot group across 16 partials, then a second tiny groupBy merges.
+    Semantics-preserving for decomposable aggregates, so the oracle is
+    the plain GROUP BY. Reference parity: every reference rollup that
+    groups on low-cardinality segments (R1, R11).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.salt import (
+        two_phase_agg,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": "count(*)",
+            "sum_value": "sum(value)",
+            "max_value": "max(value)",
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        F.round(F.col("max_value"), 2).alias("max_value"),
+    ).orderBy("event_type")

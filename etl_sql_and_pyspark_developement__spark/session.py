@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Without this, any plan that reads a cached DataFrame keeps the
+        # full shuffle.partitions fan-out (AQE refuses to change cached
+        # output partitioning) — iterative ops (connected components)
+        # pay 32 near-empty tasks per tiny join. Trading cache-reuse of
+        # the exact partitioning for runtime coalescing is the right
+        # default for this engine's cached frames (small candidate sets).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

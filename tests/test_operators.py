@@ -126,3 +126,59 @@ def test_state_transitions_counts(spark):
     assert out[("A", "B")][0] == 2
     assert out[("B", "B")][0] == 1
     assert out[("A", "B")][1] == 100.0
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.rangejoin import (
+        range_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 17.0, "b"), (2, 5.0, "c"), (1, 100.0, "d")],
+        ["k", "p", "tag"],
+    )
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0, "w1"), (1, 15.0, 30.0, "w2"), (2, 0.0, 4.0, "w3")],
+        ["k", "lo", "hi", "win"],
+    )
+    got = {
+        (r.tag, r.win)
+        for r in range_join(pts, iv, "p", "lo", "hi", 7, keys=("k",)).collect()
+    }
+    naive = {
+        (r.tag, r.win)
+        for r in pts.alias("p")
+        .join(
+            iv.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("p.p") >= F.col("i.lo"))
+            & (F.col("p.p") <= F.col("i.hi")),
+        )
+        .collect()
+    }
+    assert got == naive == {("a", "w1"), ("b", "w2")}
+    # the whole point: the binned rewrite must plan as an equi-join
+    plan = (
+        range_join(pts, iv, "p", "lo", "hi", 7, keys=("k",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_timestamp_basis_no_keys(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.rangejoin import (
+        range_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(ts("2024-01-01 10:00:30"), "a"), (ts("2024-01-01 12:00:00"), "b")],
+        ["t", "tag"],
+    )
+    iv = spark.createDataFrame(
+        [(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), "w1")],
+        ["lo", "hi", "win"],
+    )
+    rows = range_join(pts, iv, "t", "lo", "hi", 600).collect()
+    assert [(r.tag, r.win) for r in rows] == [("a", "w1")]
