@@ -209,18 +209,31 @@ def assign_clusters(
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    formulation: str = "auto",
 ) -> DataFrame:
-    """(id, vec, cluster) — two formulations, picked by k×dim:
+    """(id, vec, cluster) — two formulations, picked by k×dim (or
+    forced via `formulation`: "inline" | "join"):
 
     - small quantizers: centroid literals inlined, argmin via
       array_sort-of-structs → a pure MAP-SIDE expression, zero shuffle
-      of the corpus. Plan grows with k×dim, so capped.
+      of the corpus. Plan grows with k×dim, so capped. The right
+      choice for the one-off FINAL assignment of a huge corpus.
     - large quantizers: broadcast join against a centroid table +
       min_by argmin → plan size independent of k, at the cost of a
       k× row expansion + groupBy shuffle. The right trade once the
-      inline plan would stall Catalyst.
+      inline plan would stall Catalyst — and for REPEATED assignment
+      (Lloyd training), where re-analyzing the k×dim literal tree
+      every iteration costs more wall time than the small shuffle
+      (measured ~2x on the training loop).
     """
-    if len(centroids) * len(centroids[0]) <= MAX_INLINE_CENTROID_CELLS:
+    inline = (
+        formulation == "inline"
+        or (
+            formulation == "auto"
+            and len(centroids) * len(centroids[0]) <= MAX_INLINE_CENTROID_CELLS
+        )
+    )
+    if inline:
         return corpus.select(
             F.col(id_col),
             F.col(vec_col),
@@ -252,6 +265,7 @@ def kmeans_lite_centroids(
     k: int = 16,
     iterations: int = 2,
     dim: int = 64,
+    train_sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's iterations for IVF coarse quantization.
 
@@ -261,12 +275,23 @@ def kmeans_lite_centroids(
     cluster (one groupBy). The centroid list itself is tiny (k × dim
     floats) — collecting it to the driver is the standard IVF training
     pattern, NOT a data collect.
+
+    At billions of vectors, pass `train_sample_mod=m` to train on the
+    deterministic 1/m hash-sample of the corpus (standard IVF practice
+    — quantizer quality needs a representative sample, not every row;
+    only the final assignment must see the full corpus).
     """
     id_col = corpus.columns[0]
+    if train_sample_mod and train_sample_mod > 1:
+        corpus = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
     seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in row[0]] for row in seeds]
     for _ in range(iterations):
-        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+        assigned = assign_clusters(
+            corpus, centroids, id_col, vec_col, formulation="join"
+        )
         sums = (
             assigned.select(
                 "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
@@ -309,6 +334,9 @@ def ann_ivf_topk(
     tests/test_similarity.py.
     """
     spark = corpus.sparkSession
+    # training scans the corpus once per Lloyd iteration and the final
+    # assignment once more — cache it across those passes
+    corpus = corpus.persist()
     centroids = kmeans_lite_centroids(corpus, vec_col, n_clusters, 2, dim)
     c = assign_clusters(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"),

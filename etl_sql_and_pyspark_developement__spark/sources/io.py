@@ -64,6 +64,26 @@ def write_bucketed_table(
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — same pushdown/pruning properties as parquet (Spark's
+    ORC reader supports predicate pushdown and partition-directory
+    pruning); offered for parity with ORC-standardized warehouses."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
     """JDBC source. Requires the driver jar on the classpath; pass
     partitionColumn/lowerBound/upperBound/numPartitions for parallel

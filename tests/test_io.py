@@ -90,3 +90,24 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     }
     got = {r.o_orderpriority: r.n for r in joined.collect()}
     assert got == expected
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+
+    nation = table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = read_orc(spark, out).filter(F.col("n_regionkey") == 1).select(
+        "n_name", "n_regionkey"
+    )
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.filter("n_regionkey = 1").collect()
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # predicate + projection must reach the ORC scan
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
