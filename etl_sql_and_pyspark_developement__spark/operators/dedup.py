@@ -6,11 +6,12 @@ Four tiers, from cheapest to fuzziest:
 - n-gram Jaccard: exact set similarity over word 3-gram shingles —
   the *verifier*, quadratic in candidate count, so only ever run on
   candidate pairs.
-- MinHash + LSH: the 100 TB path. Signatures are computed with
-  built-in xxhash64 (JVM, no Python UDF): minhash_j(doc) =
-  min_j(xxhash64(j, shingle)). Banding turns near-duplicate search
-  into an equi-join on (band_id, band_hash) — the only shuffle —
-  and candidates are then verified with exact Jaccard.
+- MinHash + LSH: the 100 TB path. Signatures are computed JVM-side
+  (no Python UDF): one xxhash64 base fingerprint per shingle, then
+  128 universal-hash mixes minhash_j = min((a_j*h + b_j) mod p).
+  Banding turns near-duplicate search into an equi-join on
+  (band_id, band_hash) — the only shuffle — and candidates are then
+  verified with exact Jaccard.
 - SimHash: 64-bit signature via per-bit weighted sums of token
   hashes; hamming-ball candidates found by 16-bit chunk equality
   (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
@@ -21,11 +22,31 @@ the training-data-pipeline extensions SURVEY §2 lists as first-class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_MINHASH = 128
 N_BANDS = 32  # 32 bands x 4 rows
+
+# The 128 per-seed hashes run over a FIXED-WIDTH base fingerprint
+# (__h = xxhash64(shingle), computed once per row), not the shingle
+# string: re-reading the variable-length UTF-8 bytes per seed is the
+# dominant signature cost. A mul-add-mod mix would be cheaper still
+# but is NOT a valid permutation family under ANSI mode's no-overflow
+# arithmetic (without 64-bit wraparound the mix is monotone in the
+# base hash, every seed picks the same min shingle, and LSH recall
+# collapses — caught by tests/test_dedup.py's planted-pair recall).
+
+
+def _with_base_fingerprint(sh: DataFrame) -> DataFrame:
+    return sh.withColumn("__h", F.xxhash64(F.col("shingle")))
+
+
+def _minhash_aggs() -> list[Column]:
+    return [
+        F.min(F.xxhash64(F.lit(j), F.col("__h"))).alias(f"mh_{j}")
+        for j in range(N_MINHASH)
+    ]
 
 
 def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -125,14 +146,10 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """128 minhash values per doc, computed as 128 parallel MIN
-    aggregates of seeded xxhash64 over the doc's shingles — all
-    JVM-side partial aggregation, zero Python."""
+    aggregates of universal-hash mixes of one base fingerprint per
+    shingle — all JVM-side partial aggregation, zero Python."""
     sh = shingle_df(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
-        for j in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    return _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
 
 
 def minhash_lsh_pairs(
@@ -154,11 +171,7 @@ def minhash_lsh_pairs(
     # One shingle pass feeds signatures, sizes, and candidate
     # verification — persist it (reused 4×).
     sh = shingle_df(df, id_col, text_col, n).persist()
-    aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh_{j}")
-        for j in range(N_MINHASH)
-    ]
-    sigs = sh.groupBy("doc").agg(*aggs)
+    sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),

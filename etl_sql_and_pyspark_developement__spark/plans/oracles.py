@@ -1230,3 +1230,53 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["p04_pipeline_e2e"] = """
+WITH feats AS (
+    SELECT doc_id, lang, n_chars, text,
+        length(text) AS n_chars_calc,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a', 'the'))) AS n_stop
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, n_chars, text,
+        (CASE WHEN n_tokens >= 50 THEN 40 WHEN n_tokens >= 20 THEN 25
+              WHEN n_tokens >= 5 THEN 10 ELSE 0 END
+         + CASE WHEN round(n_stop * 1.0 / n_tokens, 6) >= 0.01
+                 AND round(n_stop * 1.0 / n_tokens, 6) <= 0.2
+                THEN 30 ELSE 10 END
+         + CASE WHEN round((n_chars_calc - (n_tokens - 1)) * 1.0 / n_tokens, 6) >= 3
+                 AND round((n_chars_calc - (n_tokens - 1)) * 1.0 / n_tokens, 6) <= 10
+                THEN 30 ELSE 10 END) AS quality_score
+    FROM feats
+),
+kept AS (
+    SELECT * FROM scored WHERE quality_score >= 60
+),
+uniq AS (
+    SELECT doc_id, lang, n_chars, quality_score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM kept
+    ) WHERE rn = 1
+),
+split AS (
+    SELECT lang, n_chars, quality_score,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 10
+             THEN 'test' ELSE 'train' END AS split
+    FROM uniq
+)
+SELECT lang, split,
+    count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+    CAST(sum(quality_score) AS BIGINT) AS sum_quality
+FROM split
+GROUP BY lang, split
+ORDER BY lang, split
+"""

@@ -1760,8 +1760,10 @@ def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a bare BETWEEN join as a nested loop; operators/rangejoin.py
     rewrites it as bin-bucketed equi-join + residual filter (the
     range-join-hint semantics, open-source). Reference parity: the
-    interval-scoped correlated lookups in R14/R20 (recommendation
-    shown→watched windows).
+    shown→watched interval join in pyspark/Real-time Personalization
+    Effectiveness.py:35-36 (start_time BETWEEN event_timestamp AND
+    event_timestamp+1d), which the reference executes as a raw
+    inequality join.
 
     Scale: interval side grows ~3× (1h span / 30min bins); the join is
     a shuffled equi-join on (bin, user_id) — distributable, AQE-skew
@@ -1888,3 +1890,53 @@ def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_value"), 2).alias("sum_value"),
         F.round(F.col("max_value"), 2).alias("max_value"),
     ).orderBy("event_type")
+
+
+@query("p04_pipeline_e2e")
+def p04_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE declarative plan:
+    quality-score gate (t01) → exact dedup keeping the lowest doc_id
+    per normalized fingerprint (d01) → deterministic md5-bucket
+    train/test split (p03) → per-(lang, split) corpus stats. What a
+    user of this engine actually runs before a training job; every
+    stage is the already-verified operator, composed.
+
+    Scale: one narrow pass computes features + fingerprints; the only
+    wide stages are the dedup window (one shuffle on the fingerprint —
+    uniform hash values, no skew) and the final tiny groupBy. No stage
+    materializes intermediate corpora.
+    """
+    from pyspark.sql import Window
+
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        exact_fingerprint,
+        quality_features,
+        quality_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = quality_score(quality_features(docs)).filter(
+        F.col("quality_score") >= 60
+    )
+    w = Window.partitionBy(exact_fingerprint()).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        uniq.withColumn(
+            "split", F.when(bucket < 10, F.lit("test")).otherwise(F.lit("train"))
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("quality_score").alias("sum_quality"),
+        )
+        .orderBy("lang", "split")
+    )
