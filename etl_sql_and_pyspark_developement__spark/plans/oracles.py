@@ -1280,3 +1280,15 @@ FROM split
 GROUP BY lang, split
 ORDER BY lang, split
 """
+
+ORACLES["q43_time_rollup"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+    CAST(hour(ts) AS INTEGER) AS hour,
+    count(*) AS n_events,
+    round(sum(value), 2) AS sum_value,
+    CAST(grouping(hour(ts)) AS INTEGER) AS g_hour
+FROM events
+GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d')),
+                        (strftime(ts, '%Y-%m-%d'), hour(ts)))
+ORDER BY day, g_hour, hour
+"""

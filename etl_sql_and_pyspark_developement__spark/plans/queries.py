@@ -1940,3 +1940,38 @@ def p04_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@query("q43_time_rollup")
+def q43_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: daily AND
+    hourly aggregates of the event stream in ONE pass via
+    df.groupingSets — the continuous-aggregate pattern (coarse grain
+    for dashboards, fine grain for drill-down) without re-scanning per
+    grain. Reference parity: the hour-of-day × day splits in
+    pyspark/Real-time Personalization Effectiveness.py:64-65 and the
+    seasonal day/month grains of R15.
+
+    Scale: grouping sets expand rows 2x pre-shuffle but every
+    aggregate stays decomposable (partial agg), and one scan replaces
+    one per grain.
+    """
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+    return (
+        keyed.groupingSets(
+            [["day"], ["day", "hour"]],
+            F.col("day"),
+            F.col("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+        )
+        .orderBy("day", "g_hour", "hour")
+    )

@@ -165,3 +165,19 @@ def stream_stream_attribution(events_a: DataFrame, events_b: DataFrame) -> DataF
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "view_ts")
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """st07: dedup with BOUNDED state — dropDuplicatesWithinWatermark
+    evicts each seen key once the watermark passes it. st03's plain
+    dropDuplicates keeps every key forever: on an unbounded id space
+    (event ids never repeat) that state grows without limit — the
+    thing that OOMs a week-long stream at scale. The trade: a
+    duplicate arriving later than the watermark delay is not
+    suppressed, which is the correct contract when upstream replays
+    are near-in-time (file redelivery, at-least-once sources)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -182,3 +182,44 @@ def test_range_join_timestamp_basis_no_keys(spark):
     )
     rows = range_join(pts, iv, "t", "lo", "hi", 600).collect()
     assert [(r.tag, r.win) for r in rows] == [("a", "w1")]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_pts_strat = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=12
+)
+_ivs_strat = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50), st.integers(0, 30)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_pts_strat, _ivs_strat, st.integers(1, 25))
+def test_range_join_property_matches_naive(spark, pts, ivs, bin_width):
+    """For ANY points/intervals (negatives included) and ANY bin width,
+    the binned rewrite returns exactly the BETWEEN-join pairs."""
+    from etl_sql_and_pyspark_developement__spark.operators.rangejoin import (
+        range_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(k, float(p), i) for i, (k, p) in enumerate(pts)], ["k", "p", "pid"]
+    )
+    idf = spark.createDataFrame(
+        [(k, float(lo), float(lo + w), i) for i, (k, lo, w) in enumerate(ivs)],
+        ["k", "lo", "hi", "iid"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "p", "lo", "hi", bin_width, keys=("k",)).collect()
+    }
+    want = {
+        (i_p, i_i)
+        for i_p, (kp, p) in enumerate(pts)
+        for i_i, (ki, lo, w) in enumerate(ivs)
+        if kp == ki and lo <= p <= lo + w
+    }
+    assert got == want

@@ -75,3 +75,36 @@ def test_q33_single_pass(spark, sf_dir):
     plan = plan_of(spark, "q33_data_quality", sf_dir)
     # one actual scan => two occurrences in formatted explain
     assert plan.count("Scan parquet") == 2, "all checks in one scan"
+
+
+def test_q39_range_join_no_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "q39_range_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # events read once per side (points + intervals) => 2 scans
+    assert plan.count("Scan parquet") == 4
+
+
+def test_q40_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q40_json_extract", sf_dir)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    # only the 3 needed columns of events' 6 reach the scan
+    for col in ("props", "event_type", "value"):
+        assert col in read_schema
+    for col in ("event_id", "user_id"):
+        assert col not in read_schema
+
+
+def test_q41_no_python_array_math(spark, sf_dir):
+    plan = plan_of(spark, "q41_higher_order", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_p04_single_scan_two_wide_stages(spark, sf_dir):
+    """Quality gate + fingerprints fuse into ONE scan of documents;
+    the only wide stages are the dedup window shuffle and the final
+    groupBy (plus its tiny sort)."""
+    plan = plan_of(spark, "p04_pipeline_e2e", sf_dir)
+    assert plan.count("Scan parquet") == 2, "pipeline must be one pass"
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -242,3 +242,20 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir):
     )
     expected = {(r.purchase_id, r.view_ts) for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path_factory):
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    d = tmp_path_factory.mktemp("dup_stream_wm")
+    shutil.copy(f"{events_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", d / "b.parquet")
+    stream = streaming_dedup_within_watermark(read_event_stream(spark, str(d)))
+    run_to_memory(stream, "st07_out", "append")
+    n = spark.sql("SELECT count(*) AS n FROM st07_out").collect()[0].n
+    n_src = spark.read.parquet(f"{events_dir}/events.parquet").count()
+    assert n == n_src, f"watermark dedup kept {n}, expected {n_src}"
