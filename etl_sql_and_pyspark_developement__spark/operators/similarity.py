@@ -369,3 +369,58 @@ def ann_ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "cand_id", "cosine")
     )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the semantic-dedup step of a training-data pipeline.
+
+    candidates=None runs the exact all-pairs verifier (broadcast
+    nested loop; quadratic — the ground truth, fine to ~10^3
+    vectors). At scale, pass an (id_a, id_b) candidate frame from the
+    LSH (lsh_signature same-bucket pairs — deterministic, so even a
+    SQL oracle can mirror it; see d08) or IVF (same-cluster pairs)
+    machinery: the verification math is IDENTICAL, only the pair
+    source changes — the same exact-vs-candidates duality as d02/d03
+    for text.
+
+    Per-pair cost is ONE dot product: vectors are L2-normalized once
+    per row before the join (cos = dot(a/|a|, b/|b|)), not
+    dot/(|a|·|b|) per pair — 3x less array math on the quadratic
+    side of the plan.
+    """
+
+    def normed(side_id: str, side_vec: str):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        nrm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return emb.select(
+            F.col(id_col).alias(side_id), v.alias("__v"), nrm.alias("__n")
+        ).select(
+            side_id,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(side_vec),
+        )
+
+    a = normed("id_a", "va")
+    b = normed("id_b", "vb")
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine"))
+    )

@@ -1292,3 +1292,49 @@ GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d')),
                         (strftime(ts, '%Y-%m-%d'), hour(ts)))
 ORDER BY day, g_hour, hour
 """
+
+# d08's oracle mirrors the Spark LSH bucketing exactly: the 4
+# hyperplanes are deterministic literals (similarity._planes), so the
+# sign tests — and therefore the candidate pair set — are identical in
+# both engines, making the APPROXIMATE path value-verifiable.
+def _d08_oracle() -> str:
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        _planes,
+    )
+
+    planes = _planes(4, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec0, {[float(v) for v in row]}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, row in enumerate(planes)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec0
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, label,
+        list_transform(vec0, x -> x / sqrt(list_dot_product(vec0, vec0)))
+            AS vec,
+        ({bucket_terms}) AS bucket
+    FROM v
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        a.label AS label_a, b.label AS label_b,
+        list_dot_product(a.vec, b.vec) AS cos
+    FROM sig a JOIN sig b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+    round(cos, 6) AS cosine,
+    CAST(label_a = label_b AS INTEGER) AS same_label
+FROM pairs
+WHERE cos >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["d08_embedding_neardup"] = _d08_oracle()

@@ -1975,3 +1975,48 @@ def q43_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "g_hour", "hour")
     )
+
+
+@query("d08_embedding_neardup")
+def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic tier of the
+    dedup ladder, above token-level d01-d07), via the SCALE path:
+    same-LSH-bucket candidate pairs (4 deterministic hyperplanes → 16
+    buckets, a ~16x cut of the quadratic pair space) verified with one
+    exact dot product over per-row-normalized vectors. Because the
+    hyperplanes are fixed literals, the DuckDB oracle computes the
+    IDENTICAL bucketing — the approximate path itself is
+    value-verified, not just the exact one (the exact all-pairs
+    verifier is covered by tests/test_similarity.py's subset test).
+    Vector math is zip_with/aggregate codegen — zero Python."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_signature,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", lsh_signature("embedding", 4, 64).alias("bucket")
+    )
+    cands = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    labels = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
+    labels_b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    return (
+        cosine_neardup_pairs(emb, threshold=0.45, candidates=cands)
+        .join(labels, "id_a")
+        .join(labels_b, "id_b")
+        .withColumn(
+            "same_label",
+            (F.col("label_a") == F.col("label_b")).cast("int"),
+        )
+        .select("id_a", "id_b", "cosine", "same_label")
+        .orderBy("id_a", "id_b")
+    )

@@ -153,3 +153,25 @@ def test_dedup_components_on_planted(spark, planted):
     comp = {r.doc: r.component for r in dedup_components(pairs).collect()}
     assert comp.get(1) == 0
     assert comp.get(2) == 0
+
+
+def test_prefix_filtered_jaccard_is_lossless(spark, sf_dir):
+    """Prefix filtering must return EXACTLY the pairs of the full
+    shared-shingle join at the same threshold — no false negatives."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for tau in (0.3, 0.5, 0.8):
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in jaccard_pairs(docs, "doc_id", "text").collect()
+            if (r.inter / (r.n_a + r.n_b - r.inter)) >= tau
+        }
+        pref = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in jaccard_pairs_prefix(docs, "doc_id", "text", tau).collect()
+        }
+        assert pref == full, f"tau={tau}: prefix {len(pref)} vs full {len(full)}"

@@ -141,3 +141,41 @@ def test_assign_clusters_join_path_matches_inline(spark, vectors, monkeypatch):
         for r in sim.assign_clusters(vectors, cents, "vec_id", "embedding").collect()
     }
     assert inline == joined
+
+
+def test_cosine_neardup_candidates_path_is_subset_with_same_scores(spark, sf_dir):
+    """The LSH-candidates formulation must return a subset of the
+    exact pairs with IDENTICAL cosine values (same verification math,
+    smaller pair source)."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_signature,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    sig = lsh_signature("embedding", 4, 64)
+    bucketed = emb.select(F.col("vec_id"), sig.alias("bucket"))
+    cands = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(
+            emb, threshold=0.3, candidates=cands
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    assert len(approx) > 0
