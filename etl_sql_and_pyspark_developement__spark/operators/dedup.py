@@ -7,11 +7,13 @@ Four tiers, from cheapest to fuzziest:
   the *verifier*, quadratic in candidate count, so only ever run on
   candidate pairs.
 - MinHash + LSH: the 100 TB path. Signatures are computed JVM-side
-  (no Python UDF): one xxhash64 base fingerprint per shingle, then
-  128 universal-hash mixes minhash_j = min((a_j*h + b_j) mod p).
+  (no Python UDF): two md5-derived 32-bit halves per shingle, then
+  128 mixes minhash_j = min((a1_j*hi + a2_j*lo + b_j) mod p).
   Banding turns near-duplicate search into an equi-join on
-  (band_id, band_hash) — the only shuffle — and candidates are then
-  verified with exact Jaccard.
+  (band_id, band-tuple key) — the only shuffle — and candidates are
+  then verified with exact Jaccard. Everything is deterministic md5
+  arithmetic, so the d03/d06 DuckDB oracles mirror the pipeline
+  value-for-value.
 - SimHash: 64-bit signature via per-bit weighted sums of token
   hashes; hamming-ball candidates found by 16-bit chunk equality
   (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
@@ -28,23 +30,47 @@ from pyspark.sql import functions as F
 N_MINHASH = 128
 N_BANDS = 32  # 32 bands x 4 rows
 
-# The 128 per-seed hashes run over a FIXED-WIDTH base fingerprint
-# (__h = xxhash64(shingle), computed once per row), not the shingle
-# string: re-reading the variable-length UTF-8 bytes per seed is the
-# dominant signature cost. A mul-add-mod mix would be cheaper still
-# but is NOT a valid permutation family under ANSI mode's no-overflow
-# arithmetic (without 64-bit wraparound the mix is monotone in the
-# base hash, every seed picks the same min shingle, and LSH recall
-# collapses — caught by tests/test_dedup.py's planted-pair recall).
+# The 128 per-seed hashes mix a FIXED-WIDTH base fingerprint computed
+# once per shingle (two independent md5-derived 32-bit halves), not
+# the shingle string: re-reading the variable-length UTF-8 bytes per
+# seed is the dominant signature cost. The mix
+#   mh_j = (a1_j*hi + a2_j*lo + b_j) mod p
+# needs TWO independent halves to be a usable permutation family under
+# ANSI mode's no-overflow arithmetic: with a single base value the
+# no-wraparound mix is monotone in it, every seed picks the same min
+# shingle, and LSH recall collapses (caught by the planted-pair
+# recall test). With two halves the induced order varies with the
+# (a1, a2) ratio per seed. Bounds: a < 2^29, halves < 2^32 → the sum
+# < 2^62, no BIGINT overflow. md5 (not xxhash64) so the ENTIRE
+# minhash/LSH pipeline is mirrorable in the DuckDB oracle.
+_MERSENNE_P = (1 << 61) - 1
+import random as _random
+
+_rng = _random.Random(20240813)
+_MIX_A1 = [_rng.randrange(1, 1 << 29) for _ in range(N_MINHASH)]
+_MIX_A2 = [_rng.randrange(1, 1 << 29) for _ in range(N_MINHASH)]
+_MIX_B = [_rng.randrange(0, 1 << 29) for _ in range(N_MINHASH)]
 
 
 def _with_base_fingerprint(sh: DataFrame) -> DataFrame:
-    return sh.withColumn("__h", F.xxhash64(F.col("shingle")))
+    m = sh.withColumn("__md5", F.md5(F.col("shingle")))
+    return m.withColumn(
+        "__hi", F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "__lo", F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long")
+    )
 
 
 def _minhash_aggs() -> list[Column]:
     return [
-        F.min(F.xxhash64(F.lit(j), F.col("__h"))).alias(f"mh_{j}")
+        F.min(
+            F.pmod(
+                F.lit(_MIX_A1[j]) * F.col("__hi")
+                + F.lit(_MIX_A2[j]) * F.col("__lo")
+                + F.lit(_MIX_B[j]),
+                F.lit(_MERSENNE_P),
+            )
+        ).alias(f"mh_{j}")
         for j in range(N_MINHASH)
     ]
 
@@ -259,11 +285,19 @@ def minhash_lsh_pairs(
     # verification — persist it (reused 4×).
     sh = shingle_df(df, id_col, text_col, n).persist()
     sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
+    # band key = the concatenated minhash tuple itself, not a hash of
+    # it: equality semantics are identical, and a plain string key is
+    # mirrorable in the DuckDB oracle (concat_ws renders BIGINTs the
+    # same in both engines) where xxhash64 is Spark-only.
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("band_hash"),
         )
         for b in range(N_BANDS)
@@ -311,17 +345,39 @@ def minhash_lsh_pairs(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash as 4×16-bit chunks (c0..c3).
 
-    Per-bit weighted sums of token xxhash64 bits, computed as 64
+    Per-bit weighted sums of token-hash bits, computed as 64
     conditional-sum aggregates (JVM partial agg); chunking enables the
     pigeonhole candidate join (hamming ≤ 3 ⇒ some chunk equal).
+
+    The token hash is two md5-derived 32-bit halves rather than
+    xxhash64: identical hex arithmetic exists in DuckDB, so the WHOLE
+    simhash pipeline — signatures, chunk candidates, hamming verify —
+    is mirrored by the d04 oracle value-for-value (same pattern as
+    d08/s02's deterministic-LSH oracles). Two halves, never combined:
+    hi*2^32+lo would overflow BIGINT under ANSI mode.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .withColumn("__md5", F.md5("tok"))
+        .withColumn(
+            "hi", F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "lo", F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long")
+        )
+    )
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            F.when(
+                F.expr(
+                    f"(lo >> {b}) & 1" if b < 32 else f"(hi >> {b - 32}) & 1"
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s_{b}")
         for b in range(64)
     ]

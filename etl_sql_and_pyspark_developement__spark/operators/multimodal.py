@@ -111,3 +111,63 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(sampler, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_bytes int, dst_bytes int, "
+    "dst_width int, dst_height int, checksum bigint, status string"
+)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    dst_width: int = 32,
+    dst_height: int = 32,
+) -> DataFrame:
+    """Resize plumbing: binary payload in, fixed-size "image" out —
+    the third multimodal kernel shape next to decode (m01) and
+    frame-sample (m02). The STUB "resample" nearest-neighbor-samples
+    the payload bytes to dst_width*dst_height (a real pipeline calls
+    PIL `Image.resize` / cv2 here); the Spark side — batch iterator,
+    explicit output schema, derived checksum for downstream exact
+    dedup of the resized artifact — is the production shape.
+
+    Scale: mapInPandas, narrow, output size is CONSTANT per row
+    (dst_width*dst_height), which is the property that makes resized
+    corpora shuffle-friendly downstream.
+    """
+    dst_n = dst_width * dst_height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "src_bytes", "dst_bytes", "dst_width",
+                "dst_height", "checksum", "status",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    resized, status = b"", "empty"
+                else:
+                    # nearest-neighbor byte resample (decode stub)
+                    step = len(data) / dst_n
+                    resized = bytes(
+                        data[min(int(i * step), len(data) - 1)]
+                        for i in range(dst_n)
+                    )
+                    status = "ok"
+                rows["doc_id"].append(doc_id)
+                rows["src_bytes"].append(len(data))
+                rows["dst_bytes"].append(len(resized))
+                rows["dst_width"].append(dst_width if resized else 0)
+                rows["dst_height"].append(dst_height if resized else 0)
+                # polynomial rolling checksum of the resized artifact
+                acc = 0
+                for b in resized:
+                    acc = (acc * 31 + b) % 1_000_000_007
+                rows["checksum"].append(acc)
+                rows["status"].append(status)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)

@@ -1338,3 +1338,245 @@ ORDER BY id_a, id_b
 
 
 ORACLES["d08_embedding_neardup"] = _d08_oracle()
+
+
+# s02's oracle mirrors the Spark multi-probe LSH exactly (deterministic
+# hyperplane literals, same sign tests, same hamming-1 probe set) — the
+# approximate ANN path is value-verified end-to-end, like d08.
+def _s02_oracle() -> str:
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        _planes,
+    )
+
+    planes = _planes(4, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec0, {[float(v) for v in row]}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, row in enumerate(planes)
+    )
+    probe_list = "[bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]"
+    return f"""
+WITH v AS (
+    SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec0
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, vec0, ({bucket_terms}) AS bucket FROM v
+),
+q AS (
+    SELECT vec_id AS query_id, vec0 AS qv,
+        unnest({probe_list}) AS bucket
+    FROM sig WHERE vec_id < 10
+),
+pairs AS (
+    SELECT q.query_id, s.vec_id AS cand_id,
+        round(list_dot_product(q.qv, s.vec0)
+              / (sqrt(list_dot_product(q.qv, q.qv))
+                 * sqrt(list_dot_product(s.vec0, s.vec0))), 6) AS cosine
+    FROM sig s JOIN q ON s.bucket = q.bucket
+    WHERE s.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM pairs
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+ORACLES["s02_ann_lsh"] = _s02_oracle()
+
+
+# d04's oracle mirrors the md5-based simhash pipeline end-to-end:
+# same per-token 32-bit halves, same 64 bit-sums, same chunk assembly,
+# same pigeonhole candidate join, same bit_count hamming verify.
+def _d04_oracle() -> str:
+    bit_sums = ",\n        ".join(
+        (
+            f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+            if b < 32
+            else f"sum(CASE WHEN (hi >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        )
+        for b in range(64)
+    )
+    chunk_cols = ",\n        ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN s_{16 * c + b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    chunk_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc, {c} AS chunk_id, c{c} AS v FROM sigs" for c in range(4)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc,
+        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+        CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+    FROM toks
+),
+sums AS (
+    SELECT doc,
+        {bit_sums}
+    FROM h GROUP BY doc
+),
+sigs AS (
+    SELECT doc,
+        {chunk_cols}
+    FROM sums
+),
+chunks AS (
+    {chunk_union}
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM chunks a
+    JOIN chunks b ON a.chunk_id = b.chunk_id AND a.v = b.v AND a.doc < b.doc
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+           + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+             AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sigs sa ON c.doc_a = sa.doc
+    JOIN sigs sb ON c.doc_b = sb.doc
+)
+SELECT doc_a, doc_b, hamming
+FROM verified
+WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLES["d04_dedup_simhash"] = _d04_oracle()
+
+
+# d03/d06 oracles mirror the md5-based MinHash-LSH pipeline exactly:
+# same two 32-bit halves, same 128 (a1*hi + a2*lo + b) mod p mixes,
+# same band-tuple keys, same Jaccard verification — so even the
+# probabilistic LSH path is value-verified (pattern of d04/d08/s02).
+def _minhash_pairs_sql(threshold: float) -> str:
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        _MERSENNE_P,
+        _MIX_A1,
+        _MIX_A2,
+        _MIX_B,
+    )
+
+    rows_per_band = N_MINHASH // N_BANDS
+    mh_aggs = ",\n        ".join(
+        f"min(({_MIX_A1[j]} * hi + {_MIX_A2[j]} * lo + {_MIX_B[j]}) "
+        f"% {_MERSENNE_P}) AS mh_{j}"
+        for j in range(N_MINHASH)
+    )
+    band_union = "\n    UNION ALL\n    ".join(
+        "SELECT doc, {b} AS band_id, concat_ws('_', {cols}) AS band_key "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id AS doc,
+        unnest(CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks
+),
+based AS (
+    SELECT doc, shingle,
+        CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+        CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS lo
+    FROM sh
+),
+sigs AS (
+    SELECT doc,
+        {mh_aggs}
+    FROM based GROUP BY doc
+),
+banded AS (
+    {band_union}
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc < b.doc
+),
+sizes AS (
+    SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.doc = c.doc_a
+    JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+    SELECT i.doc_a, i.doc_b,
+        round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= {threshold}
+)"""
+
+
+def _d03_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_sql(0.5)}
+SELECT doc_a, doc_b, jaccard FROM verified
+ORDER BY doc_a, doc_b
+"""
+
+
+def _d06_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_sql(0.5)},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM verified
+),
+walk(n, lab) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.n WHERE w.lab < u.b
+),
+comp AS (
+    SELECT n AS doc, min(lab) AS component FROM walk GROUP BY n
+)
+SELECT component,
+    count(*) AS n_docs,
+    min(doc) AS canonical_doc,
+    max(doc) AS max_doc
+FROM comp
+GROUP BY component
+ORDER BY component
+"""
+
+
+ORACLES["d03_dedup_minhash_lsh"] = _d03_oracle()
+ORACLES["d06_dedup_components"] = _d06_oracle()

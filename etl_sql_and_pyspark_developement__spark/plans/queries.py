@@ -979,8 +979,10 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128)+LSH(32 bands) candidates, Jaccard-verified ≥ 0.5.
 
-    No SQL oracle (probabilistic banding); recall vs exact Jaccard is
-    property-tested in tests/test_dedup.py with planted near-dups.
+    The md5-based hash family and band-tuple keys are deterministic
+    arithmetic both engines share, so the DuckDB oracle mirrors the
+    whole probabilistic pipeline value-for-value; recall vs exact
+    Jaccard is additionally property-tested with planted near-dups.
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -996,7 +998,9 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via chunk-equality candidates.
 
-    No SQL oracle (hash-dependent); invariants property-tested.
+    The md5-derived token hash exists identically in DuckDB, so the
+    oracle mirrors signatures, pigeonhole candidates, and the hamming
+    verify value-for-value (invariants additionally property-tested).
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import simhash_pairs
 
@@ -1022,8 +1026,10 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (scale path for s01).
 
-    No SQL oracle (bucketing is hash-dependent); recall vs s01 is
-    asserted in tests/test_similarity.py.
+    The hyperplanes are deterministic literals, so the DuckDB oracle
+    mirrors the bucketing, the hamming-1 multi-probe set, and the
+    scoring bit-for-bit — the approximate ANN result is value-verified
+    (plus recall vs s01 asserted in tests/test_similarity.py).
     """
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         ann_lsh_topk,
@@ -1664,8 +1670,10 @@ def q38_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: MinHash-LSH pairs → connected
     components → per-component summary (the canonical-doc selection
-    step of a dedup pipeline). Rows-only oracle (components derive
-    from LSH candidates); graph invariants tested in tests/test_dedup.py.
+    step of a dedup pipeline). Oracle-backed end-to-end: the DuckDB
+    twin mirrors the md5-based LSH pair generation and runs a
+    recursive-CTE min-label walk for the components; graph invariants
+    additionally tested in tests/test_dedup.py.
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         dedup_components,
@@ -2019,4 +2027,34 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "cosine", "same_label")
         .orderBy("id_a", "id_b")
+    )
+
+
+@query("m03_resize")
+def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-kernel plumbing over binary payloads (multimodal tier 3:
+    decode m01, frame-sample m02, resize m03), aggregated per source.
+    Rows-only oracle (byte-level stub kernel is not SQL-expressible);
+    chunk math and determinism are covered in tests/test_multimodal.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        resize_payloads,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    resized = resize_payloads(
+        with_binary_payload(docs), dst_width=32, dst_height=32
+    )
+    # join back to a dimension for a per-source rollup
+    src = docs.select("doc_id", "source")
+    return (
+        resized.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("dst_bytes").alias("total_dst_bytes"),
+            F.countDistinct("checksum").alias("n_unique_artifacts"),
+        )
+        .orderBy("source")
     )

@@ -67,3 +67,22 @@ def test_sample_frames_chunk_math(spark):
     ).collect()
     assert [r.frame_idx for r in rows2] == [0, 9]
     assert rows2[-1].frame_bytes == 300 - 9 * 32
+
+
+def test_resize_fixed_output_and_deterministic_checksum(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        resize_payloads,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world this is a payload"), (2, "x"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in resize_payloads(with_binary_payload(df), dst_width=4, dst_height=4).collect()}
+    assert out[1].dst_bytes == 16 and out[1].dst_width == 4
+    assert out[2].dst_bytes == 16  # tiny payload still resamples up
+    assert out[3].status == "empty" and out[3].dst_bytes == 0
+    # determinism: second run produces identical checksums
+    again = {r.doc_id: r.checksum for r in resize_payloads(with_binary_payload(df), dst_width=4, dst_height=4).collect()}
+    assert {k: v.checksum for k, v in out.items()} == again
