@@ -285,20 +285,26 @@ def minhash_lsh_pairs(
     # verification — persist it (reused 4×).
     sh = shingle_df(df, id_col, text_col, n).persist()
     sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
-    # band key = the concatenated minhash tuple itself, not a hash of
-    # it: equality semantics are identical, and a plain string key is
-    # mirrorable in the DuckDB oracle (concat_ws renders BIGINTs the
-    # same in both engines) where xxhash64 is Spark-only.
+    # band key = the 4 minhash values packed into ONE BIGINT
+    # (15 low bits each, 60 bits total). Packing can only MERGE
+    # distinct tuples (extra candidates, filtered by the exact Jaccard
+    # verify — results unchanged), never split equal ones, and the
+    # same shift arithmetic exists in DuckDB, so the d03/d06 oracles
+    # mirror the candidate set exactly. A long key shuffles ~10x
+    # fewer bytes than the concatenated-tuple string and avoids
+    # Spark-only xxhash64.
+    def _band_key(b: int) -> Column:
+        packed = None
+        for r in range(rows_per_band):
+            part = F.pmod(F.col(f"mh_{b * rows_per_band + r}"), F.lit(1 << 15))
+            part = part * F.lit(1 << (15 * r))
+            packed = part if packed is None else packed + part
+        return packed
+
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("band_hash"),
+            _band_key(b).alias("band_hash"),
         )
         for b in range(N_BANDS)
     ]

@@ -1484,11 +1484,11 @@ def _minhash_pairs_sql(threshold: float) -> str:
         for j in range(N_MINHASH)
     )
     band_union = "\n    UNION ALL\n    ".join(
-        "SELECT doc, {b} AS band_id, concat_ws('_', {cols}) AS band_key "
-        "FROM sigs".format(
+        "SELECT doc, {b} AS band_id, ({key}) AS band_key FROM sigs".format(
             b=b,
-            cols=", ".join(
-                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            key=" + ".join(
+                f"(mh_{b * rows_per_band + r} % {1 << 15}) * {1 << (15 * r)}"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(N_BANDS)
