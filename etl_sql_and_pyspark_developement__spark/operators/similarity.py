@@ -321,6 +321,7 @@ def ann_ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    train_iterations: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     n_clusters inverted lists; each query scores only the n_probe
@@ -337,7 +338,9 @@ def ann_ivf_topk(
     # training scans the corpus once per Lloyd iteration and the final
     # assignment once more — cache it across those passes
     corpus = corpus.persist()
-    centroids = kmeans_lite_centroids(corpus, vec_col, n_clusters, 2, dim)
+    centroids = kmeans_lite_centroids(
+        corpus, vec_col, n_clusters, train_iterations, dim
+    )
     c = assign_clusters(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
