@@ -308,9 +308,13 @@ def minhash_lsh_pairs(
         )
         for b in range(N_BANDS)
     ]
+    # The candidate self-join references `banded` twice; only `sh`
+    # below it is persisted, so without this persist the 128-min-agg
+    # signature groupBy executes once PER SIDE — measured ~2.8s of the
+    # 6.6s execution at sf0.1. 160k narrow rows: cache them.
     banded = sigs.select(
         "doc", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc", "band.band_id", "band.band_hash")
+    ).select("doc", "band.band_id", "band.band_hash").persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -409,7 +413,9 @@ def simhash_pairs(
     into a nested-loop join (quadratic at scale); exploding 4 narrow
     rows per doc keeps it a hash join.
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    # `sigs` feeds FOUR subtrees (both chunk-join sides + sa + sb);
+    # unpersisted, the 64-conditional-sum groupBy would run four times.
+    sigs = simhash_signatures(df, id_col, text_col).persist()
     chunks = sigs.select(
         "doc",
         F.explode(
