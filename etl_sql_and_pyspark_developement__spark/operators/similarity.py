@@ -84,21 +84,24 @@ def _planes(n_bits: int, dim: int) -> list[list[float]]:
 
 def lsh_signature(vec_col: str, n_bits: int, dim: int) -> Column:
     """Integer bucket id: sign bits of the vector against n_bits
-    deterministic hyperplanes."""
+    deterministic hyperplanes.
+
+    Emitted as ONE parsed SQL expression: composing the n_bits × dim
+    plane literals through py4j one Column op at a time costs ~1.5s of
+    driver time per call (and this is called once per join side).
+    repr() round-trips doubles exactly, so the literals — and thus the
+    buckets the s02/d08 oracles mirror — are bit-identical.
+    """
     planes = _planes(n_bits, dim)
-    sig = None
+    terms = []
     for b, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), plane, lambda x, w: x.cast("double") * w
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ", ".join(f"{v!r}D" for v in row) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, w) -> cast(x as double) * w), 0D, (acc, v) -> acc + v)"
         )
-        bit = F.when(proj > 0, 1 << b).otherwise(0)
-        sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+        terms.append(f"(case when {proj} > 0 then {1 << b} else 0 end)")
+    return F.expr("cast(" + " + ".join(terms) + " as bigint)")
 
 
 def ann_lsh_topk(
@@ -189,16 +192,21 @@ def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
     """
     entries = []
     for i, c in enumerate(centroids):
-        cent = F.array(*[F.lit(v) for v in c])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), cent, lambda x, w: (x.cast("double") - w) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        # power(..., 2), not x*x: mirrors the Column form's `** 2` so
+        # the rewrite below is bit-identical (Math.pow vs multiply can
+        # differ in the last ulp, which could flip argmin ties).
+        d = (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, w) -> power(cast(x as double) - w, 2)),"
+            " 0D, (acc, v) -> acc + v)"
         )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cluster")))
-    return F.array_sort(F.array(*entries))[0]["cluster"].cast("int")
+        entries.append(f"named_struct('d', {d}, 'cluster', {i})")
+    # One parsed expression (see lsh_signature): k × dim literals built
+    # through py4j cost ~2s of driver time at k=16, dim=64.
+    return F.expr(
+        "cast(array_sort(array(" + ", ".join(entries) + "))[0].cluster as int)"
+    )
 
 
 MAX_INLINE_CENTROID_CELLS = 4096  # k*dim above this -> join formulation
