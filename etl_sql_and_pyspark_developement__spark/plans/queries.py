@@ -1368,18 +1368,26 @@ def d05_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
+    # The whole predicate lives in the join condition, id check FIRST:
+    # a separate filter gets pushed into the condition anyway, but
+    # ordered levenshtein-first (measured — short-circuit then runs the
+    # DP for every block pair including the diagonal half). The
+    # threshold arg switches Spark to the banded O(len·k) DP that
+    # early-exits past 30 (returns -1). The projection re-computes the
+    # distance only for the handful of surviving pairs.
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 30)
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (dist >= 0),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("prefix_dist"),
+            dist.alias("prefix_dist"),
         )
-        .filter(F.col("prefix_dist") <= 30)
         .orderBy("doc_a", "doc_b")
     )
 
