@@ -101,6 +101,29 @@ def test_q41_no_python_array_math(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_d03_band_frame_cached_for_self_join(spark, sf_dir):
+    """The banded signature frame feeds both candidate-join sides; if
+    the persist is dropped, the 128-min-agg groupBy re-executes once
+    per side (2x signature cost, measured)."""
+    plan = plan_of(spark, "d03_dedup_minhash_lsh", sf_dir)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_d04_signatures_cached_for_self_join(spark, sf_dir):
+    """Simhash signatures feed four subtrees (chunk-join sides + both
+    verify joins) — must come from cache, not four recomputes."""
+    plan = plan_of(spark, "d04_dedup_simhash", sf_dir)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_d05_levenshtein_bounded(spark, sf_dir):
+    """The edit-distance screen must use the threshold form (banded
+    O(len*k) DP with early exit), not the unbounded O(len^2) DP."""
+    plan = plan_of(spark, "d05_dedup_edit_distance", sf_dir)
+    assert "levenshtein" in plan
+    assert "Some(30)" in plan, "levenshtein must carry its 30 threshold"
+
+
 def test_p04_single_scan_two_wide_stages(spark, sf_dir):
     """Quality gate + fingerprints fuse into ONE scan of documents;
     the only wide stages are the dedup window shuffle and the final
