@@ -637,6 +637,46 @@ FROM documents
 ORDER BY doc_id
 """
 
+# Mirrors tfidf_top_terms exactly: same tokenization (single-space
+# split, len >= 3), same rational idf with IDENTICAL operator order —
+# tf * (N - df + 0.5) / (df + 0.5) associates left in both engines,
+# so the doubles are bit-equal and the rank tiebreak sets match.
+ORACLES["t05_tfidf_terms"] = """
+WITH exploded AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+toks AS (
+    SELECT doc, term FROM exploded WHERE len(term) >= 3
+),
+tf AS (
+    SELECT doc, term, count(*) AS tf
+    FROM toks GROUP BY doc, term
+),
+doc_freq AS (
+    SELECT term, count(*) AS doc_freq
+    FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc, tf.term, tf.tf, doc_freq.doc_freq,
+        tf.tf * (n.n_docs - doc_freq.doc_freq + 0.5)
+            / (doc_freq.doc_freq + 0.5) AS score
+    FROM tf JOIN doc_freq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc, term, tf, doc_freq, score,
+        row_number() OVER (PARTITION BY doc ORDER BY score DESC, term)
+            AS rnk
+    FROM scored
+)
+SELECT doc AS doc_id, rnk, term, CAST(tf AS BIGINT) AS tf,
+    CAST(doc_freq AS BIGINT) AS doc_freq, round(score, 6) AS score
+FROM ranked
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
 ORACLES["d01_dedup_exact"] = """
 WITH keyed AS (
     SELECT source,

@@ -947,6 +947,23 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("t05_tfidf_terms")
+def t05_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by tf × rational idf (BM25
+    core without the log — monotone-identical ranking, and the pure
+    rational arithmetic lets the DuckDB oracle verify SCORES
+    value-for-value, not just ranks).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rnk"
+    )
+
+
 @query("d01_dedup_exact")
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + bag dedup statistics per source (hash-groupBy dedup)."""
