@@ -530,3 +530,72 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc", "component")
+
+
+def contamination_check(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    test_value: str = "test",
+    n: int = 3,
+) -> DataFrame:
+    """Train→test contamination screen (decontamination): for every
+    TEST doc sharing ≥1 n-gram shingle with any TRAIN doc, report the
+    best-matching train doc and the CONTAINMENT ratio
+    |shared shingles| / |test-doc shingles| — asymmetric by design (a
+    test doc quoted verbatim inside a larger train doc has low Jaccard
+    but containment 1.0; the classic GPT-3 13-gram decontamination is
+    this same asymmetric screen), plus an exact-hash duplicate flag.
+
+    Scale: the cross-split shingle equi-join is the only wide stage
+    (one shuffle on the shingle key). At 10⁹-doc corpora, generate
+    candidates with minhash_lsh_pairs and keep cross-split pairs — the
+    per-pair verification arithmetic here is unchanged.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        exact_fingerprint,
+    )
+
+    test = df.filter(F.col(split_col) == test_value)
+    train = df.filter(F.col(split_col) != test_value)
+    # test-side shingles feed sizes AND the overlap join — persist.
+    sh_t = shingle_df(test, id_col, text_col, n).persist()
+    sh_r = shingle_df(train, id_col, text_col, n).withColumnRenamed(
+        "doc", "train_doc"
+    )
+    sizes = sh_t.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    shared = (
+        sh_t.join(sh_r, "shingle")
+        .groupBy("doc", "train_doc")
+        .agg(F.count("*").alias("shared"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("shared"), "train_doc")
+    best = (
+        shared.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+        .drop("__rnk")
+    )
+    t_fp = test.select(
+        F.col(id_col).alias("doc"), exact_fingerprint(text_col).alias("fp")
+    )
+    r_fp = (
+        train.select(exact_fingerprint(text_col).alias("fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    flags = t_fp.join(r_fp, "fp", "left").select(
+        "doc", F.coalesce(F.col("__hit"), F.lit(0)).alias("exact_dup")
+    )
+    return (
+        best.join(sizes, "doc")
+        .join(flags, "doc")
+        .select(
+            "doc",
+            "n_sh",
+            "train_doc",
+            "shared",
+            F.round(F.col("shared") / F.col("n_sh"), 6).alias("containment"),
+            "exact_dup",
+        )
+    )

@@ -1190,6 +1190,61 @@ GROUP BY component
 ORDER BY component
 """
 
+# Mirrors contamination_check + the p03 md5 split: same shingles as
+# the d02 oracle, asymmetric containment, row_number tiebreak
+# (shared DESC, train_doc ASC), exact flag via md5(lower(trim(text))).
+ORACLES["d09_decontaminate"] = """
+WITH keyed AS (
+    SELECT doc_id, text,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 10
+             THEN 'test' ELSE 'train' END AS split
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, split, string_split(text, ' ') AS t FROM keyed
+),
+sh AS (
+    SELECT doc_id, split,
+        unnest(CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh WHERE split = 'test'
+    GROUP BY doc_id
+),
+shared AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS train_doc, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.split = 'test' AND b.split = 'train'
+    GROUP BY a.doc_id, b.doc_id
+),
+best AS (
+    SELECT doc_id, train_doc, shared,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY shared DESC, train_doc) AS rnk
+    FROM shared
+),
+flags AS (
+    SELECT t.doc_id,
+        CASE WHEN EXISTS (
+            SELECT 1 FROM keyed r WHERE r.split <> 'test'
+              AND md5(lower(trim(r.text))) = md5(lower(trim(t.text)))
+        ) THEN 1 ELSE 0 END AS exact_dup
+    FROM keyed t WHERE t.split = 'test'
+)
+SELECT b.doc_id, s.n_sh, b.train_doc, CAST(b.shared AS BIGINT) AS shared,
+    round(b.shared * 1.0 / s.n_sh, 6) AS containment, f.exact_dup
+FROM best b
+JOIN sizes s ON b.doc_id = s.doc_id
+JOIN flags f ON b.doc_id = f.doc_id
+WHERE b.rnk = 1
+ORDER BY b.doc_id
+"""
+
 ORACLES["p03_hash_split"] = """
 WITH b AS (
     SELECT lang, n_chars,

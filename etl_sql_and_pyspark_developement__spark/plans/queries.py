@@ -2060,6 +2060,37 @@ def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d09_decontaminate")
+def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen over the p03 train/test split:
+    for each test doc overlapping a train doc, the best-matching train
+    doc and the asymmetric n-gram CONTAINMENT |shared|/|test shingles|
+    (a test doc quoted inside a larger train doc has low Jaccard but
+    containment 1.0 — the GPT-3-style screen), plus an exact-hash
+    duplicate flag. Split, shingles, and tiebreaks are all
+    deterministic md5/count arithmetic, so the DuckDB oracle verifies
+    the whole screen value-for-value.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        contamination_check,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    keyed = docs.withColumn(
+        "split", F.when(bucket < 10, F.lit("test")).otherwise(F.lit("train"))
+    )
+    return (
+        contamination_check(keyed, "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @query("m03_resize")
 def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-kernel plumbing over binary payloads (multimodal tier 3:
