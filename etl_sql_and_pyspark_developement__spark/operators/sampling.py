@@ -46,3 +46,35 @@ def train_test_split(
     test = df.filter(bucket < test_fraction_pct)
     train = df.filter(bucket >= test_fraction_pct)
     return train, test
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: keep each row with its
+    group's mixture rate, decided by an md5 bucket of the row id —
+    how a training pipeline applies mixture weights (upweight quality
+    sources, downweight boilerplate) reproducibly. Unlike rand()
+    sampling, the KEPT SET is stable across runs, partitionings, and
+    engines, so the mix is auditable and oracle-verifiable.
+
+    Rates should be dyadic (k/2^n: 0.5, 0.25, 0.125...) when
+    cross-engine exactness matters: dyadic × 1e6 is exact in both
+    double and decimal arithmetic, so no keep decision sits on a
+    representation-dependent boundary.
+
+    Scale: per-row codegen arithmetic, zero shuffles.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    rate = F.lit(float(default_rate))
+    for val, r in rates.items():
+        rate = F.when(F.col(group_col) == val, F.lit(float(r))).otherwise(rate)
+    return df.filter(bucket < rate * 1000000)

@@ -1190,6 +1190,34 @@ GROUP BY component
 ORDER BY component
 """
 
+# Mirrors weighted_mix: same md5 bucket, dyadic rates (exact under
+# both double and decimal arithmetic — no boundary drift).
+ORACLES["p05_corpus_mix"] = """
+WITH rated AS (
+    SELECT lang, n_chars,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000 AS bucket,
+        CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.75
+                  WHEN 'de' THEN 0.5 WHEN 'zh' THEN 0.25
+                  WHEN 'es' THEN 0.125 ELSE 1.0 END AS rate
+    FROM documents
+)
+SELECT lang,
+    count(*) AS n_docs,
+    CAST(sum(CASE WHEN bucket < rate * 1000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+    CAST(sum(CASE WHEN bucket < rate * 1000000 THEN n_chars ELSE 0 END)
+         AS BIGINT) AS kept_chars,
+    round(CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.75
+                    WHEN 'de' THEN 0.5 WHEN 'zh' THEN 0.25
+                    WHEN 'es' THEN 0.125 END, 4) AS target_rate,
+    round(sum(CASE WHEN bucket < rate * 1000000 THEN 1 ELSE 0 END)
+          * 1.0 / count(*), 4) AS kept_rate
+FROM rated
+GROUP BY lang
+ORDER BY lang
+"""
+
 # Mirrors contamination_check + the p03 md5 split: same shingles as
 # the d02 oracle, asymmetric containment, row_number tiebreak
 # (shared DESC, train_doc ASC), exact flag via md5(lower(trim(text))).

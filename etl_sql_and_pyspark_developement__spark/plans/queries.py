@@ -1930,6 +1930,44 @@ def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query("p05_corpus_mix")
+def p05_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing per language (mixture
+    weights en 1.0 / fr 0.75 / de 0.5 / zh 0.25 / es 0.125), summarized
+    as achieved-vs-target rates. Dyadic rates × md5 buckets make the
+    kept SET itself engine-portable, so the oracle verifies the actual
+    mix, not just expected proportions.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_mix,
+    )
+
+    rates = {"en": 1.0, "fr": 0.75, "de": 0.5, "zh": 0.25, "es": 0.125}
+    docs = table(spark, sf_dir, "documents")
+    kept = weighted_mix(docs, "doc_id", "lang", rates).groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    target = F.lit(None).cast("double")
+    for val, r in rates.items():
+        target = F.when(F.col("lang") == val, F.lit(r)).otherwise(target)
+    return (
+        totals.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+            F.round(target, 4).alias("target_rate"),
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 4).alias(
+                "kept_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("p04_pipeline_e2e")
 def p04_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline as ONE declarative plan:
