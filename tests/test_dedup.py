@@ -175,3 +175,30 @@ def test_prefix_filtered_jaccard_is_lossless(spark, sf_dir):
             for r in jaccard_pairs_prefix(docs, "doc_id", "text", tau).collect()
         }
         assert pref == full, f"tau={tau}: prefix {len(pref)} vs full {len(full)}"
+
+
+def test_contamination_planted_dup(spark):
+    """A test doc duplicated verbatim in train must surface with
+    containment 1.0 AND the exact flag; a test doc embedded inside a
+    LARGER train doc must still reach containment 1.0 (the asymmetric
+    property that Jaccard screening misses)."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        contamination_check,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "test"),                                   # verbatim dup of 101
+        (2, "one two three four five six", "test"),          # quoted inside 102
+        (3, "totally unrelated words here now", "test"),     # clean
+        (101, base, "train"),
+        (102, "prefix one two three four five six suffix tail", "train"),
+        (103, "other train content entirely different", "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {r.doc: r for r in contamination_check(df, "doc_id", "text").collect()}
+    assert out[1].containment == 1.0 and out[1].exact_dup == 1
+    assert out[1].train_doc == 101
+    assert out[2].containment == 1.0 and out[2].exact_dup == 0, \
+        "full containment inside a larger train doc, but not an exact dup"
+    assert 3 not in out, "clean doc shares no shingle with train"

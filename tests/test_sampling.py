@@ -94,3 +94,24 @@ def test_approx_ntile_tracks_exact_deciles(spark, sf_dir):
     sizes = Counter(r.b_approx for r in rows)
     ideal = n / 10
     assert all(abs(sizes.get(b, 0) - ideal) <= max(3, 0.25 * ideal) for b in range(1, 11))
+
+
+def test_weighted_mix_nested_and_deterministic(spark, sf_dir):
+    """Threshold-bucket mixing has the NESTED-SAMPLE property random
+    sampling lacks: the kept set at a lower rate is a subset of the
+    kept set at any higher rate (same bucket, lower cutoff), and
+    rate 1.0 keeps everything."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_mix,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    lo = {r.doc_id for r in weighted_mix(docs, "doc_id", "lang", {"en": 0.25}).filter("lang = 'en'").collect()}
+    hi = {r.doc_id for r in weighted_mix(docs, "doc_id", "lang", {"en": 0.75}).filter("lang = 'en'").collect()}
+    assert lo <= hi, "lower-rate kept set must nest inside higher-rate"
+    n_en = docs.filter("lang = 'en'").count()
+    full = weighted_mix(docs, "doc_id", "lang", {"en": 1.0}).filter("lang = 'en'").count()
+    assert full == n_en, "rate 1.0 must keep every row"
+    again = {r.doc_id for r in weighted_mix(docs, "doc_id", "lang", {"en": 0.25}).filter("lang = 'en'").collect()}
+    assert lo == again, "kept set must be identical across runs"

@@ -91,3 +91,22 @@ def test_predict_lang_deterministic_tiebreak(spark):
     assert got[1] == "fr"
     assert got[2] == "und"
     assert got[3] == "en"
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outscore a term every doc shares
+    (idf dominance), and ranks must be contiguous from 1."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (1, "common common common unicorn"),
+        (2, "common filler words here"),
+        (3, "common other text body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    doc1 = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.rnk)
+    assert doc1[0].term == "unicorn", "doc-unique term must rank first despite tf=1 vs tf=3"
+    assert [r.rnk for r in doc1] == [1, 2]
