@@ -259,3 +259,44 @@ def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path_factory):
     n = spark.sql("SELECT count(*) AS n FROM st07_out").collect()[0].n
     n_src = spark.read.parquet(f"{events_dir}/events.parquet").count()
     assert n == n_src, f"watermark dedup kept {n}, expected {n_src}"
+
+
+@pytest.fixture(scope="module")
+def documents_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("documents_stream")
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+    return str(d)
+
+
+def test_corpus_pipeline_ops_are_stream_ready(spark, sf_dir, documents_dir):
+    """The deterministic corpus operators (weighted mixing, quality
+    gate) are stateless per-row expressions, so the SAME operator code
+    runs unchanged on a readStream frame and keeps the SAME rows as
+    batch — the property that lets the training-data pipeline ingest
+    continuously-arriving crawl shards without a second code path.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_mix,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        quality_features,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+
+    def gated_mix(df):
+        mixed = weighted_mix(df, "doc_id", "lang", {"en": 0.5, "zh": 0.25})
+        return quality_features(mixed).filter(F.col("n_tokens") >= 5).select(
+            "doc_id", "lang", "n_tokens"
+        )
+
+    run_to_memory(gated_mix(stream), "mix_stream_out", "append")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM mix_stream_out").collect()}
+    want = {r.doc_id for r in gated_mix(docs).collect()}
+    assert got == want, "stream and batch must keep the identical row set"
+    assert want, "gate+mix must keep a non-empty set at sf0.001"
