@@ -48,6 +48,45 @@ def train_test_split(
     return train, test
 
 
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    priority_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group token-budget curation: rank rows by the
+    priority columns (descending; ties broken by `id_col` ascending),
+    then keep the maximal prefix whose running token total stays
+    within `budget` — how a training mix allocates a per-source /
+    per-domain token quota to the highest-quality documents first,
+    deterministically (re-runs and engines agree on the exact kept
+    set, unlike random subsampling to a size).
+
+    Token counts are positive, so the running sum is strictly
+    increasing and `cum <= budget` selects a clean prefix of the
+    priority order.
+
+    Scale: one shuffle on `group_col` + per-group sort (the same cost
+    as any ranked-selection). With few giant groups (a handful of
+    sources over 100 TB), range-partition each group by the priority
+    key first and budget per range-slice — the greedy prefix then
+    parallelizes; the declarative form here is the per-group
+    correctness spec.
+    """
+    order = [F.desc(c) for c in (priority_cols or [])] + [F.asc(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("sel_rank", F.row_number().over(w))
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     id_col: str,

@@ -123,6 +123,163 @@ def exact_fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.lower(F.trim(F.col(text_col))))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 use duplicate-line / top-n-gram-character fractions as
+    core quality filters; our corpus is single-line so the word-level
+    variants carry the signal):
+
+    - dup_token_ppm:   1 - distinct/total tokens, in parts-per-million
+    - top_bigram_ppm:  chars covered by occurrences of the most frequent
+                       word 2-gram / total chars (ties: lexicographic)
+    - dup_trigram_ppm: chars in word 3-grams occurring more than once /
+                       total chars (overlaps counted, per the standard
+                       formula)
+    - repetitive:      1 if top_bigram_ppm > 200000 or
+                       dup_trigram_ppm > 600000
+
+    All ratios are BIGINT parts-per-million via integer division
+    ((1e6 * num) div den) so the DuckDB oracle matches bit-for-bit —
+    no float rounding boundary risk.
+
+    Scale: two narrow explodes (bigram, trigram) + groupBy on
+    (doc, gram) — shuffle keys are high-cardinality, skew-free; the
+    per-doc top-1 window partitions by doc_id. No global sort, no UDFs.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        toks.alias("_toks"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        # sequence() descends when start > stop, so guard short docs.
+        idx = F.when(
+            F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+        ).otherwise(F.array())
+        return base.select(
+            id_col,
+            "n_chars",
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
+            ).alias("gram"),
+        )
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), "gram")
+    top_bg = (
+        grams(2)
+        .groupBy(id_col, "n_chars", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_bigram"),
+            F.expr("(1000000 * cnt * length(gram)) div n_chars").alias(
+                "top_bigram_ppm"
+            ),
+        )
+    )
+    dup_tri = (
+        grams(3)
+        .groupBy(id_col, "n_chars", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .groupBy(id_col, "n_chars")
+        .agg(F.sum(F.expr("cnt * length(gram)")).alias("dup_tri_chars"))
+        .select(
+            id_col,
+            F.expr("(1000000 * dup_tri_chars) div n_chars").alias(
+                "dup_trigram_ppm"
+            ),
+        )
+    )
+    return (
+        base.drop("_toks")
+        .join(top_bg, id_col, "left")
+        .join(dup_tri, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(
+                "(1000000 * (n_tokens - n_distinct_tokens)) div n_tokens"
+            ).alias("dup_token_ppm"),
+            "top_bigram",
+            F.coalesce("top_bigram_ppm", F.lit(0)).alias("top_bigram_ppm"),
+            F.coalesce("dup_trigram_ppm", F.lit(0)).alias("dup_trigram_ppm"),
+        )
+        .withColumn(
+            "repetitive",
+            (
+                (F.col("top_bigram_ppm") > 200000)
+                | (F.col("dup_trigram_ppm") > 600000)
+            ).cast("int"),
+        )
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Corpus-level vocabulary statistics per group — the Heaps/Zipf
+    health signals a corpus audit reports before training:
+
+    - vocab_size:        distinct terms
+    - total_tokens:      token occurrences
+    - hapax_terms:       terms occurring exactly once (Zipf tail mass;
+                         a collapsing hapax share flags boilerplate)
+    - topk_tokens:       occurrences of the `top_k` most frequent terms
+                         (ties: lexicographic)
+    - topk_coverage_ppm: topk_tokens / total_tokens in integer ppm —
+                         Zipf head concentration; high = templated text
+    - hapax_ppm:         hapax_terms / vocab_size in integer ppm
+
+    Integer ppm via `div` so the DuckDB oracle matches bit-for-bit.
+
+    Scale: explode is narrow; the (group, term) groupBy is the one
+    shuffle and its key is high-cardinality (vocabulary), so hot
+    groups don't serialize — only the final per-group rollup (rows =
+    vocab, not tokens) touches the low-cardinality group key.
+    """
+    term_counts = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), "term")
+    return (
+        term_counts.withColumn("rnk", F.row_number().over(w))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_terms"),
+            F.sum(F.when(F.col("rnk") <= top_k, F.col("cnt")).otherwise(0)).alias(
+                "topk_tokens"
+            ),
+        )
+        .select(
+            group_col,
+            "vocab_size",
+            "total_tokens",
+            "hapax_terms",
+            "topk_tokens",
+            F.expr("(1000000 * topk_tokens) div total_tokens").alias(
+                "topk_coverage_ppm"
+            ),
+            F.expr("(1000000 * hapax_terms) div vocab_size").alias("hapax_ppm"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

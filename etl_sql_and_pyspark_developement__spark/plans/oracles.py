@@ -677,6 +677,146 @@ WHERE rnk <= 3
 ORDER BY doc_id, rnk
 """
 
+# Mirrors repetition_stats exactly: same single-space tokenization,
+# 1-based gram windows (DuckDB list slice is 1-based inclusive, Spark
+# slice(arr, i, n) is 1-based + length), identical integer-ppm
+# arithmetic ((1e6 * num) // den == Spark's `div`), identical top-1
+# tiebreak (cnt DESC, gram lexicographic — both engines binary-collate).
+ORACLES["t06_repetition"] = """
+WITH base AS (
+    SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
+    FROM documents
+),
+tok_stats AS (
+    SELECT doc_id,
+        len(toks) AS n_tokens,
+        len(list_distinct(toks)) AS n_distinct_tokens
+    FROM base
+),
+bigrams AS (
+    SELECT doc_id, n_chars, array_to_string(toks[i : i + 1], ' ') AS gram
+    FROM base, unnest(range(1, len(toks))) AS t(i)
+),
+trigrams AS (
+    SELECT doc_id, n_chars, array_to_string(toks[i : i + 2], ' ') AS gram
+    FROM base, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+top_bg AS (
+    SELECT doc_id, gram AS top_bigram,
+        (1000000 * cnt * length(gram)) // n_chars AS top_bigram_ppm
+    FROM (
+        SELECT doc_id, n_chars, gram, count(*) AS cnt,
+            row_number() OVER (
+                PARTITION BY doc_id ORDER BY count(*) DESC, gram
+            ) AS rn
+        FROM bigrams GROUP BY doc_id, n_chars, gram
+    ) WHERE rn = 1
+),
+dup_tri AS (
+    SELECT doc_id,
+        CAST((1000000 * sum(cnt * length(gram))) // n_chars AS BIGINT)
+            AS dup_trigram_ppm
+    FROM (
+        SELECT doc_id, n_chars, gram, count(*) AS cnt
+        FROM trigrams GROUP BY doc_id, n_chars, gram
+    ) WHERE cnt > 1
+    GROUP BY doc_id, n_chars
+),
+joined AS (
+    SELECT s.doc_id, s.n_tokens,
+        (1000000 * (s.n_tokens - s.n_distinct_tokens)) // s.n_tokens
+            AS dup_token_ppm,
+        b.top_bigram,
+        coalesce(b.top_bigram_ppm, 0) AS top_bigram_ppm,
+        coalesce(d.dup_trigram_ppm, 0) AS dup_trigram_ppm
+    FROM tok_stats s
+    LEFT JOIN top_bg b USING (doc_id)
+    LEFT JOIN dup_tri d USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    dup_token_ppm, top_bigram, top_bigram_ppm, dup_trigram_ppm,
+    CAST(top_bigram_ppm > 200000 OR dup_trigram_ppm > 600000 AS INT)
+        AS repetitive
+FROM joined
+ORDER BY doc_id
+"""
+
+# Mirrors vocab_stats: same tokenization, same top-10 tiebreak
+# (cnt DESC, term lexicographic), same integer-ppm division.
+ORACLES["t07_vocab_stats"] = """
+WITH term_counts AS (
+    SELECT lang, term, count(*) AS cnt
+    FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    GROUP BY lang, term
+),
+ranked AS (
+    SELECT lang, cnt,
+        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+    FROM term_counts
+),
+agg AS (
+    SELECT lang,
+        CAST(count(*) AS BIGINT) AS vocab_size,
+        CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+        CAST(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS topk_tokens
+    FROM ranked GROUP BY lang
+)
+SELECT lang, vocab_size, total_tokens, hapax_terms, topk_tokens,
+    (1000000 * topk_tokens) // total_tokens AS topk_coverage_ppm,
+    (1000000 * hapax_terms) // vocab_size AS hapax_ppm
+FROM agg
+ORDER BY lang
+"""
+
+# Mirrors p06: t01's quality score feeds a per-source greedy prefix
+# under a 500-token budget (quality DESC, doc_id tiebreak). Token
+# counts are >= 1, so cum <= budget is a prefix in both engines.
+ORACLES["p06_token_budget"] = """
+WITH feats AS (
+    SELECT doc_id, source,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a', 'the'))) AS n_stop
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id, source, n_tokens,
+        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+        round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len
+    FROM feats
+),
+scored AS (
+    SELECT doc_id, source, n_tokens AS ws_tokens,
+        (CASE WHEN n_tokens >= 50 THEN 40 WHEN n_tokens >= 20 THEN 25
+              WHEN n_tokens >= 5 THEN 10 ELSE 0 END
+         + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.2 THEN 30 ELSE 10 END
+         + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 30 ELSE 10 END)
+            AS quality_score
+    FROM ratios
+),
+ranked AS (
+    SELECT source, doc_id, quality_score, ws_tokens,
+        row_number() OVER (
+            PARTITION BY source ORDER BY quality_score DESC, doc_id
+        ) AS sel_rank,
+        CAST(sum(ws_tokens) OVER (
+            PARTITION BY source ORDER BY quality_score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS cum_tokens
+    FROM scored
+)
+SELECT source, sel_rank, doc_id, quality_score, ws_tokens, cum_tokens
+FROM ranked
+WHERE cum_tokens <= 500
+ORDER BY source, sel_rank
+"""
+
 ORACLES["d01_dedup_exact"] = """
 WITH keyed AS (
     SELECT source,

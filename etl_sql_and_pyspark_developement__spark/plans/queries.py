@@ -964,6 +964,72 @@ def t05_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t06_repetition")
+def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (duplicate
+    token fraction, top-bigram character coverage, duplicated-trigram
+    character coverage) — the standard repetition filters for LLM
+    training corpora. All ratios are integer parts-per-million so the
+    DuckDB oracle verifies them bit-for-bit."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query("t07_vocab_stats")
+def t07_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary / Zipf health stats (vocab size, hapax
+    mass, top-10-term coverage) — the corpus-audit rollup run before
+    training. Integer-ppm arithmetic, bit-exact vs the oracle."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        vocab_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_stats(docs, "lang", "text", top_k=10).orderBy("lang")
+
+
+@query("p06_token_budget")
+def p06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: spend a 500-token quota per
+    source on the highest-quality documents first (quality score desc,
+    doc_id tiebreak), keeping the maximal prefix that fits. Returns
+    the exact kept set, so the oracle value-verifies the selection,
+    not just its size."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        token_budget_select,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        quality_features,
+        quality_score,
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = quality_score(quality_features(docs)).withColumn(
+        "ws_tokens", F.size(tokens(F.col("text")))
+    )
+    kept = token_budget_select(
+        scored,
+        group_col="source",
+        token_col="ws_tokens",
+        budget=500,
+        priority_cols=["quality_score"],
+        id_col="doc_id",
+    )
+    return kept.select(
+        "source",
+        "sel_rank",
+        "doc_id",
+        "quality_score",
+        "ws_tokens",
+        "cum_tokens",
+    ).orderBy("source", "sel_rank")
+
+
 @query("d01_dedup_exact")
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + bag dedup statistics per source (hash-groupBy dedup)."""

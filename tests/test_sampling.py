@@ -115,3 +115,36 @@ def test_weighted_mix_nested_and_deterministic(spark, sf_dir):
     assert full == n_en, "rate 1.0 must keep every row"
     again = {r.doc_id for r in weighted_mix(docs, "doc_id", "lang", {"en": 0.25}).filter("lang = 'en'").collect()}
     assert lo == again, "kept set must be identical across runs"
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    """Kept set must be the MAXIMAL prefix of the priority order that
+    fits the budget: budget respected, ranks contiguous from 1, and
+    the first excluded doc would overflow."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [
+        # (doc_id, grp, quality, tokens)
+        (1, "a", 90, 40),
+        (2, "a", 80, 50),
+        (3, "a", 80, 30),   # tie with 2 -> doc_id order
+        (4, "a", 70, 100),  # overflows the 100-budget
+        (5, "b", 50, 100),  # exactly consumes the budget
+        (6, "b", 40, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, q long, toks long")
+    kept = token_budget_select(
+        df, "grp", "toks", budget=100, priority_cols=["q"], id_col="doc_id"
+    ).collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r.grp, []).append(r)
+    a = sorted(by_grp["a"], key=lambda r: r.sel_rank)
+    assert [r.doc_id for r in a] == [1, 2], "90->40toks, 80(id2)->90toks; id3 would hit 120"
+    assert [r.sel_rank for r in a] == [1, 2]
+    assert a[-1].cum_tokens <= 100
+    b = by_grp["b"]
+    assert [r.doc_id for r in b] == [5], "exact-fit doc kept, next doc excluded"
+    assert b[0].cum_tokens == 100

@@ -110,3 +110,59 @@ def test_tfidf_rare_term_outranks_common(spark):
     doc1 = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.rnk)
     assert doc1[0].term == "unicorn", "doc-unique term must rank first despite tf=1 vs tf=3"
     assert [r.rnk for r in doc1] == [1, 2]
+
+
+@settings(max_examples=10, deadline=None)
+@given(words)
+def test_repetition_stats_invariants(spark, toks):
+    """ppm ratios stay in [0, 1e6]; a doc made of ONE repeated token is
+    maximally repetitive; an all-distinct doc has dup_token_ppm == 0."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame(
+        [
+            (1, text),
+            (2, "spam " * 9 + "spam"),
+            # long all-distinct doc: top bigram covers < 20% of chars
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert 0 <= r1.dup_token_ppm <= 1_000_000
+    assert 0 <= r1.top_bigram_ppm <= 1_000_000
+    assert 0 <= r1.dup_trigram_ppm <= 1_000_000
+    assert r1.n_tokens == len(toks)
+    expected_dup = (1_000_000 * (len(toks) - len(set(toks)))) // len(toks)
+    assert r1.dup_token_ppm == expected_dup
+    # 10x "spam": dup fraction 9/10, top bigram "spam spam" covers all chars
+    assert rows[2].dup_token_ppm == 900_000
+    assert rows[2].top_bigram == "spam spam"
+    assert rows[2].repetitive == 1
+    assert rows[3].dup_token_ppm == 0
+    assert rows[3].repetitive == 0
+
+
+def test_vocab_stats_exact_small(spark):
+    """vocab/hapax/top-k numbers must match hand counts."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        vocab_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "a a b c"), (2, "en", "a b d"), (3, "fr", "x y")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r.lang: r for r in vocab_stats(df, "lang", "text", top_k=2).collect()}
+    en = out["en"]
+    # counts: a=3 b=2 c=1 d=1 -> vocab 4, total 7, hapax 2, top2 = a+b = 5
+    assert (en.vocab_size, en.total_tokens, en.hapax_terms, en.topk_tokens) == (4, 7, 2, 5)
+    assert en.topk_coverage_ppm == (1_000_000 * 5) // 7
+    assert en.hapax_ppm == 500_000
+    fr = out["fr"]
+    assert (fr.vocab_size, fr.total_tokens, fr.hapax_terms) == (2, 2, 2)
+    assert fr.topk_coverage_ppm == 1_000_000
