@@ -144,9 +144,12 @@ def repetition_stats(
     ((1e6 * num) div den) so the DuckDB oracle matches bit-for-bit —
     no float rounding boundary risk.
 
-    Scale: two narrow explodes (bigram, trigram) + groupBy on
-    (doc, gram) — shuffle keys are high-cardinality, skew-free; the
-    per-doc top-1 window partitions by doc_id. No global sort, no UDFs.
+    Scale: bigrams and trigrams are generated in ONE tagged explode
+    and counted by ONE groupBy on (doc, n, gram) — a single scan and a
+    single shuffle whose keys are high-cardinality and skew-free; the
+    counts frame is persisted so the two readers (top-bigram window,
+    dup-trigram rollup) don't re-run the explode. The per-doc top-1
+    window partitions by doc_id. No global sort, no UDFs.
     """
     toks = tokens(F.col(text_col))
     base = df.select(
@@ -157,24 +160,32 @@ def repetition_stats(
         toks.alias("_toks"),
     )
 
-    def grams(n: int) -> DataFrame:
+    def gram_arr(n: int):
         # sequence() descends when start > stop, so guard short docs.
         idx = F.when(
             F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
         ).otherwise(F.array())
-        return base.select(
-            id_col,
-            "n_chars",
-            F.explode(
-                F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
-            ).alias("gram"),
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice("_toks", i, n), " ").alias("gram"),
+            ),
         )
 
+    counts = (
+        base.select(
+            id_col,
+            "n_chars",
+            F.explode(F.concat(gram_arr(2), gram_arr(3))).alias("g"),
+        )
+        .groupBy(id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), "gram")
     top_bg = (
-        grams(2)
-        .groupBy(id_col, "n_chars", "gram")
-        .agg(F.count("*").alias("cnt"))
+        counts.filter(F.col("n") == 2)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -186,10 +197,7 @@ def repetition_stats(
         )
     )
     dup_tri = (
-        grams(3)
-        .groupBy(id_col, "n_chars", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
+        counts.filter((F.col("n") == 3) & (F.col("cnt") > 1))
         .groupBy(id_col, "n_chars")
         .agg(F.sum(F.expr("cnt * length(gram)")).alias("dup_tri_chars"))
         .select(

@@ -131,3 +131,33 @@ def test_p04_single_scan_two_wide_stages(spark, sf_dir):
     plan = plan_of(spark, "p04_pipeline_e2e", sf_dir)
     assert plan.count("Scan parquet") == 2, "pipeline must be one pass"
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_t06_repetition_jvm_only_pruned(spark, sf_dir):
+    """Repetition signals must stay in codegen (no Python) and read
+    only doc_id + text from the documents scan."""
+    plan = plan_of(spark, "t06_repetition", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas and all(
+        "lang" not in line and "source" not in line for line in read_schemas
+    ), "must prune untouched documents columns"
+
+
+def test_p06_single_window_shuffle(spark, sf_dir):
+    """Budget selection is one shuffle on source (the window) — the
+    quality features are per-row codegen, no extra exchanges."""
+    plan = plan_of(spark, "p06_token_budget", sf_dir)
+    assert plan.count("Exchange hashpartitioning(source") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_t07_vocab_two_shuffles(spark, sf_dir):
+    """(lang, term) groupBy + lang rollup: the only hash exchanges are
+    the two aggregation boundaries + the window repartition."""
+    plan = plan_of(spark, "t07_vocab_stats", sf_dir)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan
