@@ -599,3 +599,87 @@ def contamination_check(
             "exact_dup",
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_span_tokens: int = 6,
+) -> DataFrame:
+    """Exact-substring duplication screen (the distributed form of
+    suffix-array exact-substring dedup, per Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    positional word k-grams matched across documents, then chained
+    into MAXIMAL shared spans.
+
+    Two docs sharing a run of m consecutive k-grams share a substring
+    of m + k - 1 tokens. Matches lie on a diagonal (pos_a - pos_b =
+    const); within a (pair, diagonal) group, consecutive positions
+    merge into one span via the lag-gap + running-sum pattern (the
+    same sessionization shape as q03). Spans shorter than
+    `min_span_tokens` are noise on a small-vocabulary corpus and are
+    dropped after measurement.
+
+    Returns one row per (doc_a, doc_b) pair with n_spans,
+    max_span_tokens, total_span_tokens.
+
+    Scale: the gram frame is persisted (feeds both join sides);
+    k-grams occurring in a single document are pruned before the
+    self-join — semantics-preserving (they cannot produce a cross-doc
+    match) and it removes the long tail. The join key is a k-token
+    string — high-cardinality, skew-free for k >= 4; the span window
+    partitions by (pair, diagonal), never globally. No UDFs.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams_arr = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {k - 1}), "
+            f"i -> struct(i AS pos, concat_ws(' ', slice(__toks, i, {k})) AS gram))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,gram:string>>"))
+    grams = (
+        toked.select("doc", F.explode(grams_arr).alias("g"))
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .persist()
+    )
+    cross_doc = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    gs = grams.join(cross_doc, "gram")
+    a, b = gs.alias("a"), gs.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
+    runs = matches.withColumn(
+        "brk",
+        F.when(F.lag("pos_a").over(w) == F.col("pos_a") - 1, 0).otherwise(1),
+    ).withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = (
+        runs.groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"), "span_id")
+        .agg((F.count("*") + (k - 1)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("total_span_tokens"),
+    )

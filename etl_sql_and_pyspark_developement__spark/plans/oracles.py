@@ -817,6 +817,49 @@ WHERE cum_tokens <= 500
 ORDER BY source, sel_rank
 """
 
+# Mirrors duplicated_spans: positional 4-grams, cross-doc equi-join
+# (doc_a < doc_b), lag-gap span chaining per (pair, diagonal), spans
+# >= 6 tokens rolled up per pair. The engine's single-doc-gram pruning
+# is semantics-preserving, so the oracle skips it.
+ORACLES["d10_span_dedup"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i : i + 3], ' ') AS gram
+    FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.pos AS pos_a, b.pos AS pos_b
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, pos_a, pos_b,
+        CASE WHEN lag(pos_a) OVER w = pos_a - 1 THEN 0 ELSE 1 END AS brk
+    FROM m
+    WINDOW w AS (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a)
+),
+numbered AS (
+    SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+        sum(brk) OVER (
+            PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS span_id
+    FROM runs
+),
+spans AS (
+    SELECT doc_a, doc_b, diag, span_id, count(*) + 3 AS span_tokens
+    FROM numbered GROUP BY doc_a, doc_b, diag, span_id
+    HAVING count(*) + 3 >= 6
+)
+SELECT doc_a, doc_b,
+    CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+    CAST(sum(span_tokens) AS BIGINT) AS total_span_tokens
+FROM spans
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
 ORACLES["d01_dedup_exact"] = """
 WITH keyed AS (
     SELECT source,

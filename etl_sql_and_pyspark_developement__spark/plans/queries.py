@@ -1030,6 +1030,21 @@ def p06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "sel_rank")
 
 
+@query("d10_span_dedup")
+def d10_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication screen: positional 4-gram matches
+    chained into maximal shared spans (distributed suffix-array-style
+    dedup); per-pair span counts for spans of >= 6 tokens."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=4, min_span_tokens=6).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 @query("d01_dedup_exact")
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + bag dedup statistics per source (hash-groupBy dedup)."""

@@ -202,3 +202,28 @@ def test_contamination_planted_dup(spark):
     assert out[2].containment == 1.0 and out[2].exact_dup == 0, \
         "full containment inside a larger train doc, but not an exact dup"
     assert 3 not in out, "clean doc shares no shingle with train"
+
+
+def test_duplicated_spans_planted(spark):
+    """A planted shared substring must surface as ONE span of exactly
+    its token length; disjoint docs produce no pair; identical docs
+    produce a full-length span."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "unrelated words only here nothing shared at all"),
+        (4, "copy cat doc body with exact clone text spans"),
+        (5, "copy cat doc body with exact clone text spans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r for r in duplicated_spans(df, "doc_id", "text").collect()}
+    assert set(out) == {(1, 2), (4, 5)}
+    r12 = out[(1, 2)]
+    assert (r12.n_spans, r12.max_span_tokens, r12.total_span_tokens) == (1, 8, 8)
+    r45 = out[(4, 5)]
+    assert (r45.n_spans, r45.max_span_tokens) == (1, 9), "identical 9-token docs"
