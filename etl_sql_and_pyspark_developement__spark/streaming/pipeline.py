@@ -167,6 +167,46 @@ def stream_stream_attribution(events_a: DataFrame, events_b: DataFrame) -> DataF
     ).select("purchase_id", "user_id", "purchase_ts", "view_ts")
 
 
+def stream_ingest_dedup(doc_stream: DataFrame, corpus: DataFrame) -> DataFrame:
+    """st08: incremental corpus ingestion — arriving documents are
+    dropped when their exact fingerprint already exists in the static
+    reference corpus, then quality features are attached for
+    downstream gating. This is the continuous-crawl ingest path: the
+    corpus fingerprint set is the static side of a stream-static join
+    (stateless per micro-batch, broadcast when it fits), so ingestion
+    never rescans the historical corpus.
+
+    Structured Streaming has no stream-static LEFT ANTI join, so the
+    anti is expressed as broadcast LEFT OUTER against the distinct
+    fingerprint set + IS NULL filter — semantically identical, and the
+    planner keeps the broadcast.
+
+    At 100 TB the fingerprint set exceeds broadcast size: drop the
+    broadcast hint and the same plan becomes a shuffled join per
+    micro-batch, or swap the static side for a key-value store lookup
+    via mapInPandas — the declarative shape here is unchanged.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        exact_fingerprint,
+        quality_features,
+    )
+
+    known = (
+        corpus.select(exact_fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("__known", F.lit(1))
+    )
+    fresh = (
+        doc_stream.withColumn("fp", exact_fingerprint("text"))
+        .join(F.broadcast(known), "fp", "left")
+        .filter(F.col("__known").isNull())
+        .drop("__known")
+    )
+    return quality_features(fresh).select(
+        "doc_id", "lang", "source", "fp", "n_tokens"
+    )
+
+
 def streaming_dedup_within_watermark(
     events: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -300,3 +300,35 @@ def test_corpus_pipeline_ops_are_stream_ready(spark, sf_dir, documents_dir):
     want = {r.doc_id for r in gated_mix(docs).collect()}
     assert got == want, "stream and batch must keep the identical row set"
     assert want, "gate+mix must keep a non-empty set at sf0.001"
+
+
+def test_st08_stream_ingest_dedup(spark, sf_dir, documents_dir):
+    """Streaming ingestion must drop exactly the docs whose fingerprint
+    exists in the static corpus — same row set as the batch anti-join."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        exact_fingerprint,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        run_to_memory,
+        stream_ingest_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # static corpus = even doc_ids; the stream carries ALL docs
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+
+    run_to_memory(stream_ingest_dedup(stream, corpus), "st08_out", "append")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM st08_out").collect()}
+
+    known_fp = {
+        r.fp for r in corpus.select(exact_fingerprint("text").alias("fp")).collect()
+    }
+    want = {
+        r.doc_id
+        for r in docs.select("doc_id", exact_fingerprint("text").alias("fp")).collect()
+        if r.fp not in known_fp
+    }
+    assert got == want, "stream ingest must match the batch anti-join row set"
+    assert want and len(want) < docs.count(), "both kept and dropped docs exist"
