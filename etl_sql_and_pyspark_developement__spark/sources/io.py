@@ -64,6 +64,47 @@ def write_bucketed_table(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    partition_by: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+    order_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    few, right-sized, optionally sorted files. Returns the row count.
+
+    The 100 TB operational reality: streaming sinks and per-batch
+    appends leave thousands of KB-sized files per partition, and scan
+    cost becomes file-open cost (driver listing + one footer read per
+    file) instead of IO. The fix is a periodic rewrite that
+
+    - bounds file size with maxRecordsPerFile (the writer splits, so a
+      single task never produces a multi-GB file), and
+    - clusters rows with repartitionByRange on `order_by` when given:
+      range partitioning + in-file sort tightens per-file min/max
+      column stats, so downstream range predicates skip whole files
+      (zone-map pruning) — sortWithinPartitions alone would sort but
+      leave rows scattered across files.
+    """
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    if order_by:
+        df = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(*order_by)
+    else:
+        df = df.coalesce(n_files)
+    writer = (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
+    return n
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 

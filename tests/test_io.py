@@ -111,3 +111,45 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     # predicate + projection must reach the ORC scan
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_compact_parquet_file_count_and_zone_maps(spark, sf_dir, tmp_path):
+    """Compaction must preserve content, hit the target file count, and
+    (with order_by) produce range-disjoint files so min/max zone maps
+    prune downstream range scans."""
+    import glob
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.sources.io import compact_parquet
+
+    orders = table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "fragmented")
+    orders.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64, "fixture must be fragmented"
+
+    out = str(tmp_path / "compacted")
+    n_rows = orders.count()
+    target = -(-n_rows // 4)  # 4 files
+    got = compact_parquet(spark, frag, out, target_rows_per_file=target,
+                          order_by=["o_orderdate"])
+    assert got == n_rows
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    # range partitioner samples, so partitions are uneven and
+    # maxRecordsPerFile splits oversized ones: guaranteed bounds are
+    # [ideal, 2*ideal), far below the 64 fragments
+    assert 4 <= len(files) <= 8
+    back = spark.read.parquet(out)
+    assert back.count() == n_rows
+    assert sorted(back.columns) == sorted(orders.columns)
+
+    # zone-map property: per-file [min,max] of the cluster key must not
+    # interleave (ranges may touch at the boundary date)
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).collect()[0]
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges interleave: {(lo1, hi1)} vs {(lo2, hi2)}"
