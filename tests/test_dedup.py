@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from hypothesis import given, settings, strategies as st
+
 from pyspark.sql import functions as F
 
 BASE = (
@@ -227,3 +229,71 @@ def test_duplicated_spans_planted(spark):
     assert (r12.n_spans, r12.max_span_tokens, r12.total_span_tokens) == (1, 8, 8)
     r45 = out[(4, 5)]
     assert (r45.n_spans, r45.max_span_tokens) == (1, 9), "identical 9-token docs"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=1, max_size=12),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_duplicated_spans_matches_python_reference(spark, docs):
+    """Span rollup must equal an independent per-pair Python chaining
+    of positional k-gram matches (k=2, min span 3) on tiny-alphabet
+    random docs — the regime where collisions and multi-diagonal
+    matches are dense."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    k, min_span = 2, 3
+    texts = [" ".join(t) for t in docs]
+
+    def grams(toks):
+        return [
+            (i, " ".join(toks[i - 1 : i - 1 + k]))
+            for i in range(1, len(toks) - k + 2)
+        ] if len(toks) >= k else []
+
+    expected = {}
+    for ai in range(len(texts)):
+        for bi in range(ai + 1, len(texts)):
+            ta, tb = docs[ai], docs[bi]
+            matches = [
+                (pa, pb)
+                for pa, ga in grams(ta)
+                for pb, gb in grams(tb)
+                if ga == gb
+            ]
+            by_diag = {}
+            for pa, pb in matches:
+                by_diag.setdefault(pa - pb, []).append(pa)
+            span_lens = []
+            for _, pas in by_diag.items():
+                pas.sort()
+                run = 1
+                for prev, cur in zip(pas, pas[1:]):
+                    if cur == prev + 1:
+                        run += 1
+                    else:
+                        span_lens.append(run + k - 1)
+                        run = 1
+                span_lens.append(run + k - 1)
+            span_lens = [s for s in span_lens if s >= min_span]
+            if span_lens:
+                expected[(ai, bi)] = (
+                    len(span_lens),
+                    max(span_lens),
+                    sum(span_lens),
+                )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens, r.total_span_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", k=k, min_span_tokens=min_span).collect()
+    }
+    assert got == expected
