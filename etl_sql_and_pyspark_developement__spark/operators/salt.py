@@ -72,3 +72,44 @@ def two_phase_agg(
         phase2_aggs.append(merge_fn[fn_name](f"__p_{out_name}").alias(out_name))
     partial = salted.groupBy(*key_cols, "__salt").agg(*phase1_aggs)
     return partial.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution diagnostic — the pre-flight check that decides
+    whether a join/agg on `key_col` needs salting, AQE skew handling,
+    or is safe as-is. One row per profiled key column:
+
+    - n_rows / n_keys:     totals
+    - max_key_n, top_key:  heaviest key (ties: lexicographically
+                           LARGEST key string — max-of-struct order,
+                           deterministic and engine-portable)
+    - top_ppm:             heaviest key's share of rows, integer ppm
+    - avg_group_x1000:     mean group size ×1000 (integer div)
+    - skew_ppm:            max/avg ratio in ppm — 1 000 000 means
+                           perfectly uniform; a join that shuffles this
+                           key sends max_key_n rows to ONE task, so
+                           e.g. skew_ppm > 16 000 000 (16× mean) reads
+                           "salt this key or broadcast the other side"
+
+    All derived values are integer arithmetic (bit-exact vs any SQL
+    engine). Two shuffles, both decomposable: groupBy(key) with
+    map-side partials, then a single-row rollup.
+    """
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    rolled = per_key.agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max(F.struct(F.col("n"), F.col("k"))).alias("_top"),
+    )
+    return rolled.select(
+        F.lit(key_col).alias("key_col"),
+        "n_rows",
+        "n_keys",
+        F.col("_top.n").alias("max_key_n"),
+        F.col("_top.k").alias("top_key"),
+        F.expr("(1000000 * _top.n) div n_rows").alias("top_ppm"),
+        F.expr("(1000 * n_rows) div n_keys").alias("avg_group_x1000"),
+        F.expr("(1000000 * _top.n * n_keys) div n_rows").alias("skew_ppm"),
+    )

@@ -677,6 +677,35 @@ WHERE rnk <= 3
 ORDER BY doc_id, rnk
 """
 
+# Mirrors skew_profile: per-key counts, heaviest key picked by
+# (count, key-string) max-struct order (ties -> lexicographically
+# largest key), integer ppm/x1000 derived metrics.
+ORACLES["q44_skew_profile"] = """
+WITH profiles AS (
+    SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS k,
+        count(*) AS n
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR), count(*)
+    FROM events GROUP BY 2
+),
+rolled AS (
+    SELECT key_col,
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        max(struct_pack(n := n, k := k)) AS top
+    FROM profiles GROUP BY key_col
+)
+SELECT key_col, n_rows, n_keys,
+    top.n AS max_key_n,
+    top.k AS top_key,
+    (1000000 * top.n) // n_rows AS top_ppm,
+    (1000 * n_rows) // n_keys AS avg_group_x1000,
+    (1000000 * top.n * n_keys) // n_rows AS skew_ppm
+FROM rolled
+ORDER BY key_col
+"""
+
 # Mirrors repetition_stats exactly: same single-space tokenization,
 # 1-based gram windows (DuckDB list slice is 1-based inclusive, Spark
 # slice(arr, i, n) is 1-based + length), identical integer-ppm

@@ -964,6 +964,22 @@ def t05_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q44_skew_profile")
+def q44_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics for the events fact's candidate
+    shuffle keys — the pre-flight a 100 TB pipeline runs to decide
+    salting / broadcast / AQE strategy before planning hot joins."""
+    from etl_sql_and_pyspark_developement__spark.operators.salt import (
+        skew_profile,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    prof = skew_profile(ev, "event_type").unionByName(
+        skew_profile(ev, "user_id")
+    )
+    return prof.orderBy("key_col")
+
+
 @query("t06_repetition")
 def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (duplicate

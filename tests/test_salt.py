@@ -63,3 +63,22 @@ def test_two_phase_rejects_nondecomposable(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError, match="not decomposable"):
         two_phase_agg(li, ["l_returnflag"], {"a": "avg(l_quantity)"})
+
+
+def test_skew_profile_exact_and_tiebreak(spark):
+    """Hand-checked profile: a 6/2/2 key distribution, with the
+    heaviest-key tie broken toward the lexicographically larger key."""
+    from etl_sql_and_pyspark_developement__spark.operators.salt import skew_profile
+
+    rows = [("hot",)] * 6 + [("aa",)] * 2 + [("bb",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_profile(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_key_n, r.top_key) == (10, 3, 6, "hot")
+    assert r.top_ppm == 600_000
+    assert r.avg_group_x1000 == (1000 * 10) // 3
+    assert r.skew_ppm == (1_000_000 * 6 * 3) // 10  # 1.8x mean
+
+    tied = spark.createDataFrame([("a",), ("a",), ("z",), ("z",)], "k string")
+    r2 = skew_profile(tied, "k").collect()[0]
+    assert r2.top_key == "z", "tie must break to the larger key string"
+    assert r2.skew_ppm == 1_000_000, "uniform distribution -> exactly 1x mean"
