@@ -87,6 +87,29 @@ def token_budget_select(
     )
 
 
+def seeded_shuffle_rank(
+    df: DataFrame, id_col: str, seed: str | int = 0
+) -> DataFrame:
+    """Reproducible corpus ordering for a training epoch: every row
+    gets a dense rank from the md5 of (seed, id) — a deterministic
+    permutation that changes completely per seed (per epoch) yet is
+    identical across runs, engines, and partitionings, unlike
+    orderBy(rand()). Ties on the 16-hex prefix are broken by id, so
+    the order is total.
+
+    Scale: the rank is one global sort — at 100 TB you don't
+    materialize it; you range-partition by the SAME md5 key and read
+    partitions in key order, which is this exact permutation without
+    a total-order bottleneck. The windowed form here is the
+    correctness spec the oracle can verify.
+    """
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn("shuffle_key", key).withColumn(
+        "epoch_rank", F.row_number().over(w)
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     id_col: str,

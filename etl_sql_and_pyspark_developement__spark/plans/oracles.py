@@ -677,6 +677,22 @@ WHERE rnk <= 3
 ORDER BY doc_id, rnk
 """
 
+# q45's merged partials must be BIT-IDENTICAL to this full recompute —
+# the decomposable-aggregate maintenance invariant. (Sums of exact-2dp
+# money values are multiples of 0.01, so the 2dp round sits 0.005 from
+# any boundary — summation-order ulps cannot flip it.)
+ORACLES["q45_incremental_agg"] = """
+SELECT o_orderpriority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price,
+    min(o_totalprice) AS min_price,
+    max(o_totalprice) AS max_price,
+    round(sum(o_totalprice) / count(*), 4) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # Mirrors skew_profile: per-key counts, heaviest key picked by
 # (count, key-string) max-struct order (ties -> lexicographically
 # largest key), integer ppm/x1000 derived metrics.
@@ -850,6 +866,20 @@ ORDER BY source, sel_rank
 # (doc_a < doc_b), lag-gap span chaining per (pair, diagonal), spans
 # >= 6 tokens rolled up per pair. The engine's single-doc-gram pruning
 # is semantics-preserving, so the oracle skips it.
+# Mirrors seeded_shuffle_rank: identical md5(seed:doc_id) hex in both
+# engines, identical (key, id) total order.
+ORACLES["p07_epoch_shuffle"] = """
+WITH keyed AS (
+    SELECT doc_id, source,
+        md5('0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+)
+SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS epoch_rank,
+    doc_id, shuffle_key, source
+FROM keyed
+ORDER BY epoch_rank
+"""
+
 ORACLES["d10_span_dedup"] = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

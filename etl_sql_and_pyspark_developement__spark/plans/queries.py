@@ -980,6 +980,46 @@ def q44_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.orderBy("key_col")
 
 
+@query("q45_incremental_agg")
+def q45_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: history and the newest 30-day
+    batch are aggregated SEPARATELY into decomposable partials, then
+    merged — bit-identical to a full recompute (the oracle), without
+    ever rescanning history. avg is derived from sum/count partials
+    post-merge."""
+    from etl_sql_and_pyspark_developement__spark.operators.incremental import (
+        merge_partials,
+        partial_aggs,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.date_sub(F.max("o_orderdate"), 30).alias("c")
+    ).collect()[0].c
+    specs = {
+        "n_orders": ("count", "*"),
+        "total_price": ("sum", "o_totalprice"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    history = orders.filter(F.col("o_orderdate") <= F.lit(cutoff))
+    batch = orders.filter(F.col("o_orderdate") > F.lit(cutoff))
+    keys = ["o_orderpriority"]
+    merged = merge_partials(
+        [partial_aggs(history, keys, specs), partial_aggs(batch, keys, specs)],
+        keys,
+        specs,
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+        "min_price",
+        "max_price",
+        F.round(F.col("total_price") / F.col("n_orders"), 4).alias("avg_price"),
+    ).orderBy("o_orderpriority")
+
+
 @query("t06_repetition")
 def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (duplicate
@@ -1058,6 +1098,23 @@ def d10_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return duplicated_spans(docs, "doc_id", "text", k=4, min_span_tokens=6).orderBy(
         "doc_a", "doc_b"
+    )
+
+
+@query("p07_epoch_shuffle")
+def p07_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-0 training order: md5(seed, doc_id) ranks the
+    corpus — the whole permutation is value-verified by the oracle
+    (identical md5 hex in both engines)."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        seeded_shuffle_rank,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        seeded_shuffle_rank(docs, "doc_id", seed=0)
+        .select("epoch_rank", "doc_id", "shuffle_key", "source")
+        .orderBy("epoch_rank")
     )
 
 

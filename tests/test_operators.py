@@ -223,3 +223,36 @@ def test_range_join_property_matches_naive(spark, pts, ivs, bin_width):
         if kp == ki and lo <= p <= lo + w
     }
     assert got == want
+
+
+def test_merge_partials_equals_full_recompute(spark):
+    """Partials merged across arbitrary batch splits must equal the
+    direct aggregate exactly (decomposable-aggregate invariant)."""
+    from etl_sql_and_pyspark_developement__spark.operators.incremental import (
+        merge_partials,
+        partial_aggs,
+    )
+
+    rows = [(i % 3, float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double, n long")
+    specs = {
+        "cnt": ("count", "*"),
+        "sv": ("sum", "v"),
+        "mn": ("min", "n"),
+        "mx": ("max", "n"),
+    }
+    batches = [
+        df.filter(F.col("n") < 20),
+        df.filter((F.col("n") >= 20) & (F.col("n") < 21)),  # tiny batch
+        df.filter(F.col("n") >= 21),
+    ]
+    merged = merge_partials(
+        [partial_aggs(b, ["k"], specs) for b in batches], ["k"], specs
+    )
+    direct = partial_aggs(df, ["k"], specs)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        partial_aggs(df, ["k"], {"bad": ("avg", "v")})

@@ -148,3 +148,22 @@ def test_token_budget_select_greedy_prefix(spark):
     b = by_grp["b"]
     assert [r.doc_id for r in b] == [5], "exact-fit doc kept, next doc excluded"
     assert b[0].cum_tokens == 100
+
+
+def test_seeded_shuffle_rank_permutation_properties(spark, sf_dir):
+    """Same seed -> identical order across runs; different seed ->
+    different permutation; ranks are exactly 1..n."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        seeded_shuffle_rank,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    o1 = [r.doc_id for r in seeded_shuffle_rank(docs, "doc_id", 7).orderBy("epoch_rank").collect()]
+    o1b = [r.doc_id for r in seeded_shuffle_rank(docs, "doc_id", 7).orderBy("epoch_rank").collect()]
+    o2 = [r.doc_id for r in seeded_shuffle_rank(docs, "doc_id", 8).orderBy("epoch_rank").collect()]
+    assert o1 == o1b, "same seed must reproduce the identical order"
+    assert o1 != o2, "different seeds must permute differently"
+    assert sorted(o1) == sorted(o2) == list(range(n)), "must be a permutation"
+    assert o1 != sorted(o1), "shuffle must not be the identity order"
