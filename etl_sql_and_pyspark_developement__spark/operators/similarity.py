@@ -435,3 +435,80 @@ def cosine_neardup_pairs(
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    dim: int = 64,
+    iterations: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means cluster the embeddings, then within each
+    cluster DROP every item whose cosine similarity to a more central
+    item (smaller squared-L2 to the cluster centroid; ties broken by
+    id) exceeds `threshold`. Centrality-ordered pruning keeps the most
+    prototypical representative of every semantic near-duplicate group.
+
+    Returns (id, cluster, cdist, dropped) for every corpus row.
+
+    Scale: clustering makes the O(n²) cosine comparison O(n²/k) — the
+    pair join is an equi-join ON CLUSTER, never a cross join; at web
+    scale k grows with n so cluster populations stay bounded. Training
+    cost is the standard IVF trade (deterministic seeds, sampled
+    corpus via kmeans_lite_centroids' train_sample_mod).
+    """
+    base = corpus.select(id_col, vec_col)
+    cents = kmeans_lite_centroids(base, vec_col, k=k, iterations=iterations, dim=dim)
+    assigned = assign_clusters(base, cents, id_col, vec_col)
+    cents_df = _centroids_df(corpus.sparkSession, cents)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (
+        assigned.join(F.broadcast(cents_df), "cluster")
+        .withColumn("cdist", _sq_l2(vec_col, "centroid"))
+        .select(
+            F.col(id_col).alias("id"),
+            "cluster",
+            "cdist",
+            F.transform(v, lambda x: x / nrm).alias("__unit"),
+        )
+        .persist()
+    )
+    a = scored.select(
+        F.col("id").alias("id_a"),
+        F.col("cluster").alias("ca"),
+        F.col("cdist").alias("da"),
+        F.col("__unit").alias("va"),
+    )
+    b = scored.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster").alias("cb"),
+        F.col("cdist").alias("db"),
+        F.col("__unit").alias("vb"),
+    )
+    more_central = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & more_central)
+        .filter(cos > threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return scored.join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.round("cdist", 6).alias("cdist"),
+        F.coalesce("__dropped", F.lit(0)).alias("dropped"),
+    )

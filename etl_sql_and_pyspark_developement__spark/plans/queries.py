@@ -1181,6 +1181,29 @@ def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d11_semantic_dedup")
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning summary: per k-means cluster, how
+    many embeddings survive centrality-ordered cosine dedup. Rows-only
+    oracle (iterative k-means); the keep/drop invariants are
+    property-tested in tests/test_similarity.py."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    flagged = semantic_dedup(emb, "vec_id", "embedding", k=16, threshold=0.95)
+    return (
+        flagged.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("dropped").alias("n_dropped"),
+            (F.count("*") - F.sum("dropped")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @query("s01_cosine_topk")
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors as queries."""

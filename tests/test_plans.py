@@ -161,3 +161,28 @@ def test_t07_vocab_two_shuffles(spark, sf_dir):
     plan = plan_of(spark, "t07_vocab_stats", sf_dir)
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_q44_no_python_decomposable(spark, sf_dir):
+    """Skew profile: pure JVM aggregation, partial-agg friendly."""
+    plan = plan_of(spark, "q44_skew_profile", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q45_no_history_window(spark, sf_dir):
+    """Incremental merge is unions + hash aggregates — no window, no
+    Python, no join of history against batch."""
+    plan = plan_of(spark, "q45_incremental_agg", sf_dir)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_p07_single_ordering(spark, sf_dir):
+    """Epoch shuffle: the md5 rank is ONE global sort (the documented
+    spec form); no Python, no join."""
+    plan = plan_of(spark, "p07_epoch_shuffle", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan

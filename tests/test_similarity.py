@@ -179,3 +179,33 @@ def test_cosine_neardup_candidates_path_is_subset_with_same_scores(spark, sf_dir
     assert set(approx) <= set(exact)
     assert all(exact[k] == v for k, v in approx.items())
     assert len(approx) > 0
+
+
+def test_semantic_dedup_planted_copies(spark, sf_dir):
+    """Exact duplicate embeddings land in the same cluster with equal
+    centrality; the higher-id copy must be dropped, the original kept.
+    With an impossible threshold nothing drops."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(60).select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    copies = emb.limit(5).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+
+    flagged = semantic_dedup(corpus, "vec_id", "embedding", k=4, threshold=0.99)
+    by_id = {r.vec_id: r for r in flagged.collect()}
+    assert len(by_id) == 65
+    copied_src = [r.vec_id for r in emb.limit(5).collect()]
+    for src in copied_src:
+        dup = src + max_id + 1
+        assert by_id[dup].dropped == 1, f"copy {dup} of {src} must be dropped"
+        assert by_id[src].dropped in (0, 1)  # src drops only via a third neighbor
+        assert by_id[dup].cluster == by_id[src].cluster, "copies co-cluster"
+
+    none_dropped = semantic_dedup(corpus, "vec_id", "embedding", k=4, threshold=1.01)
+    assert none_dropped.agg(F.sum("dropped")).collect()[0][0] == 0
