@@ -647,10 +647,13 @@ def duplicated_spans(
         .select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
         .persist()
     )
+    # "appears in >= 2 distinct docs" == min(doc) != max(doc): same
+    # predicate as count_distinct >= 2 but with cheap decomposable
+    # partials instead of a two-phase distinct aggregation.
     cross_doc = (
         grams.groupBy("gram")
-        .agg(F.count_distinct("doc").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("gram")
     )
     gs = grams.join(cross_doc, "gram")
