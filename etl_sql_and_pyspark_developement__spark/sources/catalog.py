@@ -37,16 +37,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores INT64 TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects. Read nanos as long and truncate to
-        # microseconds — the same truncation DuckDB applies when it
-        # loads timestamp[ns] into its µs TIMESTAMP, so oracle parity
-        # holds exactly.
+        # events.parquet has shipped `ts` in two physical layouts across
+        # driver data generations: INT64 TIMESTAMP(NANOS) (which the
+        # Spark reader rejects without the legacy nanosAsLong flag) and
+        # plain TIMESTAMP(MICROS). Handle both so the catalog is stable
+        # across regenerated testdata.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer `div`, not `/`: nano epochs (~1.7e18) exceed double's
-        # 2^53 integer range, so float division would corrupt the tail.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Integer `div`, not `/`: nano epochs (~1.7e18) exceed
+            # double's 2^53 integer range, so float division would
+            # corrupt the tail. Truncating nanos→micros matches what
+            # DuckDB does loading timestamp[ns] into its µs TIMESTAMP,
+            # so oracle parity holds exactly.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session TZ is pinned to UTC, so reinterpreting the naive
+            # value as UTC is value-preserving and gives every
+            # downstream operator the TIMESTAMP (LTZ) arithmetic they
+            # were built against (ts/epoch casts, interval math).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -20,22 +20,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet stores TIMESTAMP(NANOS); for the file-source stream we
-# declare ts as long nanos and convert, matching sources/catalog.py.
-EVENTS_SCHEMA = (
+# events.parquet has shipped `ts` in two physical layouts across driver
+# data generations: INT64 TIMESTAMP(NANOS) (declare as long nanos and
+# convert) and TIMESTAMP(MICROS) (declare as timestamp_ntz and cast —
+# session TZ is UTC so the reinterpretation is value-preserving). A
+# file-source stream needs its schema declared up front, so probe the
+# actual layout with a one-off batch footer read, matching
+# sources/catalog.py's branching.
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(spark.read.parquet(f"{sf_dir}/").dtypes)["ts"]
+    if probe == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .format("parquet")
+            .load(f"{sf_dir}/")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_MICROS)
         .format("parquet")
         .load(f"{sf_dir}/")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame) -> DataFrame:
