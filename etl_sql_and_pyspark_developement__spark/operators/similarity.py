@@ -512,3 +512,92 @@ def semantic_dedup(
         F.round("cdist", 6).alias("cdist"),
         F.coalesce("__dropped", F.lit(0)).alias("dropped"),
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    pool: int = 50,
+    lambda_x1000: int = 700,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    1998) — the data-selection step that picks items both RELEVANT to
+    a query and DIVERSE from each other (dedup-aware retrieval /
+    training-subset selection):
+
+        MMR(d) = λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    Two-tier plan, the standard scale shape for greedy-sequential
+    selection:
+    1. DISTRIBUTED: exact cosine relevance of every corpus row to the
+       query (one broadcast-scan pass, no shuffle), then top-`pool`
+       candidates via ORDER BY relevance LIMIT pool (pool ≪ corpus).
+    2. DRIVER: greedy MMR over the pool — the algorithm is inherently
+       sequential in k, and the pool is O(pool·dim) floats by
+       construction, so this is a top-k-sized collect, not a corpus
+       collect.
+
+    λ is passed in integer thousandths and all driver arithmetic uses
+    the same float64 ops both sides would use, ties broken by id, so
+    the selection is deterministic. query_id=None uses the smallest
+    id in the corpus as the query vector (excluded from candidates).
+
+    Returns (rank, id, relevance, mmr_score) with rank 1..k.
+    """
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if query_id is None:
+        query_id = base.agg(F.min("id")).collect()[0][0]
+    qrow = base.filter(F.col("id") == query_id)
+    unit = F.transform(
+        F.col("v"), lambda x: x.cast("double")
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    q = qrow.select(F.transform(unit, lambda x: x / nrm).alias("qv"))
+    cands = (
+        base.filter(F.col("id") != query_id)
+        .select("id", F.transform(unit, lambda x: x / nrm).alias("uv"))
+        .join(F.broadcast(q), F.lit(True))
+        .withColumn(
+            "relevance",
+            F.aggregate(
+                F.zip_with(F.col("uv"), F.col("qv"), lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.desc("relevance"), "id")
+        .limit(pool)
+        .select("id", "uv", "relevance")
+    )
+    rows = cands.collect()  # |pool| rows by construction — not a corpus collect
+    lam = lambda_x1000 / 1000.0
+    remaining = {r["id"]: (list(r["uv"]), float(r["relevance"])) for r in rows}
+    selected: list[tuple[int, int, float, float]] = []
+    sel_vecs: list[list[float]] = []
+    while remaining and len(selected) < k:
+        best = None
+        for rid in sorted(remaining):
+            uv, rel = remaining[rid]
+            max_sim = max(
+                (sum(a * b for a, b in zip(uv, sv)) for sv in sel_vecs),
+                default=0.0,
+            )
+            score = lam * rel - (1.0 - lam) * max_sim
+            if best is None or score > best[1]:
+                best = (rid, score, rel)
+        rid, score, rel = best
+        sel_vecs.append(remaining.pop(rid)[0])
+        selected.append((len(selected) + 1, rid, rel, score))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (rank, rid, round(rel, 6), round(score, 6))
+            for rank, rid, rel, score in selected
+        ],
+        "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE",
+    )

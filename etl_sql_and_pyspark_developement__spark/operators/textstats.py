@@ -342,3 +342,55 @@ def tfidf_top_terms(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def classifier_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    keep_threshold_ppm: int = 700_000,
+) -> DataFrame:
+    """Model-based quality-classifier filter (the FineWeb-Edu / DCLM
+    pipeline stage: score every document with a trained quality model,
+    keep the high-scoring tail). The "model" here is a fixed linear
+    scorer over interpretable features — the same shape a distilled
+    fasttext/regression quality model has — evaluated entirely in
+    BIGINT parts-per-million integer arithmetic so the DuckDB oracle
+    verifies scores bit-for-bit (no sigmoid/exp float boundary risk).
+
+    Feature components (each clipped to its weight's range, summing to
+    at most 1e6 ppm):
+    - length:     min(n_tokens, 100) * 3000            (≤ 300000)
+    - stopword:   peak at 10% stopword mass, linear falloff
+                  max(0, 250000 - |stop_ppm - 100000|)  (≤ 250000)
+    - punct:      max(0, 150000 - 2 * punct_ppm)        (≤ 150000)
+    - diversity:  distinct/total token ppm * 3 div 10   (≤ 300000)
+
+    Returns (id, score_ppm, kept). One scan, no shuffle, no UDFs —
+    whole-stage codegen end to end, so it runs at parquet-scan speed
+    on a 100 TB corpus.
+    """
+    toks = tokens(F.col(text_col))
+    feats = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    scored = feats.select(
+        id_col,
+        F.expr(
+            """
+            least(n_tokens, 100) * 3000
+            + greatest(0, 250000 - abs((n_stop * 1000000 div n_tokens) - 100000))
+            + greatest(0, 150000 - 2 * (n_punct * 1000000 div n_chars))
+            + ((n_distinct * 1000000 div n_tokens) * 3 div 10)
+            """
+        ).alias("score_ppm"),
+    )
+    return scored.withColumn(
+        "kept", (F.col("score_ppm") >= keep_threshold_ppm).cast("int")
+    )

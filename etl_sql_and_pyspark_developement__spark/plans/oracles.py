@@ -788,6 +788,32 @@ ORDER BY doc_id
 
 # Mirrors vocab_stats: same tokenization, same top-10 tiebreak
 # (cnt DESC, term lexicographic), same integer-ppm division.
+ORACLES["t08_quality_classifier"] = """
+WITH feats AS (
+    SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a', 'the'))) AS n_stop
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+        least(n_tokens, 100) * 3000
+        + greatest(0, 250000 - abs((n_stop * 1000000 // n_tokens) - 100000))
+        + greatest(0, 150000 - 2 * (n_punct * 1000000 // n_chars))
+        + ((n_distinct * 1000000 // n_tokens) * 3 // 10) AS score_ppm
+    FROM feats
+)
+SELECT doc_id,
+    CAST(score_ppm AS BIGINT) AS score_ppm,
+    CAST(CASE WHEN score_ppm >= 700000 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM scored
+ORDER BY doc_id
+"""
+
 ORACLES["t07_vocab_stats"] = """
 WITH term_counts AS (
     SELECT lang, term, count(*) AS cnt

@@ -1048,6 +1048,20 @@ def t07_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, "lang", "text", top_k=10).orderBy("lang")
 
 
+@query("t08_quality_classifier")
+def t08_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality-classifier gate (FineWeb-Edu/DCLM stage):
+    fixed linear scorer over interpretable features in BIGINT ppm
+    arithmetic, so scores — not just the kept set — are oracle-
+    verified bit-for-bit. Pure codegen: one scan, no shuffle."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return classifier_score(docs).orderBy("doc_id")
+
+
 @query("p06_token_budget")
 def p06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget curation: spend a 500-token quota per
@@ -1492,6 +1506,23 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, k=5, n_clusters=16, n_probe=4, dim=64,
         train_iterations=1,
     ).orderBy("query_id", "rnk")
+
+
+@query("s04_mmr_diverse_topk")
+def s04_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-10 against the min-id query vector: distributed
+    exact-relevance top-50 pool, then the inherently-sequential greedy
+    MMR over that pool-sized set on the driver. No SQL oracle (the
+    greedy recurrence isn't SQL-expressible without recursive
+    per-step max-sim state); selection invariants (first pick = argmax
+    relevance, diversity ≤ plain top-k, determinism) are asserted in
+    tests/test_similarity.py."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        mmr_select,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, k=10, pool=50, lambda_x1000=700).orderBy("rank")
 
 
 @query("q31_unpivot")

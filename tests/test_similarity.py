@@ -209,3 +209,54 @@ def test_semantic_dedup_planted_copies(spark, sf_dir):
 
     none_dropped = semantic_dedup(corpus, "vec_id", "embedding", k=4, threshold=1.01)
     assert none_dropped.agg(F.sum("dropped")).collect()[0][0] == 0
+
+
+def test_mmr_first_pick_is_argmax_relevance_and_diverse(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+        mmr_select,
+    )
+
+    k = 5
+    sel = mmr_select(vectors, k=k, pool=20, lambda_x1000=700).collect()
+    assert [r["rank"] for r in sel] == list(range(1, k + 1))
+    # rank 1 must be the plain argmax-relevance pick
+    assert sel[0]["relevance"] == max(r["relevance"] for r in sel)
+    # MMR scores decrease weakly with rank (greedy picks the best left)
+    scores = [r["mmr_score"] for r in sel]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+
+    # diversity: average pairwise cosine within the MMR set must not
+    # exceed that of the plain relevance top-k set
+    def avg_pairwise(ids):
+        rows = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        us = [unit(rows[i]) for i in ids]
+        sims = [
+            sum(a * b for a, b in zip(us[i], us[j]))
+            for i in range(len(us))
+            for j in range(i + 1, len(us))
+        ]
+        return sum(sims) / len(sims)
+
+    qid = min(r["vec_id"] for r in vectors.collect())
+    topk = (
+        cosine_topk(
+            vectors,
+            vectors.filter(F.col("vec_id") == qid),
+            k=k,
+        )
+        .orderBy("rnk")
+        .collect()
+    )
+    plain_ids = [r["cand_id"] for r in topk]
+    mmr_ids = [r["vec_id"] for r in sel]
+    assert avg_pairwise(mmr_ids) <= avg_pairwise(plain_ids) + 1e-9
+
+    # determinism: re-running yields the identical selection
+    again = mmr_select(vectors, k=k, pool=20, lambda_x1000=700).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in sel]

@@ -166,3 +166,36 @@ def test_vocab_stats_exact_small(spark):
     fr = out["fr"]
     assert (fr.vocab_size, fr.total_tokens, fr.hapax_terms) == (2, 2, 2)
     assert fr.topk_coverage_ppm == 1_000_000
+
+
+def test_classifier_score_bounds_and_gate(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = classifier_score(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        # components cap at 300k + 250k + 150k + 300k = 1e6 ppm
+        assert 0 <= r["score_ppm"] <= 1_000_000
+        assert r["kept"] == (1 if r["score_ppm"] >= 700_000 else 0)
+    kept_frac = sum(r["kept"] for r in out) / len(out)
+    # the gate must actually discriminate on this corpus
+    assert 0.05 < kept_frac < 0.95
+
+
+def test_classifier_score_prefers_diverse_long_text(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),   # long, all-distinct
+        (2, "the " * 49 + "the"),                      # pure repetition
+        (3, "a b"),                                    # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r["score_ppm"] for r in classifier_score(df).collect()}
+    assert got[1] > got[2] and got[1] > got[3]
