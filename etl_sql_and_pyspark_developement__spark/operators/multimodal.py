@@ -139,6 +139,21 @@ def resize_payloads(
     """
     dst_n = dst_width * dst_height
 
+    import numpy as np
+
+    MOD = 1_000_000_007
+    # 31^(dst_n-1-i) mod p for the vectorized polynomial checksum:
+    # Horner's acc = ((0*31+b0)*31+b1)... equals Σ b_i·31^(n-1-i) mod p,
+    # so the per-byte Python loop becomes one dot product. Each term is
+    # ≤ 255·(p-1) ≈ 2.5e11 and the sum of dst_n of them stays far under
+    # int64, so a single final mod is exact.
+    powers = np.empty(dst_n, dtype=np.int64)
+    acc = 1
+    for i in range(dst_n - 1, -1, -1):
+        powers[i] = acc
+        acc = (acc * 31) % MOD
+    base_idx = np.arange(dst_n, dtype=np.float64)
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
@@ -148,25 +163,24 @@ def resize_payloads(
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 if not data:
-                    resized, status = b"", "empty"
+                    n_dst, checksum, status = 0, 0, "empty"
                 else:
-                    # nearest-neighbor byte resample (decode stub)
-                    step = len(data) / dst_n
-                    resized = bytes(
-                        data[min(int(i * step), len(data) - 1)]
-                        for i in range(dst_n)
+                    # nearest-neighbor byte resample (decode stub),
+                    # vectorized: gather indices then one modular dot
+                    src = np.frombuffer(data, dtype=np.uint8)
+                    idx = np.minimum(
+                        (base_idx * (len(data) / dst_n)).astype(np.int64),
+                        len(data) - 1,
                     )
-                    status = "ok"
+                    resized = src[idx].astype(np.int64)
+                    checksum = int((resized * powers % MOD).sum() % MOD)
+                    n_dst, status = dst_n, "ok"
                 rows["doc_id"].append(doc_id)
                 rows["src_bytes"].append(len(data))
-                rows["dst_bytes"].append(len(resized))
-                rows["dst_width"].append(dst_width if resized else 0)
-                rows["dst_height"].append(dst_height if resized else 0)
-                # polynomial rolling checksum of the resized artifact
-                acc = 0
-                for b in resized:
-                    acc = (acc * 31 + b) % 1_000_000_007
-                rows["checksum"].append(acc)
+                rows["dst_bytes"].append(n_dst)
+                rows["dst_width"].append(dst_width if n_dst else 0)
+                rows["dst_height"].append(dst_height if n_dst else 0)
+                rows["checksum"].append(checksum)
                 rows["status"].append(status)
             yield pd.DataFrame(rows)
 

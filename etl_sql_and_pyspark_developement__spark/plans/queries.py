@@ -1206,7 +1206,7 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    flagged = semantic_dedup(emb, "vec_id", "embedding", k=16, threshold=0.95)
+    flagged = semantic_dedup(emb, "vec_id", "embedding", k=32, threshold=0.95)
     return (
         flagged.groupBy("cluster")
         .agg(
