@@ -140,3 +140,48 @@ def weighted_mix(
     for val, r in rates.items():
         rate = F.when(F.col(group_col) == val, F.lit(float(r))).otherwise(rate)
     return df.filter(bucket < rate * 1000000)
+
+
+def epoch_expand(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Weighted multi-epoch expansion: materialize each group's rows
+    `weight` times on average — how a training mix upweights scarce
+    high-quality sources (weight > 1 repeats docs across epochs) and
+    downweights boilerplate (weight < 1 samples) in ONE pass.
+
+    copies(row) = floor(w) + (md5_bucket(id) < frac(w) ? 1 : 0)
+
+    The fractional epoch reuses weighted_mix's md5-bucket decision, so
+    the expanded multiset is deterministic, engine-portable, and
+    auditable — the exact property rand() repetition lacks. Dyadic
+    fractional parts (.5, .25, ...) keep every keep decision off
+    representation boundaries.
+
+    Returns the input row + `copy_idx` (1..copies). Scale: per-row
+    codegen arithmetic + explode(sequence(...)) — a narrow op whose
+    output is weight× the input, no shuffle; downstream epoch ORDER
+    comes from composing with seeded_shuffle_rank over
+    (id, copy_idx).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    w = F.lit(float(default_weight))
+    for val, r in weights.items():
+        w = F.when(F.col(group_col) == val, F.lit(float(r))).otherwise(w)
+    n_full = F.floor(w).cast("int")
+    frac_ppm = F.round((w - F.floor(w)) * 1000000).cast("long")
+    copies = n_full + (bucket < frac_ppm).cast("int")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )

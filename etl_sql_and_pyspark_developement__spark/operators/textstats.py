@@ -394,3 +394,38 @@ def classifier_score(
     return scored.withColumn(
         "kept", (F.col("score_ppm") >= keep_threshold_ppm).cast("int")
     )
+
+
+# PII patterns shared by the scrub operator and its tests. Kept to
+# syntax portable across Java regex (Spark) and RE2 (DuckDB): no
+# backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """PII detection + redaction (the privacy pass every released
+    training corpus runs): count and replace emails, NANP-style phone
+    numbers, and IPv4 literals with typed placeholder tokens.
+
+    Order matters and is fixed (email → phone → ipv4): emails are
+    scrubbed before the ip pattern can match a dotted quad inside a
+    hostname-like tail. Counts are taken on the ORIGINAL text, each
+    redaction on the previous stage's output — the standard chained
+    regexp_replace shape, one scan, pure codegen, no UDFs.
+    """
+    out = df
+    for name in PII_ORDER:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name]))
+        )
+    scrubbed = F.col(text_col)
+    for name in PII_ORDER:
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[name], f"[{name.upper()}]")
+    return out.withColumn(out_col, scrubbed)

@@ -1460,6 +1460,55 @@ ORDER BY component
 
 # Mirrors weighted_mix: same md5 bucket, dyadic rates (exact under
 # both double and decimal arithmetic — no boundary drift).
+ORACLES["t09_pii_scrub"] = r"""
+WITH aug AS (
+    SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.org call 555-'
+             || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+             || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+    CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+    CAST(len(regexp_extract_all(t,
+        '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+    CAST(len(regexp_extract_all(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+    md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')) AS scrub_fp
+FROM aug
+ORDER BY doc_id
+"""
+
+ORACLES["p08_epoch_mix"] = """
+WITH w AS (
+    SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000 AS bucket,
+        CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 2.0 WHEN 'de' THEN 1.5
+                  WHEN 'es' THEN 0.5 ELSE 1.0 END AS wt
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang,
+        CAST(floor(wt) AS INTEGER)
+        + CASE WHEN bucket < CAST(round((wt - floor(wt)) * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END AS copies
+    FROM w
+)
+SELECT doc_id, lang,
+    CAST(unnest(generate_series(1, copies)) AS INTEGER) AS copy_idx
+FROM c
+WHERE copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
 ORACLES["p05_corpus_mix"] = """
 WITH rated AS (
     SELECT lang, n_chars,

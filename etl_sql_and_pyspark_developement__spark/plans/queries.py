@@ -1062,6 +1062,67 @@ def t08_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs).orderBy("doc_id")
 
 
+@query("t09_pii_scrub")
+def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus. The synthetic corpus
+    carries no real PII, so the query plants deterministic doc_id-
+    derived email/phone/IPv4 strings first — both engines build the
+    identical augmented text, so the oracle verifies counts AND the
+    md5 of the redacted output value-for-value."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "aug_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 3) % 256).cast("string"),
+        ),
+    )
+    return (
+        pii_scrub(aug, "aug_text")
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+            F.md5(F.col("scrubbed")).alias("scrub_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("p08_epoch_mix")
+def p08_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-epoch corpus expansion (training-mix repetition:
+    en 2.5 / zh 2.0 / de 1.5 / fr 1.0 / es 0.5 average epochs).
+    Returns the exact expanded multiset (doc_id, lang, copy_idx), so
+    the oracle verifies every repetition decision, not just expected
+    proportions."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        epoch_expand,
+    )
+
+    weights = {"en": 2.5, "zh": 2.0, "de": 1.5, "fr": 1.0, "es": 0.5}
+    docs = table(spark, sf_dir, "documents")
+    return (
+        epoch_expand(docs, "doc_id", "lang", weights)
+        .select("doc_id", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
 @query("p06_token_budget")
 def p06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget curation: spend a 500-token quota per

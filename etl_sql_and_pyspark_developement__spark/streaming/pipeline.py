@@ -238,3 +238,18 @@ def streaming_dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
+    """st09: streaming quality-classifier gate — the t08 scorer
+    (pure codegen integer arithmetic) applied to arriving documents,
+    keeping only rows past the threshold. Stateless per micro-batch
+    (no watermark, no state store), so it runs at ingest speed at any
+    scale; compose with st08's anti-join for the full continuous-crawl
+    curation path.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+
+    return classifier_score(doc_stream).filter(F.col("kept") == 1)

@@ -167,3 +167,42 @@ def test_seeded_shuffle_rank_permutation_properties(spark, sf_dir):
     assert o1 != o2, "different seeds must permute differently"
     assert sorted(o1) == sorted(o2) == list(range(n)), "must be a permutation"
     assert o1 != sorted(o1), "shuffle must not be the identity order"
+
+
+def test_epoch_expand_copies_and_determinism(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        epoch_expand,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {"en": 2.5, "zh": 2.0, "de": 1.5, "fr": 1.0, "es": 0.5}
+    out = epoch_expand(docs, "doc_id", "lang", weights)
+    rows = out.select("doc_id", "lang", "copy_idx").collect()
+
+    per_doc: dict[int, list[int]] = {}
+    lang_of: dict[int, str] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+        lang_of[r.doc_id] = r.lang
+    for did, idxs in per_doc.items():
+        w = weights[lang_of[did]]
+        # copy_idx is dense 1..copies and copies ∈ {floor(w), ceil(w)}
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+        assert int(w) <= len(idxs) <= int(w) + (1 if w != int(w) else 0)
+
+    # integer weights are exact: every fr doc appears exactly once
+    n_fr_docs = docs.filter("lang = 'fr'").count()
+    n_fr_copies = sum(len(v) for d, v in per_doc.items() if lang_of[d] == "fr")
+    assert n_fr_copies == n_fr_docs
+
+    # achieved average epochs tracks the weight for fractional groups
+    n_en_docs = docs.filter("lang = 'en'").count()
+    n_en_copies = sum(len(v) for d, v in per_doc.items() if lang_of[d] == "en")
+    assert abs(n_en_copies / n_en_docs - 2.5) < 0.25
+
+    # deterministic: the exact multiset reproduces
+    again = epoch_expand(docs, "doc_id", "lang", weights).select(
+        "doc_id", "lang", "copy_idx"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

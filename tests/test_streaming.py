@@ -332,3 +332,29 @@ def test_st08_stream_ingest_dedup(spark, sf_dir, documents_dir):
     }
     assert got == want, "stream ingest must match the batch anti-join row set"
     assert want and len(want) < docs.count(), "both kept and dropped docs exist"
+
+
+def test_st09_stream_quality_gate_matches_batch(spark, sf_dir, documents_dir):
+    """The streaming classifier gate must keep exactly the batch t08
+    kept set — stateless per micro-batch, so row sets are identical."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        run_to_memory,
+        stream_quality_gate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+    run_to_memory(stream_quality_gate(stream), "st09_out", "append")
+    got = {
+        (r.doc_id, r.score_ppm)
+        for r in spark.sql("SELECT doc_id, score_ppm FROM st09_out").collect()
+    }
+    want = {
+        (r.doc_id, r.score_ppm)
+        for r in classifier_score(docs).filter("kept = 1").collect()
+    }
+    assert got == want and got

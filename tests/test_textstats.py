@@ -199,3 +199,30 @@ def test_classifier_score_prefers_diverse_long_text(spark):
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     got = {r["doc_id"]: r["score_ppm"] for r in classifier_score(df).collect()}
     assert got[1] > got[2] and got[1] > got[3]
+
+
+def test_pii_scrub_counts_redacts_and_is_idempotent(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "reach me at jane.doe+x@corp.example.com or 555-867-5309 ok"),
+        (2, "server 192.168.001.042 answered; backup 10.0.0.7 did not"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 1, 0)
+    assert "[EMAIL]" in got[1].scrubbed and "[PHONE]" in got[1].scrubbed
+    assert "jane" not in got[1].scrubbed and "5309" not in got[1].scrubbed
+    assert got[2].n_ipv4 == 2 and got[2].scrubbed.count("[IPV4]") == 2
+    assert got[3].scrubbed == rows[2][1]
+
+    # idempotent: scrubbing the scrubbed text finds nothing
+    scrubbed_df = spark.createDataFrame(
+        [(r.doc_id, r.scrubbed) for r in got.values()],
+        "doc_id BIGINT, text STRING",
+    )
+    again = pii_scrub(scrubbed_df).collect()
+    assert all(r.n_email == r.n_phone == r.n_ipv4 == 0 for r in again)
