@@ -686,3 +686,78 @@ def duplicated_spans(
         F.max("span_tokens").alias("max_span_tokens"),
         F.sum("span_tokens").alias("total_span_tokens"),
     )
+
+
+def corpus_dup_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-level duplication audit over word n-grams — the
+    measurement that decides WHETHER a corpus needs dedup before the
+    expensive pairwise machinery runs (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", report dup fractions
+    first for exactly this reason). Per group:
+
+    - total_grams / distinct_grams: occurrence vs type counts
+    - dup_occ_ppm:    fraction of gram occurrences that are repeats of
+                      an earlier occurrence (1e6·(total−distinct)/total)
+    - cross_doc_ppm:  fraction of occurrences whose gram appears in ≥2
+                      distinct docs — the between-doc duplication that
+                      pairwise dedup would remove (within-doc repeats
+                      are t06's repetition signal instead)
+
+    Integer-ppm arithmetic end to end (bit-exact vs the oracle).
+
+    Scale: ONE explode pass → (group, gram, doc) partial count →
+    (group, gram) rollup → per-group rollup. Shuffle keys are
+    high-cardinality grams (skew-free); the final rollup is
+    |groups|-sized. Linear in corpus size, never pairwise.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("doc"), toks.alias("_toks")
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array())
+    grams = base.select(
+        "grp",
+        "doc",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
+        ).alias("gram"),
+    )
+    per_gram_doc = grams.groupBy("grp", "gram", "doc").agg(
+        F.count("*").alias("occ")
+    )
+    per_gram = per_gram_doc.groupBy("grp", "gram").agg(
+        F.sum("occ").alias("cnt"), F.count("*").alias("n_docs_with")
+    )
+    profile = per_gram.groupBy("grp").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.sum(F.when(F.col("n_docs_with") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "__crossdoc_occ"
+        ),
+    )
+    n_docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        profile.join(n_docs, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_grams",
+            "distinct_grams",
+            F.expr(
+                "1000000 * (total_grams - distinct_grams) div total_grams"
+            ).alias("dup_occ_ppm"),
+            F.expr("1000000 * __crossdoc_occ div total_grams").alias(
+                "cross_doc_ppm"
+            ),
+        )
+    )

@@ -1460,6 +1460,44 @@ ORDER BY component
 
 # Mirrors weighted_mix: same md5 bucket, dyadic rates (exact under
 # both double and decimal arithmetic — no boundary drift).
+ORACLES["d12_corpus_dup_profile"] = """
+WITH base AS (
+    SELECT source, doc_id, string_split(text, ' ') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT source, doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+    FROM base, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+per_gram_doc AS (
+    SELECT source, gram, doc_id, count(*) AS occ
+    FROM grams GROUP BY source, gram, doc_id
+),
+per_gram AS (
+    SELECT source, gram, sum(occ) AS cnt, count(*) AS n_docs_with
+    FROM per_gram_doc GROUP BY source, gram
+),
+profile AS (
+    SELECT source,
+        CAST(sum(cnt) AS BIGINT) AS total_grams,
+        count(*) AS distinct_grams,
+        CAST(sum(CASE WHEN n_docs_with >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+            AS crossdoc_occ
+    FROM per_gram GROUP BY source
+),
+docs_per AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT p.source,
+    d.n_docs,
+    p.total_grams,
+    p.distinct_grams,
+    1000000 * (p.total_grams - p.distinct_grams) // p.total_grams AS dup_occ_ppm,
+    1000000 * p.crossdoc_occ // p.total_grams AS cross_doc_ppm
+FROM profile p JOIN docs_per d ON p.source = d.source
+ORDER BY p.source
+"""
+
 ORACLES["t09_pii_scrub"] = r"""
 WITH aug AS (
     SELECT doc_id,

@@ -1062,6 +1062,19 @@ def t08_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs).orderBy("doc_id")
 
 
+@query("d12_corpus_dup_profile")
+def d12_corpus_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-3-gram duplication audit (occurrence vs type
+    counts, repeat and cross-doc fractions in integer ppm) — the
+    pre-flight measurement before pairwise dedup. Bit-exact oracle."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        corpus_dup_profile,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return corpus_dup_profile(docs, n=3).orderBy("source")
+
+
 @query("t09_pii_scrub")
 def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over the corpus. The synthetic corpus

@@ -297,3 +297,33 @@ def test_duplicated_spans_matches_python_reference(spark, docs):
         for r in duplicated_spans(df, "doc_id", "text", k=k, min_span_tokens=min_span).collect()
     }
     assert got == expected
+
+
+def test_corpus_dup_profile_hand_computed(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        corpus_dup_profile,
+    )
+
+    rows = [
+        # srcA: doc1 and doc2 share the trigram "a b c"; doc1 repeats it
+        (1, "a b c x a b c", "srcA"),     # grams: abc bcx cxa xab abc (5, 4 distinct)
+        (2, "a b c q r", "srcA"),         # grams: abc bcq cqr (3)
+        # srcB: no repetition at all
+        (3, "p q r s", "srcB"),           # grams: pqr qrs (2)
+        # short doc: fewer tokens than n -> contributes nothing
+        (4, "z", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    got = {r.source: r for r in corpus_dup_profile(df, n=3).collect()}
+
+    a = got["srcA"]
+    # doc1: [abc bcx cxa xab abc], doc2: [abc bcq cqr] -> 8 occurrences
+    # over 6 types (abc bcx cxa xab bcq cqr) -> 2 repeat occurrences;
+    # "a b c" occurs 3x across 2 docs -> 3 cross-doc occurrences
+    assert (a.n_docs, a.total_grams, a.distinct_grams) == (2, 8, 6)
+    assert a.dup_occ_ppm == 1000000 * 2 // 8
+    assert a.cross_doc_ppm == 1000000 * 3 // 8
+
+    b = got["srcB"]
+    assert (b.n_docs, b.total_grams, b.distinct_grams) == (2, 2, 2)
+    assert b.dup_occ_ppm == 0 and b.cross_doc_ppm == 0
