@@ -265,34 +265,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash+LSH candidate generation → exact Jaccard verification.
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc, band_id, band_hash) LSH band table from a signature frame.
 
-    Scale path: signatures are one shuffle (groupBy doc); banding
-    explodes 32 narrow rows per doc; the bucket groupBy is the only
-    wide shuffle, keyed by (band_id, band_hash) which is uniform by
-    construction (hash values) — no skew. Verification touches only
-    candidate pairs.
+    band key = the 4 minhash values packed into ONE BIGINT (15 low
+    bits each, 60 bits total). Packing can only MERGE distinct tuples
+    (extra candidates, filtered by the exact Jaccard verify — results
+    unchanged), never split equal ones, and the same shift arithmetic
+    exists in DuckDB, so the d03/d06 oracles mirror the candidate set
+    exactly. A long key shuffles ~10x fewer bytes than the
+    concatenated-tuple string and avoids Spark-only xxhash64.
     """
     rows_per_band = N_MINHASH // N_BANDS
-    # One shingle pass feeds signatures, sizes, and candidate
-    # verification — persist it (reused 4×).
-    sh = shingle_df(df, id_col, text_col, n).persist()
-    sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
-    # band key = the 4 minhash values packed into ONE BIGINT
-    # (15 low bits each, 60 bits total). Packing can only MERGE
-    # distinct tuples (extra candidates, filtered by the exact Jaccard
-    # verify — results unchanged), never split equal ones, and the
-    # same shift arithmetic exists in DuckDB, so the d03/d06 oracles
-    # mirror the candidate set exactly. A long key shuffles ~10x
-    # fewer bytes than the concatenated-tuple string and avoids
-    # Spark-only xxhash64.
+
     def _band_key(b: int) -> Column:
         return F.expr(
             " + ".join(
@@ -309,13 +294,35 @@ def minhash_lsh_pairs(
         )
         for b in range(N_BANDS)
     ]
+    return sigs.select(
+        "doc", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc", "band.band_id", "band.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation → exact Jaccard verification.
+
+    Scale path: signatures are one shuffle (groupBy doc); banding
+    explodes 32 narrow rows per doc; the bucket groupBy is the only
+    wide shuffle, keyed by (band_id, band_hash) which is uniform by
+    construction (hash values) — no skew. Verification touches only
+    candidate pairs.
+    """
+    # One shingle pass feeds signatures, sizes, and candidate
+    # verification — persist it (reused 4×).
+    sh = shingle_df(df, id_col, text_col, n).persist()
+    sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
     # The candidate self-join references `banded` twice; only `sh`
     # below it is persisted, so without this persist the 128-min-agg
     # signature groupBy executes once PER SIDE — measured ~2.8s of the
     # 6.6s execution at sf0.1. 160k narrow rows: cache them.
-    banded = sigs.select(
-        "doc", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc", "band.band_id", "band.band_hash").persist()
+    banded = _banded(sigs).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -761,3 +768,81 @@ def corpus_dup_profile(
             ),
         )
     )
+
+
+def corpus_neardup_index(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> dict[str, DataFrame]:
+    """Precomputed (and persisted) artifacts for screening arriving
+    documents against a STATIC reference corpus: LSH band table,
+    shingle set, and shingle-set sizes. Build once, reuse across every
+    screened batch/micro-batch — the historical corpus is never
+    rescanned (the same never-rescan contract as st08's exact-
+    fingerprint ingest, lifted to NEAR-duplicates)."""
+    sh = shingle_df(corpus, id_col, text_col, n).persist()
+    bands = _banded(
+        _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
+    ).persist()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    return {"bands": bands, "shingles": sh, "sizes": sizes}
+
+
+def neardup_screen(
+    batch: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop every batch document with a verified near-duplicate in the
+    indexed corpus; returns the surviving batch rows unchanged.
+
+    Same machinery as minhash_lsh_pairs, but CROSS-corpus: candidates
+    come from shared (band_id, band_hash) buckets between the batch
+    band table and the corpus index, then exact Jaccard over shingle
+    sets verifies ≥ threshold. Batch-side cost is proportional to the
+    BATCH size (signatures + bucket probe + candidate verify), never
+    to the corpus — the property that makes continuous-crawl ingest
+    sustainable at 100 TB corpora.
+    """
+    sh_b = shingle_df(batch, id_col, text_col, n).persist()
+    bands_b = _banded(
+        _with_base_fingerprint(sh_b).groupBy("doc").agg(*_minhash_aggs())
+    )
+    candidates = (
+        bands_b.join(
+            index["bands"]
+            .withColumnRenamed("doc", "c_doc"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("doc") != F.col("c_doc"))
+        .select("doc", "c_doc")
+        .distinct()
+    )
+    sizes_b = sh_b.groupBy("doc").agg(F.count("*").alias("n_b"))
+    inter = (
+        candidates.join(sh_b, "doc")
+        .join(
+            index["shingles"].withColumnRenamed("doc", "c_doc"),
+            ["c_doc", "shingle"],
+        )
+        .groupBy("doc", "c_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    dup_ids = (
+        inter.join(sizes_b, "doc")
+        .join(
+            index["sizes"]
+            .withColumnRenamed("doc", "c_doc")
+            .withColumnRenamed("n_sh", "n_c"),
+            "c_doc",
+        )
+        .filter(
+            F.col("inter") / (F.col("n_b") + F.col("n_c") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")

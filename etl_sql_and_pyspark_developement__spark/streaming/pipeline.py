@@ -253,3 +253,30 @@ def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
     )
 
     return classifier_score(doc_stream).filter(F.col("kept") == 1)
+
+
+def sink_stream_neardup(doc_stream: DataFrame, corpus: DataFrame, out_dir: str):
+    """st10: streaming NEAR-duplicate ingest — each arriving micro-
+    batch is screened against the static corpus with the full
+    MinHash-LSH + exact-Jaccard machinery and survivors land in the
+    sink. foreachBatch is the production shape here: LSH needs a
+    per-doc signature aggregation, which an append-mode stream can't
+    express directly, but per micro-batch the ALREADY-VERIFIED batch
+    operator (operators/dedup.neardup_screen) runs unchanged.
+
+    The corpus index (band table, shingles, sizes) is built and
+    persisted ONCE outside the loop; per-batch cost is proportional to
+    the batch, never the corpus.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        corpus_neardup_index,
+        neardup_screen,
+    )
+
+    index = corpus_neardup_index(corpus)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = neardup_screen(batch_df, index)
+        survivors.write.mode("append").parquet(out_dir)
+
+    return doc_stream.writeStream.foreachBatch(process)

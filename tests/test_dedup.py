@@ -327,3 +327,44 @@ def test_corpus_dup_profile_hand_computed(spark):
     b = got["srcB"]
     assert (b.n_docs, b.total_grams, b.distinct_grams) == (2, 2, 2)
     assert b.dup_occ_ppm == 0 and b.cross_doc_ppm == 0
+
+
+def test_neardup_screen_drops_planted_copy_keeps_novel(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        corpus_neardup_index,
+        minhash_lsh_pairs,
+        neardup_screen,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    index = corpus_neardup_index(corpus)
+
+    # a verbatim copy of a corpus doc (new id) must be dropped; a
+    # novel doc must survive
+    src_text = corpus.orderBy("doc_id").first()["text"]
+    batch = spark.createDataFrame(
+        [
+            (10_000_001, src_text, "en", "probe", len(src_text)),
+            (10_000_002, "entirely novel words nowhere else present at all",
+             "en", "probe", 48),
+        ],
+        docs.schema,
+    )
+    kept = {r.doc_id for r in neardup_screen(batch, index).collect()}
+    assert kept == {10_000_002}
+
+    # cross-parity with the self-join path: screening the odd docs
+    # must drop exactly the odd side of verified odd-even LSH pairs
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    kept_odd = {r.doc_id for r in neardup_screen(odd, index).collect()}
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    dropped_expected = {
+        r.a for r in pairs.selectExpr(
+            "CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS a",
+            "CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS b",
+        ).filter("a % 2 = 1 AND b % 2 = 0").collect()
+    }
+    want_odd = {r.doc_id for r in odd.collect()} - dropped_expected
+    assert kept_odd == want_odd

@@ -358,3 +358,33 @@ def test_st09_stream_quality_gate_matches_batch(spark, sf_dir, documents_dir):
         for r in classifier_score(docs).filter("kept = 1").collect()
     }
     assert got == want and got
+
+
+def test_st10_stream_neardup_matches_batch(spark, sf_dir, documents_dir, tmp_path):
+    """Streaming near-dup ingest must write exactly the batch
+    neardup_screen survivors — foreachBatch reuses the batch operator,
+    so row sets are identical."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        corpus_neardup_index,
+        neardup_screen,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        sink_stream_neardup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    out = str(tmp_path / "st10_out")
+
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+    q = sink_stream_neardup(stream, corpus, out).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id
+        for r in neardup_screen(docs, corpus_neardup_index(corpus)).collect()
+    }
+    assert got == want and got
