@@ -32,6 +32,10 @@ def main() -> None:
         n = df.count()
         timings[key] = round(time.perf_counter() - t0, 3)
         print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+        # Queries persist their own intermediates; drop them between
+        # queries (outside the timed section) so one query's leaked
+        # cache blocks never pressure a later query's execution memory.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

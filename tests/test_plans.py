@@ -186,3 +186,43 @@ def test_p07_single_ordering(spark, sf_dir):
     plan = plan_of(spark, "p07_epoch_shuffle", sf_dir)
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted mode prints every node twice (tree + numbered detail
+    # section) — count the detail headings only
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_t08_classifier_single_scan_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "t08_quality_classifier", sf_dir)
+    # pure codegen gate: no Python stage; the only Exchange allowed is
+    # the final ORDER BY's range partitioning
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert _n_exchanges(plan) <= 1
+    assert plan.count("(1) Scan parquet") == 1
+
+
+def test_t09_pii_single_scan_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "t09_pii_scrub", sf_dir)
+    assert "Python" not in plan
+    assert _n_exchanges(plan) <= 1  # ORDER BY only
+    assert plan.count("(1) Scan parquet") == 1
+
+
+def test_p08_epoch_expand_narrow(spark, sf_dir):
+    plan = plan_of(spark, "p08_epoch_mix", sf_dir)
+    # explode(sequence(...)) is a narrow Generate — no shuffle before
+    # the final ORDER BY
+    assert "Generate" in plan and "explode" in plan
+    assert _n_exchanges(plan) <= 1
+
+
+def test_d12_no_cartesian_two_gram_shuffles(spark, sf_dir):
+    plan = plan_of(spark, "d12_corpus_dup_profile", sf_dir)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # gram-level partial->final aggs + tiny per-source rollup + n_docs
+    # join; the gram explode itself must stay narrow
+    assert "Generate" in plan and "explode" in plan
