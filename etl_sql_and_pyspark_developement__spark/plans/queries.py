@@ -25,7 +25,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def query(key: str):
     def deco(fn):
-        QUERIES[key] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Idempotent session guard: the driver may call queries()
+            # on a session that never went through entry(); UTC + AQE
+            # must hold for timestamp parity with the DuckDB oracles.
+            from etl_sql_and_pyspark_developement__spark.session import (
+                configure_existing,
+            )
+
+            configure_existing(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[key] = wrapped
         return fn
 
     return deco
