@@ -185,3 +185,72 @@ def resize_payloads(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+WINDOW_FEATURE_SCHEMA = (
+    "doc_id bigint, win_idx int, win_start int, win_bytes int, "
+    "rms double, zero_crossings int"
+)
+
+
+def window_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    win_size: int = 64,
+    hop: int = 16,
+) -> DataFrame:
+    """Audio-style OVERLAPPING-window feature extraction over an opaque
+    binary payload — the fourth multimodal kernel shape next to decode
+    (m01), stride frame-sampling (m02, non-overlapping), and resize
+    (m03): windows advance by `hop` < `win_size`, so each byte lands in
+    several windows (the spectrogram/STFT access pattern). Features are
+    STUB stand-ins computed on raw bytes (RMS of centered samples,
+    zero-crossing count) — a real pipeline decodes PCM and runs an FFT
+    here; the Spark plumbing (batch iterator, explicit schema, rows ∝
+    payload/hop fan-out) is the production shape.
+
+    Vectorized per doc: numpy stride-tricks view over the byte array,
+    one RMS/ZC reduction per window — no per-byte Python.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_start, out_bytes, out_rms, out_zc = (
+                [], [], [], [], [], [],
+            )
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if len(data) < win_size:
+                    continue
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                centered = arr - 128.0
+                n_wins = (len(data) - win_size) // hop + 1
+                idx = (
+                    np.arange(win_size)[None, :]
+                    + hop * np.arange(n_wins)[:, None]
+                )
+                wins = centered[idx]                     # (n_wins, win_size)
+                rms = np.sqrt((wins * wins).mean(axis=1))
+                signs = np.sign(wins)
+                zc = (np.abs(np.diff(signs, axis=1)) > 1).sum(axis=1)
+                out_id.extend([doc_id] * n_wins)
+                out_idx.extend(range(n_wins))
+                out_start.extend((hop * np.arange(n_wins)).tolist())
+                out_bytes.extend([win_size] * n_wins)
+                out_rms.extend(np.round(rms, 6).tolist())
+                out_zc.extend(zc.astype(int).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "win_idx": out_idx,
+                    "win_start": out_start,
+                    "win_bytes": out_bytes,
+                    "rms": out_rms,
+                    "zero_crossings": out_zc,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract, WINDOW_FEATURE_SCHEMA
+    )

@@ -1353,6 +1353,32 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(with_binary_payload(docs)).orderBy("doc_id")
 
 
+@query("m04_window_features")
+def m04_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapping-window feature extraction (STFT access
+    pattern, stubbed kernel) over binary payloads, rolled up per doc.
+
+    No SQL oracle (Pandas-UDF path); window math tested against an
+    independent Python reference in tests/test_multimodal.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        window_features,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    wins = window_features(with_binary_payload(docs))
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("zero_crossings"), 4).alias("avg_zc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q25_asof_attribution")
 def q25_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: attribute each purchase to the latest preceding view

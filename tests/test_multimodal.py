@@ -86,3 +86,48 @@ def test_resize_fixed_output_and_deterministic_checksum(spark):
     # determinism: second run produces identical checksums
     again = {r.doc_id: r.checksum for r in resize_payloads(with_binary_payload(df), dst_width=4, dst_height=4).collect()}
     assert {k: v.checksum for k, v in out.items()} == again
+
+
+def test_window_features_match_python_reference(spark):
+    import math
+
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        window_features,
+        with_binary_payload,
+    )
+
+    text = "abcdefgh" * 20  # 160 bytes
+    df = with_binary_payload(
+        spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    )
+    got = {
+        r.win_idx: r
+        for r in window_features(df, win_size=64, hop=16).collect()
+    }
+    data = text.encode()
+    n_wins = (len(data) - 64) // 16 + 1
+    assert set(got) == set(range(n_wins))
+    for w in range(n_wins):
+        win = [b - 128.0 for b in data[16 * w : 16 * w + 64]]
+        rms = math.sqrt(sum(x * x for x in win) / 64)
+        zc = sum(
+            1
+            for a, b in zip(win, win[1:])
+            if abs((a > 0) - (b > 0) + ((a < 0) - (b < 0)) * -1) > 0
+            and abs(((a > 0) - (a < 0)) - ((b > 0) - (b < 0))) > 1
+        )
+        assert abs(got[w].rms - round(rms, 6)) < 1e-9
+        assert got[w].win_start == 16 * w and got[w].win_bytes == 64
+        assert got[w].zero_crossings == zc
+
+
+def test_window_features_short_payload_empty(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        window_features,
+        with_binary_payload,
+    )
+
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "tiny")], "doc_id BIGINT, text STRING")
+    )
+    assert window_features(df, win_size=64, hop=16).count() == 0
