@@ -429,3 +429,38 @@ def pii_scrub(
     for name in PII_ORDER:
         scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[name], f"[{name.upper()}]")
     return out.withColumn(out_col, scrubbed)
+
+
+def surprisal_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy scoring from corpus unigram statistics (the
+    CCNet-style LM filter stage, with the n-gram LM replaced by the
+    corpus's own unigram table so the score is engine-exact): each
+    token occurrence contributes rarity = 1e6 div corpus_count, and a
+    document's score is the integer mean of its tokens' rarities.
+    High score ⇒ rare-token-heavy (OOV-ish / noisy), low score ⇒
+    common-token text — the same decision axis a perplexity filter
+    thresholds on, in BIGINT arithmetic the oracle replays exactly.
+
+    Scale: token explode → corpus unigram groupBy (one shuffle on
+    token, Zipf-skew absorbed by partial aggregation) → broadcast-or-
+    shuffle join back → per-doc agg (one shuffle on doc id). Linear,
+    no driver state; the unigram table is reusable across runs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    return (
+        toks.join(freq, "term")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(1000000 div cnt) div count(*)").alias(
+                "mean_rarity_ppm"
+            ),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "mean_rarity_ppm")
+    )

@@ -1524,6 +1524,22 @@ FROM aug
 ORDER BY doc_id
 """
 
+ORACLES["t10_surprisal"] = """
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+freq AS (
+    SELECT term, count(*) AS cnt FROM toks GROUP BY term
+)
+SELECT t.doc AS doc_id,
+    count(*) AS n_tokens,
+    CAST(sum(1000000 // cnt) // count(*) AS BIGINT) AS mean_rarity_ppm
+FROM toks t JOIN freq f ON t.term = f.term
+GROUP BY t.doc
+ORDER BY doc_id
+"""
+
 ORACLES["p08_epoch_mix"] = """
 WITH w AS (
     SELECT doc_id, lang,

@@ -1129,6 +1129,18 @@ def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t10_surprisal")
+def t10_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy (corpus-unigram surprisal) scores per doc —
+    the LM-filter decision axis in engine-exact BIGINT arithmetic."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        surprisal_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return surprisal_scores(docs).orderBy("doc_id")
+
+
 @query("p08_epoch_mix")
 def p08_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted multi-epoch corpus expansion (training-mix repetition:

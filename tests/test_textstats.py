@@ -226,3 +226,21 @@ def test_pii_scrub_counts_redacts_and_is_idempotent(spark):
     )
     again = pii_scrub(scrubbed_df).collect()
     assert all(r.n_email == r.n_phone == r.n_ipv4 == 0 for r in again)
+
+
+def test_surprisal_rare_tokens_score_higher(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        surprisal_scores,
+    )
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common rareword1 rareword2 rareword3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in surprisal_scores(df).collect()}
+    # "common" appears 5x corpus-wide -> rarity 200000; rarewords 1x
+    # -> 1000000. doc1 = 200000; doc2 = (200000 + 3*1000000) // 4
+    assert got[1].mean_rarity_ppm == 200000
+    assert got[2].mean_rarity_ppm == (200000 + 3 * 1000000) // 4
+    assert got[2].mean_rarity_ppm > got[1].mean_rarity_ppm
