@@ -1,22 +1,41 @@
-"""Scale-path quantile bucketing.
+"""Scale-path quantile bucketing and EXACT global ranking without a
+single-task global sort.
 
-Exact NTILE(n) needs a global sort — at 10⁹+ entities the single
-ORDER BY window is the bottleneck (q12's ltv deciles note in
-PLANS.md). The 2-pass alternative: (1) approx_percentile computes the
-n-1 cut points with a fixed-size mergeable sketch (partial-aggregable,
-one shuffle of sketch bytes, never rows); (2) each row's bucket is a
-branch-free comparison against the broadcast cut array — narrow, no
-shuffle, no sort.
+Exact NTILE(n) / ROW_NUMBER() over an unpartitioned ORDER BY funnels
+the whole table through ONE window task — at 10⁹+ entities that is the
+canonical driver-of-OOM. Two alternatives live here:
 
-Buckets are approximate at the boundaries (sketch accuracy
-1/accuracy), exact in expectation; ties land in the lower bucket,
-matching SQL width-bucket semantics rather than NTILE's exact
-equal-count split.
+1. `approx_ntile` — approximate buckets from sketch cut points
+   (boundaries off by ≤ 1/accuracy of the mass; exact in expectation).
+
+2. `scalable_ntile` / `range_bucket` — EXACT global rank, distributed:
+   (a) a deterministic sketch (percentile_approx, mergeable partial
+       agg — sketch bytes shuffle, never rows) yields P-1 cut points;
+   (b) every row gets a MONOTONE bucket id by comparing its sort key
+       against the broadcast cut array (narrow, codegen — unlike
+       repartitionByRange, whose sampled boundaries are not
+       deterministic across re-computations of the same plan);
+   (c) per-bucket local row_number (one window task PER BUCKET — the
+       sort is distributed across P tasks);
+   (d) each bucket's offset = total rows in lower buckets, computed by
+       a window over the P-row bucket-counts aggregate (tiny by
+       construction) and broadcast-joined back;
+   (e) global_rank = offset + local row_number — EXACT regardless of
+       where the sketch put the cuts, because bucketing is monotone in
+       the sort key and equal keys always share a bucket.
+   NTILE then is pure arithmetic on the exact rank (q = n div k,
+   rem = n mod k — the first rem buckets hold q+1 rows):
+       ntile(k) = ceil(rank / (q+1))                 if rank ≤ rem·(q+1)
+                  rem + ceil((rank − rem·(q+1)) / q) otherwise
+   which reproduces SQL's front-loaded-remainder semantics
+   bit-for-bit, verified against F.ntile in tests. (The tempting
+   floor((rank−1)·k/n)+1 is NOT ntile — it spreads the remainder
+   evenly instead of front-loading it.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,3 +63,164 @@ def bucket_expr(value: Column, cuts: list[float]) -> Column:
         F.lit(1)
         + F.size(F.filter(arr, lambda c: c < value))
     ).cast("int")
+
+
+def range_bucket(
+    df: DataFrame,
+    key_col: Column,
+    partitions: int = 64,
+    accuracy: int = 10000,
+    out_col: str = "__rb",
+) -> DataFrame:
+    """Assign each row a deterministic MONOTONE bucket id in [1,
+    partitions] by `key_col` ascending: bucket(b) rows never sort
+    after bucket(b+1) rows, and equal keys share a bucket. The cut
+    points come from one percentile_approx pass (mergeable sketch —
+    deterministic, unlike repartitionByRange's sampling); the bucket
+    assignment itself is a narrow codegen comparison. Bucket sizes are
+    ~n/partitions ± sketch error — they only need to be balanced, not
+    exact, because callers recount per bucket."""
+    tagged = df.withColumn("__rkey", key_col.cast("double"))
+    probs = [i / partitions for i in range(1, partitions)]
+    row = tagged.select(
+        F.percentile_approx("__rkey", probs, accuracy).alias("c")
+    ).first()
+    cuts = [float(c) for c in (row["c"] or [])] if row is not None else []
+    return tagged.withColumn(out_col, bucket_expr(F.col("__rkey"), cuts))
+
+
+def scalable_ntile(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    tiebreak_col: str,
+    out_col: str = "bucket",
+    descending: bool = True,
+    range_partitions: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """EXACT NTILE(n) over (value_col [DESC], tiebreak_col ASC) with
+    no unpartitioned window: distributed rank via range_bucket +
+    per-bucket row_number + broadcast bucket offsets (module
+    docstring, steps b-e). Bit-identical to
+    F.ntile(n).over(Window.orderBy(...)) — asserted in
+    tests/test_sampling.py — at ~P-way parallel sort cost.
+
+    `range_partitions` bounds per-task sort size: at 10⁹ entities use
+    n_rows / ~5M. The two sketch/count passes re-scan the input plan;
+    persist upstream if it is expensive (here callers feed it a
+    one-groupBy aggregate)."""
+    key = -F.col(value_col) if descending else F.col(value_col)
+    bucketed = range_bucket(df, key, range_partitions, accuracy)
+    counts = bucketed.groupBy("__rb").count()
+    # ≤ range_partitions rows: a global window over this aggregate is
+    # the q17 "reduce first, window over the tiny series" pattern.
+    w_off = Window.orderBy("__rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__rb",
+        F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("count")
+        .over(
+            Window.orderBy("__rb").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n"),
+    )
+    w_local = Window.partitionBy("__rb").orderBy(
+        F.col("__rkey").asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "__rb").withColumn(
+        "__grank", F.col("__off") + F.row_number().over(w_local)
+    )
+    r, total = F.col("__grank"), F.col("__n")
+    q = F.floor(total / n)  # base bucket size (n div k)
+    rem = total % n  # this many leading buckets get one extra row
+    big = (q + 1) * rem  # ranks covered by the larger buckets
+    # ceil-div via floor((a+b-1)/b); greatest() only guards the
+    # never-taken branch when q=0 (more buckets than rows) from a
+    # divide-by-zero under ANSI mode.
+    tile = F.when(r <= big, F.floor((r + q) / (q + 1))).otherwise(
+        rem + F.floor((r - big + F.greatest(q, F.lit(1)) - 1) / F.greatest(q, F.lit(1)))
+    ).cast("int")
+    return ranked.withColumn(out_col, tile).drop(
+        "__rb", "__rkey", "__off", "__n", "__grank"
+    )
+
+
+def grouped_prefix_stats(
+    df: DataFrame,
+    group_col: str,
+    sum_col: str,
+    priority_cols: list[str],
+    tiebreak_col: str,
+    rank_out: str = "sel_rank",
+    cum_out: str = "cum_sum",
+    descending: bool = True,
+    range_partitions: int = 32,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group EXACT row_number + inclusive running sum of `sum_col`
+    in (priority_cols... DESC, tiebreak ASC) order, without one serial
+    window task per group — the scale form of
+    Window.partitionBy(group).orderBy(...) running totals when groups
+    are few and giant (a handful of sources over 100 TB).
+
+    Same construction as scalable_ntile but per group: per-group cut
+    points on the PRIMARY priority column (one groupBy sketch pass,
+    |groups|×P broadcast — bucketing only needs the primary key to be
+    monotone; secondary priorities and the tiebreak order rows within
+    a bucket, which is consistent because cross-bucket order is
+    decided by the primary alone), monotone in-group bucketing,
+    per-(group,bucket) local window, offsets (preceding-bucket counts
+    AND sums) from a window over the |groups|×P aggregate.
+    Bit-identical to the single-window form — asserted in
+    tests/test_sampling.py."""
+    if priority_cols:
+        primary = F.col(priority_cols[0])
+        key = -primary if descending else primary
+        tail = [F.desc(c) for c in priority_cols[1:]] + [F.asc(tiebreak_col)]
+    else:
+        key = F.col(tiebreak_col)
+        tail = [F.asc(tiebreak_col)]
+    tagged = df.withColumn("__rkey", key.cast("double"))
+    probs = [i / range_partitions for i in range(1, range_partitions)]
+    cuts = tagged.groupBy(group_col).agg(
+        F.percentile_approx("__rkey", probs, accuracy).alias("__cuts")
+    )
+    bucketed = tagged.join(F.broadcast(cuts), group_col).withColumn(
+        "__rb",
+        (
+            F.lit(1)
+            + F.size(F.filter("__cuts", lambda c: c < F.col("__rkey")))
+        ).cast("int"),
+    ).drop("__cuts")
+    per_bucket = bucketed.groupBy(group_col, "__rb").agg(
+        F.count("*").alias("__cnt"), F.sum(sum_col).alias("__bsum")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        group_col,
+        "__rb",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__cnt_off"),
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__sum_off"),
+    )
+    w_local = Window.partitionBy(group_col, "__rb").orderBy(
+        F.col("__rkey").asc(), *tail
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [group_col, "__rb"])
+        .withColumn(rank_out, F.col("__cnt_off") + F.row_number().over(w_local))
+        .withColumn(
+            cum_out,
+            F.col("__sum_off")
+            + F.sum(sum_col).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__rb", "__rkey", "__cnt_off", "__sum_off")
+    )

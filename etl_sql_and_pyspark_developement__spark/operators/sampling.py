@@ -68,23 +68,27 @@ def token_budget_select(
     increasing and `cum <= budget` selects a clean prefix of the
     priority order.
 
-    Scale: one shuffle on `group_col` + per-group sort (the same cost
-    as any ranked-selection). With few giant groups (a handful of
-    sources over 100 TB), range-partition each group by the priority
-    key first and budget per range-slice — the greedy prefix then
-    parallelizes; the declarative form here is the per-group
-    correctness spec.
+    Scale: the rank and running sum come from
+    quantiles.grouped_prefix_stats — per-group range-bucketed local
+    windows plus broadcast bucket offsets — so a handful of giant
+    sources over 100 TB never funnel through one serial window task
+    per source, yet the kept set is bit-identical to the
+    single-window form (asserted in tests/test_sampling.py).
     """
-    order = [F.desc(c) for c in (priority_cols or [])] + [F.asc(id_col)]
-    w = Window.partitionBy(group_col).orderBy(*order)
-    cum = F.sum(token_col).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
     )
-    return (
-        df.withColumn("sel_rank", F.row_number().over(w))
-        .withColumn("cum_tokens", cum)
-        .filter(F.col("cum_tokens") <= budget)
+
+    stats = grouped_prefix_stats(
+        df,
+        group_col,
+        token_col,
+        list(priority_cols or []),
+        id_col,
+        rank_out="sel_rank",
+        cum_out="cum_tokens",
     )
+    return stats.filter(F.col("cum_tokens") <= budget)
 
 
 def seeded_shuffle_rank(

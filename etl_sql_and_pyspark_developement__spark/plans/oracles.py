@@ -342,8 +342,10 @@ per_supp AS (
 ),
 ranked AS (
     SELECT *,
-        round(percent_rank() OVER (ORDER BY revenue), 6) AS pct_rank,
-        CAST(ntile(4) OVER (ORDER BY revenue DESC, suppkey) AS INTEGER) AS quartile
+        round(percent_rank() OVER (PARTITION BY nation_name
+                                   ORDER BY revenue), 6) AS pct_rank,
+        CAST(ntile(4) OVER (PARTITION BY nation_name
+                            ORDER BY revenue DESC, suppkey) AS INTEGER) AS quartile
     FROM per_supp
 ),
 medians AS (

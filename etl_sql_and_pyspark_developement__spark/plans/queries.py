@@ -445,17 +445,23 @@ def q12_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: pyspark/User Lifetime Value Prediction.py
     (per-user LTV, value-tier bucketing).
+
+    Scale: deciles come from operators/quantiles.scalable_ntile —
+    EXACT NTILE semantics (bit-identical to the global-window form,
+    matching the DuckDB oracle) via distributed range-bucketed rank,
+    so no single task ever sorts the whole customer table.
     """
-    from pyspark.sql import Window
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        scalable_ntile,
+    )
 
     orders = table(spark, sf_dir, "orders")
     ltv = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("ltv"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.desc("ltv"), F.col("o_custkey"))
     return (
-        ltv.withColumn("decile", F.ntile(10).over(w))
+        scalable_ntile(ltv, "ltv", 10, "o_custkey", out_col="decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -502,13 +508,17 @@ def q13_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q14_percentile_benchmark")
 def q14_percentile_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK + exact interpolated percentiles (PERCENTILE_CONT)
-    benchmarking each supplier against the population and its nation.
+    benchmarking each supplier within its nation cohort.
 
     Reference parity: SQL/Competitive Content Benchmarking.txt
-    (PERCENTILE_CONT / PERCENT_RANK cross-benchmarks).
+    (PERCENTILE_CONT / PERCENT_RANK cross-benchmarks — the reference
+    ranks within genre cohort, SQL lines 15-16, so the rank windows
+    here partition by nation).
 
-    Scale: per-supplier agg shuffles once on l_suppkey; nation medians
-    aggregate the tiny per-supplier table; the dim join broadcasts.
+    Scale: per-supplier agg shuffles once on l_suppkey; rank windows
+    partition by nation (no unpartitioned ORDER BY — each nation's
+    suppliers sort in their own task); nation medians aggregate the
+    tiny per-supplier table; the dim join broadcasts.
     """
     from pyspark.sql import Window
 
@@ -526,10 +536,13 @@ def q14_percentile_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("s_suppkey").alias("suppkey"), F.col("n_name").alias("nation_name"), "revenue"
     )
-    w = Window.orderBy("revenue")
+    w = Window.partitionBy("nation_name").orderBy("revenue")
+    wq = Window.partitionBy("nation_name").orderBy(
+        F.desc("revenue"), F.col("suppkey")
+    )
     ranked = per_supp.withColumn(
         "pct_rank", F.round(F.percent_rank().over(w), 6)
-    ).withColumn("quartile", F.ntile(4).over(Window.orderBy(F.desc("revenue"), F.col("suppkey"))))
+    ).withColumn("quartile", F.ntile(4).over(wq))
     medians = per_supp.groupBy("nation_name").agg(
         F.round(F.expr("percentile(revenue, 0.5)"), 2).alias("nation_median_revenue"),
         F.round(F.expr("percentile(revenue, 0.9)"), 2).alias("nation_p90_revenue"),
@@ -584,8 +597,13 @@ def q16_roi_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: SQL/Content Production ROI Analysis.txt
     (production cost vs generated revenue, ROI tiers).
+
+    Scale: decile bucketing via quantiles.scalable_ntile — exact NTILE
+    without an unpartitioned window (see q12).
     """
-    from pyspark.sql import Window
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        scalable_ntile,
+    )
 
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
@@ -604,9 +622,8 @@ def q16_roi_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("list_value", F.col("p_retailprice") * F.col("qty"))
         .withColumn("roi", F.round(F.col("revenue") / F.col("list_value"), 6))
     )
-    w = Window.orderBy(F.desc("roi"), F.col("p_partkey"))
     return (
-        per_part.withColumn("roi_decile", F.ntile(10).over(w))
+        scalable_ntile(per_part, "roi", 10, "p_partkey", out_col="roi_decile")
         .groupBy("roi_decile")
         .agg(
             F.count("*").alias("n_parts"),

@@ -206,3 +206,75 @@ def test_epoch_expand_copies_and_determinism(spark, sf_dir):
         "doc_id", "lang", "copy_idx"
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_scalable_ntile_bit_identical_to_exact(spark, sf_dir):
+    """scalable_ntile must reproduce F.ntile over the global window
+    bit-for-bit (same value, same tiebreak), across several bucket
+    counts and range-partition settings — including P larger than the
+    row count (empty buckets) and P=2."""
+    from pyspark.sql import Window
+
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        scalable_ntile,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("ltv")
+    )
+    for n, parts in [(10, 64), (3, 2), (7, 1000)]:
+        w = Window.orderBy(F.desc("ltv"), F.col("o_custkey"))
+        exact = {
+            r.o_custkey: r.d
+            for r in ltv.withColumn("d", F.ntile(n).over(w)).collect()
+        }
+        got = {
+            r.o_custkey: r.d
+            for r in scalable_ntile(
+                ltv, "ltv", n, "o_custkey", out_col="d", range_partitions=parts
+            ).collect()
+        }
+        assert got == exact, f"ntile({n}) P={parts} diverged from exact"
+
+
+def test_grouped_prefix_stats_bit_identical_to_window(spark, sf_dir):
+    """grouped_prefix_stats (distributed per-group rank + running sum)
+    must match the single-window-per-group form exactly."""
+    from pyspark.sql import Window
+
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", (F.col("doc_id") % 97).alias("prio")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("prio"), F.asc("doc_id"))
+    exact = {
+        (r.source, r.doc_id): (r.rnk, r.cum)
+        for r in docs.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("n_chars").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .collect()
+    }
+    got = {
+        (r.source, r.doc_id): (r.rnk, r.cum)
+        for r in grouped_prefix_stats(
+            docs,
+            "source",
+            "n_chars",
+            ["prio"],
+            "doc_id",
+            rank_out="rnk",
+            cum_out="cum",
+            range_partitions=8,
+        ).collect()
+    }
+    assert got == exact
