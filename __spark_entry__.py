@@ -21,11 +21,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries the round-1 driver did not reach (it recorded exactly the
+# first 50 registered entries), plus entries modified or added this
+# round — listed FIRST so a driver that samples or time-boxes its
+# correctness pass covers the unproven surface before re-proving
+# already-green rows.
+_NEEDS_DRIVER_ROW = [
+    "q25_asof_attribution", "q26_rolling_window", "q27_approx_sketches",
+    "q28_gap_fill", "q29_scd2_merge", "q30_sql_surface", "q31_unpivot",
+    "q32_collect_agg", "q33_data_quality", "q34_interval_attribution",
+    "q35_binge_pipeline", "q36_grouping_sets", "q37_full_outer",
+    "q38_window_gallery", "q39_range_join", "q40_json_extract",
+    "q41_higher_order", "q42_salted_agg", "q43_time_rollup",
+    "d05_dedup_edit_distance", "d06_dedup_components",
+    "d07_components_exact", "d08_embedding_neardup", "d09_decontaminate",
+    "s03_ann_ivf", "s04_mmr_diverse_topk", "m02_frame_sample",
+    "m03_resize", "p01_per_group_cap", "p02_stratified_sample",
+    "p03_hash_split", "p04_pipeline_e2e", "p05_corpus_mix",
+    # new this round
+    "q46_windowed_percentile", "q47_sql_rollup", "q48_sql_window",
+    # modified this round (need fresh green rows)
+    "q12_ltv_deciles", "q14_percentile_benchmark", "q16_roi_deciles",
+    "q17_daily_growth", "d11_semantic_dedup", "m04_window_features",
+    "p06_token_budget",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    unproven/changed-first (see _NEEDS_DRIVER_ROW)."""
     from etl_sql_and_pyspark_developement__spark.plans import QUERIES
 
-    return dict(QUERIES)
+    ordered = {k: QUERIES[k] for k in _NEEDS_DRIVER_ROW if k in QUERIES}
+    for k in sorted(QUERIES):
+        ordered.setdefault(k, QUERIES[k])
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

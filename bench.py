@@ -39,17 +39,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    print(json.dumps(record))
+    # Also persist the full per-query record so round-over-round
+    # comparisons survive even if the driver's captured stdout line is
+    # truncated (BENCH_r01's tail cut off d01-d10).
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_full.json"), "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
 
 

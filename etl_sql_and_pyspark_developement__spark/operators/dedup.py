@@ -299,6 +299,37 @@ def _banded(sigs: DataFrame) -> DataFrame:
     ).select("doc", "band.band_id", "band.band_hash")
 
 
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """CONTENT-based candidate pairs from MinHash-LSH band collisions,
+    WITHOUT the Jaccard verify — the reusable blocking stage for any
+    pairwise verifier (bounded levenshtein in d05, exact Jaccard in
+    d03 via minhash_lsh_pairs). Two docs become a candidate pair iff
+    they share all 4 minhash values of at least one band — a function
+    of their TEXT, so near-identical docs are found regardless of how
+    far apart their ids are (the property id-range blocking lacks).
+
+    Scale: signatures are one groupBy shuffle; banding is narrow; the
+    self-join is an equi-join on (band_id, band_hash) — bucketed,
+    never all-pairs.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    banded = _banded(sigs).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -794,6 +825,7 @@ def neardup_screen(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Drop every batch document with a verified near-duplicate in the
     indexed corpus; returns the surviving batch rows unchanged.
@@ -805,8 +837,16 @@ def neardup_screen(
     BATCH size (signatures + bucket probe + candidate verify), never
     to the corpus — the property that makes continuous-crawl ingest
     sustainable at 100 TB corpora.
+
+    The batch shingle frame is persisted (it feeds signatures, sizes,
+    and the verify join). Long-running callers (st10's per-micro-batch
+    loop) MUST pass `cache_handles` and unpersist them once the result
+    is materialized — otherwise each batch leaks one cached DataFrame
+    of executor storage.
     """
     sh_b = shingle_df(batch, id_col, text_col, n).persist()
+    if cache_handles is not None:
+        cache_handles.append(sh_b)
     bands_b = _banded(
         _with_base_fingerprint(sh_b).groupBy("doc").agg(*_minhash_aggs())
     )

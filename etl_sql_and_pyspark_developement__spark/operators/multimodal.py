@@ -189,7 +189,7 @@ def resize_payloads(
 
 WINDOW_FEATURE_SCHEMA = (
     "doc_id bigint, win_idx int, win_start int, win_bytes int, "
-    "rms double, zero_crossings int"
+    "rms double, energy bigint, zero_crossings int"
 )
 
 
@@ -211,6 +211,15 @@ def window_features(
 
     Vectorized per doc: numpy stride-tricks view over the byte array,
     one RMS/ZC reduction per window — no per-byte Python.
+
+    Semantics notes (oracle-mirrored, so they are part of the
+    contract): `energy` is the EXACT integer sum of squared centered
+    samples per window (sums stay < 2^53, so the float64 mean feeding
+    RMS is order-independent and engine-exact); a zero-crossing is
+    counted when |sign(x[i+1]) - sign(x[i])| > 1 — a transition that
+    passes THROUGH an exact zero sample (sign 0) contributes two
+    |diff|=1 steps and intentionally counts ZERO crossings (a
+    plateau-at-silence is not an oscillation).
     """
     import numpy as np
 
@@ -219,6 +228,7 @@ def window_features(
             out_id, out_idx, out_start, out_bytes, out_rms, out_zc = (
                 [], [], [], [], [], [],
             )
+            out_energy = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 if len(data) < win_size:
@@ -231,7 +241,9 @@ def window_features(
                     + hop * np.arange(n_wins)[:, None]
                 )
                 wins = centered[idx]                     # (n_wins, win_size)
-                rms = np.sqrt((wins * wins).mean(axis=1))
+                sq = wins * wins
+                energy = sq.sum(axis=1).astype(np.int64)
+                rms = np.sqrt(energy / float(win_size))
                 signs = np.sign(wins)
                 zc = (np.abs(np.diff(signs, axis=1)) > 1).sum(axis=1)
                 out_id.extend([doc_id] * n_wins)
@@ -239,6 +251,7 @@ def window_features(
                 out_start.extend((hop * np.arange(n_wins)).tolist())
                 out_bytes.extend([win_size] * n_wins)
                 out_rms.extend(np.round(rms, 6).tolist())
+                out_energy.extend(energy.tolist())
                 out_zc.extend(zc.astype(int).tolist())
             yield pd.DataFrame(
                 {
@@ -247,6 +260,7 @@ def window_features(
                     "win_start": out_start,
                     "win_bytes": out_bytes,
                     "rms": out_rms,
+                    "energy": out_energy,
                     "zero_crossings": out_zc,
                 }
             )

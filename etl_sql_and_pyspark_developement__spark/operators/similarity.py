@@ -441,75 +441,118 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     threshold: float = 0.95,
-    dim: int = 64,
-    iterations: int = 1,
+    top_compare: int = 200,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
-    deduplication"): k-means cluster the embeddings, then within each
-    cluster DROP every item whose cosine similarity to a more central
-    item (smaller squared-L2 to the cluster centroid; ties broken by
-    id) exceeds `threshold`. Centrality-ordered pruning keeps the most
-    prototypical representative of every semantic near-duplicate group.
+    deduplication"), in a fully DETERMINISTIC seeded form the DuckDB
+    oracle mirrors value-for-value:
 
-    Returns (id, cluster, cdist, dropped) for every corpus row.
+    1. seeds — the k items with the smallest md5(id) (k defaults to
+       floor(sqrt(n)), so k GROWS with the corpus: cluster populations
+       stay ~sqrt(n) and in-cluster pair work is O(n^1.5), never
+       O(n²/const) — the scale flaw of a fixed k);
+    2. assignment — argmax cosine-to-seed (rounded 6dp, ties to the
+       smaller seed id), computed as one partial-aggregable
+       max(struct) against the broadcast seed set — no iterative Lloyd
+       loop, no driver-side re-planning, no float-sum-order
+       nondeterminism;
+    3. pruning — within a cluster, DROP every item whose cosine to a
+       MORE CENTRAL item (higher cosine-to-seed; ties to smaller id)
+       among the cluster's `top_compare` most central items exceeds
+       `threshold` — the keeper side is capped, bounding per-cluster
+       pair work at top_compare x |cluster|.
 
-    Scale: clustering makes the O(n²) cosine comparison O(n²/k) — the
-    pair join is an equi-join ON CLUSTER, never a cross join; at web
-    scale k grows with n so cluster populations stay bounded. Training
-    cost is the standard IVF trade (deterministic seeds, sampled
-    corpus via kmeans_lite_centroids' train_sample_mod).
+    Returns (id_col, cluster, cent, dropped) for every corpus row;
+    `cluster` is the seed's id.
+
+    Scale: seeds are a top-k (TakeOrderedAndProject; k·dim ≈ 16 MB of
+    doubles at n=10⁹, dim=64 — broadcastable); assignment shuffles n
+    pre-combined rows (map-side max(struct)), not n×k; at extreme n
+    the assignment scan can route through s02's LSH prefilter.
+    Zero-norm vectors keep cosine 0 and are never dropped.
     """
-    base = corpus.select(id_col, vec_col)
-    cents = kmeans_lite_centroids(base, vec_col, k=k, iterations=iterations, dim=dim)
-    assigned = assign_clusters(base, cents, id_col, vec_col)
-    cents_df = _centroids_df(corpus.sparkSession, cents)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if k is None:
+        import math
+
+        k = max(1, math.isqrt(base.count()))
+    v = F.transform(F.col("v"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    scored = (
-        assigned.join(F.broadcast(cents_df), "cluster")
-        .withColumn("cdist", _sq_l2(vec_col, "centroid"))
-        .select(
-            F.col(id_col).alias("id"),
-            "cluster",
-            "cdist",
-            F.transform(v, lambda x: x / nrm).alias("__unit"),
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    pts = base.select("id", unit.alias("u"))
+    seeds = (
+        pts.withColumn("__mk", F.md5(F.col("id").cast("string")))
+        .orderBy("__mk", "id")
+        .limit(k)
+        .select(F.col("id").alias("seed_id"), F.col("u").alias("su"))
+    )
+    cos_seed = F.round(
+        F.aggregate(
+            F.zip_with(F.col("u"), F.col("su"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    # argmax via max(struct(cent, -seed_id)): lexicographic max picks
+    # the highest centrality then the SMALLEST seed id — one shuffle
+    # of n map-side-combined rows, not n×k.
+    assigned = (
+        pts.join(F.broadcast(seeds), F.lit(True))
+        .select("id", F.col("seed_id"), cos_seed.alias("cent"))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("cent"), (-F.col("seed_id")).alias("neg_seed"))
+            ).alias("best")
         )
+        .select(
+            "id",
+            (-F.col("best.neg_seed")).alias("cluster"),
+            F.col("best.cent").alias("cent"),
+        )
+        .join(pts, "id")
         .persist()
     )
-    a = scored.select(
+    w_rank = Window.partitionBy("cluster").orderBy(F.desc("cent"), F.asc("id"))
+    ranked = assigned.withColumn("crank", F.row_number().over(w_rank))
+    a = ranked.filter(F.col("crank") <= top_compare).select(
         F.col("id").alias("id_a"),
         F.col("cluster").alias("ca"),
-        F.col("cdist").alias("da"),
-        F.col("__unit").alias("va"),
+        F.col("cent").alias("cent_a"),
+        F.col("u").alias("va"),
     )
-    b = scored.select(
+    b = ranked.select(
         F.col("id").alias("id_b"),
         F.col("cluster").alias("cb"),
-        F.col("cdist").alias("db"),
-        F.col("__unit").alias("vb"),
+        F.col("cent").alias("cent_b"),
+        F.col("u").alias("vb"),
     )
-    more_central = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    more_central = (F.col("cent_a") > F.col("cent_b")) | (
+        (F.col("cent_a") == F.col("cent_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    cos = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos_ab = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
     dropped = (
         a.join(b, (F.col("ca") == F.col("cb")) & more_central)
-        .filter(cos > threshold)
+        .filter(cos_ab > threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__dropped", F.lit(1))
     )
-    return scored.join(dropped, "id", "left").select(
+    return assigned.join(dropped, "id", "left").select(
         F.col("id").alias(id_col),
         "cluster",
-        F.round("cdist", 6).alias("cdist"),
+        "cent",
         F.coalesce("__dropped", F.lit(0)).alias("dropped"),
     )
 
@@ -558,9 +601,15 @@ def mmr_select(
         F.transform(F.col("v"), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     ))
-    q = qrow.select(F.transform(unit, lambda x: x / nrm).alias("qv"))
+    # Zero-norm guard: x/0 would make NaN relevance, and Spark sorts
+    # NaN LARGEST under ORDER BY DESC — degenerate vectors would
+    # hijack top pool slots and poison the driver greedy loop. Exclude
+    # them (a zero query vector yields no result rather than NaNs).
+    q = qrow.filter(nrm > 0).select(
+        F.transform(unit, lambda x: x / nrm).alias("qv")
+    )
     cands = (
-        base.filter(F.col("id") != query_id)
+        base.filter((F.col("id") != query_id) & (nrm > 0))
         .select("id", F.transform(unit, lambda x: x / nrm).alias("uv"))
         .join(F.broadcast(q), F.lit(True))
         .withColumn(

@@ -415,6 +415,9 @@ WITH daily AS (
 SELECT day, n_events, total_value,
        round((n_events - lag(n_events) OVER (ORDER BY day)) * 100.0
              / lag(n_events) OVER (ORDER BY day), 4) AS growth_pct,
+       lead(n_events) OVER (ORDER BY day) AS next_events,
+       round((lead(n_events) OVER (ORDER BY day) - n_events) * 100.0
+             / n_events, 4) AS fwd_growth_pct,
        round(avg(n_events) OVER (ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_events
 FROM daily
@@ -1174,20 +1177,8 @@ GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
 
-ORACLES["d05_dedup_edit_distance"] = """
-WITH keyed AS (
-    SELECT doc_id,
-           CAST(doc_id // 25 AS BIGINT) AS block,
-           substring(text, 1, 64) AS prefix
-    FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       levenshtein(a.prefix, b.prefix) AS prefix_dist
-FROM keyed a
-JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= 30
-ORDER BY doc_a, doc_b
-"""
+# d05's oracle is defined below _minhash_pairs_sql (it reuses the
+# mirrored LSH candidate CTEs for content blocking).
 
 ORACLES["q33_data_quality"] = """
 WITH agg AS (
@@ -2074,5 +2065,189 @@ ORDER BY component
 """
 
 
+def _d05_oracle() -> str:
+    """Content-blocked edit-distance screen: the SAME mirrored LSH
+    candidate CTEs as d03 (the `cand` table), verified with DuckDB's
+    levenshtein on the 64-char prefix at the same bound Spark's banded
+    DP uses. Unreferenced downstream CTEs (sizes/inter/verified) are
+    never evaluated by DuckDB."""
+    return f"""
+WITH {_minhash_pairs_sql(0.5)},
+keyed AS (
+    SELECT doc_id, substring(text, 1, 64) AS prefix FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(ka.prefix, kb.prefix) AS prefix_dist
+FROM cand c
+JOIN keyed ka ON ka.doc_id = c.doc_a
+JOIN keyed kb ON kb.doc_id = c.doc_b
+WHERE levenshtein(ka.prefix, kb.prefix) <= 30
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 ORACLES["d03_dedup_minhash_lsh"] = _d03_oracle()
+ORACLES["d05_dedup_edit_distance"] = _d05_oracle()
 ORACLES["d06_dedup_components"] = _d06_oracle()
+
+# q46: windowed exact interpolated percentile — DuckDB window-izes
+# quantile_cont directly; both engines interpolate lo + frac*(hi-lo)
+# in float64, rounded to 2dp like q14's grouped form.
+ORACLES["q46_windowed_percentile"] = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+),
+per_supp AS (
+    SELECT s.s_suppkey AS suppkey, n.n_name AS nation_name, r.revenue
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT suppkey, nation_name, revenue,
+       round(quantile_cont(revenue, 0.5)
+             OVER (PARTITION BY nation_name), 2) AS nation_median_revenue,
+       round(quantile_cont(revenue, 0.9)
+             OVER (PARTITION BY nation_name), 2) AS nation_p90_revenue,
+       CAST(revenue > round(quantile_cont(revenue, 0.5)
+             OVER (PARTITION BY nation_name), 2) AS INTEGER) AS above_median
+FROM per_supp
+ORDER BY suppkey
+"""
+
+ORACLES["q47_sql_rollup"] = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+HAVING count(*) > 0
+ORDER BY g_priority DESC, priority, g_status DESC, status
+"""
+
+ORACLES["q48_sql_window"] = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS price,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       row_number() OVER w AS seq_no
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY custkey, seq_no
+"""
+
+# d11: mirrors the seeded SemDeDup literal-for-literal — same md5 seed
+# ranking, same k = floor(sqrt(n)), same unit vectors and left-to-right
+# double dot products (the s02/d08-proven arithmetic), same 6dp
+# rounding and tie rules, same top-200 keeper cap.
+ORACLES["d11_semantic_dedup"] = """
+WITH v AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+    FROM embeddings
+),
+pts AS (
+    SELECT id,
+           CASE WHEN sqrt(list_dot_product(v0, v0)) > 0
+                THEN list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0)))
+                ELSE v0 END AS u
+    FROM v
+),
+seeds AS (
+    SELECT id AS seed_id, u AS su
+    FROM pts
+    ORDER BY md5(CAST(id AS VARCHAR)), id
+    LIMIT (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM pts)
+),
+allpairs AS (
+    SELECT p.id, s.seed_id,
+           round(list_dot_product(p.u, s.su), 6) AS cent
+    FROM pts p CROSS JOIN seeds s
+),
+assign AS (
+    SELECT id, seed_id AS cluster, cent
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY cent DESC, seed_id
+        ) AS rn
+        FROM allpairs
+    )
+    WHERE rn = 1
+),
+ranked AS (
+    SELECT a.id, a.cluster, a.cent, p.u,
+           row_number() OVER (
+               PARTITION BY a.cluster ORDER BY a.cent DESC, a.id
+           ) AS crank
+    FROM assign a JOIN pts p ON p.id = a.id
+),
+dropped AS (
+    SELECT DISTINCT b.id
+    FROM ranked a
+    JOIN ranked b ON a.cluster = b.cluster
+                 AND a.crank <= 200
+                 AND ((a.cent > b.cent)
+                      OR (a.cent = b.cent AND a.id < b.id))
+    WHERE round(list_dot_product(a.u, b.u), 6) > 0.95
+)
+SELECT a.cluster,
+       count(*) AS n_items,
+       CAST(sum(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM assign a LEFT JOIN dropped d ON d.id = a.id
+GROUP BY a.cluster
+ORDER BY a.cluster
+"""
+
+# m04: replays the overlapping-window byte arithmetic on
+# hex(encode(text)) — same UTF-8 byte stream the Spark kernel sees.
+# Window energy is an exact integer, /64 is a power-of-two division,
+# sqrt is IEEE-identical, so rms matches bit-for-bit (module docstring
+# of operators/multimodal.window_features states the zero-sample
+# crossing semantics both sides implement).
+ORACLES["m04_window_features"] = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, unnest(range((nb - 64) // 16 + 1)) AS w, hx
+    FROM b WHERE nb >= 64
+),
+samp AS (
+    SELECT doc_id, w,
+        list_transform(range(64),
+            j -> CAST(('0x' || substr(hx, CAST(2 * (16 * w + j) + 1 AS INT), 2))
+                      AS INT) - 128) AS s
+    FROM wins
+),
+feat AS (
+    SELECT doc_id,
+        CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy,
+        round(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                   / 64), 6) AS rms,
+        len(list_filter(range(1, 64),
+            j -> abs(sign(s[CAST(j + 1 AS INT)]) - sign(s[CAST(j AS INT)])) > 1))
+            AS zc
+    FROM samp
+)
+SELECT doc_id,
+       count(*) AS n_windows,
+       round(avg(rms), 4) AS avg_rms,
+       round(avg(zc), 4) AS avg_zc,
+       CAST(sum(energy) AS BIGINT) AS total_energy
+FROM feat
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -13,6 +13,8 @@ Conventions (driver-contract critical):
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +27,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def query(key: str):
     def deco(fn):
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Idempotent session guard: the driver may call queries()
             # on a session that never went through entry(); UTC + AQE
@@ -36,10 +39,10 @@ def query(key: str):
             configure_existing(spark)
             return fn(spark, sf_dir)
 
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
         QUERIES[key] = wrapped
-        return fn
+        # Return the guarded wrapper so DIRECT imports/calls of a query
+        # function get the same session guard as QUERIES[key] lookups.
+        return wrapped
 
     return deco
 
@@ -637,10 +640,12 @@ def q16_roi_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q17_daily_growth")
 def q17_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily time series with LAG growth rate and 7-day moving average.
+    """Daily time series with LAG growth, LEAD forward growth, and a
+    7-day moving average.
 
     Reference parity: SQL/Social Network Effects on Content Virality.txt
-    (day-over-day viewing growth, viral velocity windows).
+    (day-over-day viewing growth via LAG AND the forward-looking
+    next-period delta via LEAD, viral velocity windows).
 
     Scale: facts collapse to one row per day FIRST (partial-agg
     groupBy); the windows then run over the tiny series — never a
@@ -664,6 +669,16 @@ def q17_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_events") - F.lag("n_events").over(w))
                 * 100.0
                 / F.lag("n_events").over(w),
+                4,
+            ),
+        )
+        .withColumn("next_events", F.lead("n_events").over(w))
+        .withColumn(
+            "fwd_growth_pct",
+            F.round(
+                (F.lead("n_events").over(w) - F.col("n_events"))
+                * 100.0
+                / F.col("n_events"),
                 4,
             ),
         )
@@ -1313,16 +1328,20 @@ def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d11_semantic_dedup")
 def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic pruning summary: per k-means cluster, how
-    many embeddings survive centrality-ordered cosine dedup. Rows-only
-    oracle (iterative k-means); the keep/drop invariants are
+    """SemDeDup semantic pruning summary: per cluster, how many
+    embeddings survive centrality-ordered cosine dedup.
+
+    The deterministic seeded form (md5-ranked seeds, k = floor(sqrt(n)),
+    broadcast argmax assignment, capped keeper side) is mirrored
+    value-for-value by the DuckDB oracle — no iterative k-means, no
+    rows-only fallback. Keep/drop invariants are additionally
     property-tested in tests/test_similarity.py."""
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         semantic_dedup,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    flagged = semantic_dedup(emb, "vec_id", "embedding", k=32, threshold=0.95)
+    flagged = semantic_dedup(emb, "vec_id", "embedding", threshold=0.95)
     return (
         flagged.groupBy("cluster")
         .agg(
@@ -1387,8 +1406,14 @@ def m04_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style overlapping-window feature extraction (STFT access
     pattern, stubbed kernel) over binary payloads, rolled up per doc.
 
-    No SQL oracle (Pandas-UDF path); window math tested against an
-    independent Python reference in tests/test_multimodal.py.
+    Oracle-verified: the payload is the UTF-8 byte stream of `text`,
+    so the DuckDB oracle replays the exact window arithmetic via
+    hex(encode(text)) byte extraction — per-window energies are exact
+    integers (< 2^53), the /64 mean is a power-of-two division, and
+    sqrt is IEEE-correctly-rounded in both engines, so even the float
+    RMS matches bit-for-bit. The kernel's window math is additionally
+    tested against an independent Python reference in
+    tests/test_multimodal.py.
     """
     from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
         window_features,
@@ -1403,6 +1428,7 @@ def m04_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_windows"),
             F.round(F.avg("rms"), 4).alias("avg_rms"),
             F.round(F.avg("zero_crossings"), 4).alias("avg_zc"),
+            F.sum("energy").alias("total_energy"),
         )
         .orderBy("doc_id")
     )
@@ -1721,40 +1747,41 @@ def q32_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d05_dedup_edit_distance")
 def d05_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup detection on blocked candidate pairs
-    (built-in levenshtein — JVM-side; blocking bounds the quadratic).
+    """Edit-distance near-dup screen: CONTENT-blocked candidates
+    (MinHash-LSH band collisions — dedup.lsh_candidate_pairs) verified
+    with bounded levenshtein on the 64-char prefix.
 
-    Blocks of 25 doc_ids; distance computed on the 64-char prefix (the
-    standard cheap screen before full-text verification).
+    Blocking on content, not id ranges: two near-identical docs are
+    candidates no matter how far apart their doc_ids are (planted
+    distant-id near-dups are recovered — tests/test_dedup.py). The
+    threshold arg switches Spark to the banded O(len·k) DP that
+    early-exits past 30 (returns -1); the oracle mirrors the LSH
+    candidate set literal-for-literal, then applies DuckDB's
+    levenshtein with the same bound.
     """
-    docs = table(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        (F.col("doc_id") / 25).cast("long").alias("block"),
-        F.substring("text", 1, 64).alias("prefix"),
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        lsh_candidate_pairs,
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    # The whole predicate lives in the join condition, id check FIRST:
-    # a separate filter gets pushed into the condition anyway, but
-    # ordered levenshtein-first (measured — short-circuit then runs the
-    # DP for every block pair including the diagonal half). The
-    # threshold arg switches Spark to the banded O(len·k) DP that
-    # early-exits past 30 (returns -1). The projection re-computes the
-    # distance only for the handful of surviving pairs.
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 30)
+
+    docs = table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, "doc_id", "text")
+    keyed = docs.select("doc_id", F.substring("text", 1, 64).alias("prefix"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb"), 30)
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (dist >= 0),
+        cand.join(
+            keyed.select(
+                F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+            ),
+            "doc_a",
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("prefix_dist"),
+        .join(
+            keyed.select(
+                F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+            ),
+            "doc_b",
         )
+        .filter(dist >= 0)
+        .select("doc_a", "doc_b", dist.alias("prefix_dist"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -2506,4 +2533,114 @@ def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("checksum").alias("n_unique_artifacts"),
         )
         .orderBy("source")
+    )
+
+
+@query("q46_windowed_percentile")
+def q46_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row group-quantile benchmark WITHOUT collapsing rows: the
+    exact interpolated percentile as a WINDOW aggregate, so every
+    supplier row carries its nation's median/p90 alongside its own
+    revenue.
+
+    Reference parity: pyspark/Infrastructure Cost Optimization by
+    Content Type.py:74-75 (percentile_approx(...).over(window_spec))
+    and SQL/Infrastructure Cost Optimization by Content Type.txt:88-91
+    (PERCENTILE_CONT ... WITHIN GROUP over the cohort) — the windowed
+    percentile form q14's groupBy variant does not exercise.
+
+    Scale: the window runs over the per-supplier AGGREGATE (bounded by
+    entity count, not fact rows); partitions are nations — each
+    nation's suppliers fit one window task by construction of the
+    dimensional model.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    per_supp = rev.join(
+        F.broadcast(supp.join(nation, supp.s_nationkey == nation.n_nationkey)),
+        rev.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("n_name").alias("nation_name"),
+        "revenue",
+    )
+    w = Window.partitionBy("nation_name")
+    med = F.round(F.expr("percentile(revenue, 0.5)").over(w), 2)
+    p90 = F.round(F.expr("percentile(revenue, 0.9)").over(w), 2)
+    return (
+        per_supp.withColumn("nation_median_revenue", med)
+        .withColumn("nation_p90_revenue", p90)
+        .withColumn(
+            "above_median",
+            (F.col("revenue") > F.col("nation_median_revenue")).cast("int"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query("q47_sql_rollup")
+def q47_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface, rollup workload: the reference ships every
+    workload as runnable SQL text (SQL/User Engagement Funnel
+    Analysis.txt GROUP BY ... WITH ROLLUP + GROUPING); this is the
+    q02-shaped rollup expressed through spark.sql over registered
+    views — same Catalyst plan as the DataFrame form.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        HAVING count(*) > 0
+        ORDER BY g_priority DESC, priority, g_status DESC, status
+        """
+    )
+
+
+@query("q48_sql_window")
+def q48_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface, window workload: named-WINDOW clause with
+    LAG/LEAD/FIRST_VALUE/ROW_NUMBER over per-customer order sequences
+    (the q38 gallery's SQL-text twin, mirroring the reference's paired
+    SQL<->PySpark design for its window workloads, e.g. SQL/Social
+    Network Effects on Content Virality.txt).
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey,
+               o_orderkey AS orderkey,
+               round(o_totalprice, 2) AS price,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               row_number() OVER w AS seq_no
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY custkey, seq_no
+        """
     )

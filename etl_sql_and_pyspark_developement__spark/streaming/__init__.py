@@ -1,5 +1,5 @@
 from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
-    EVENTS_SCHEMA_MICROS,
+    EVENTS_SCHEMA_MICROS_NTZ,
     EVENTS_SCHEMA_NANOS,
     read_event_stream,
     session_window_agg,
@@ -8,7 +8,7 @@ from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
 )
 
 __all__ = [
-    "EVENTS_SCHEMA_MICROS",
+    "EVENTS_SCHEMA_MICROS_NTZ",
     "EVENTS_SCHEMA_NANOS",
     "read_event_stream",
     "windowed_event_counts",

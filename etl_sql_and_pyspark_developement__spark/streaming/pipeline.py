@@ -31,15 +31,29 @@ EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
-EVENTS_SCHEMA_MICROS = (
+EVENTS_SCHEMA_MICROS_NTZ = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
+EVENTS_SCHEMA_MICROS_LTZ = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_PROBED_TS: dict[str, str] = {}
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events reader, mirroring catalog.table's THREE-way ts
+    layout handling (nanos-as-long / timestamp_ntz / UTC-adjusted
+    timestamp) so a future events generation shipping TIMESTAMP(MICROS,
+    isAdjustedToUTC=true) is declared correctly instead of silently
+    misread as ntz. The batch-side dtype probe runs once per directory
+    (cached) — not a full directory read per call."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = dict(spark.read.parquet(f"{sf_dir}/").dtypes)["ts"]
+    if sf_dir not in _PROBED_TS:
+        _PROBED_TS[sf_dir] = dict(spark.read.parquet(f"{sf_dir}/").dtypes)["ts"]
+    probe = _PROBED_TS[sf_dir]
     if probe == "bigint":
         raw = (
             spark.readStream.schema(EVENTS_SCHEMA_NANOS)
@@ -47,12 +61,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(f"{sf_dir}/")
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_MICROS)
+    if probe == "timestamp_ntz":
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_MICROS_NTZ)
+            .format("parquet")
+            .load(f"{sf_dir}/")
+        )
+        # Session TZ is UTC: reinterpreting naive-as-UTC is
+        # value-preserving (same rule as catalog.table).
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # UTC-adjusted TIMESTAMP(MICROS): already the LTZ type every
+    # downstream operator expects.
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_MICROS_LTZ)
         .format("parquet")
         .load(f"{sf_dir}/")
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame) -> DataFrame:
@@ -265,8 +289,10 @@ def sink_stream_neardup(doc_stream: DataFrame, corpus: DataFrame, out_dir: str):
     operator (operators/dedup.neardup_screen) runs unchanged.
 
     The corpus index (band table, shingles, sizes) is built and
-    persisted ONCE outside the loop; per-batch cost is proportional to
-    the batch, never the corpus.
+    persisted ONCE outside the loop; per-batch caches are unpersisted
+    after each sink write (a continuous stream must not accumulate one
+    cached shingle frame per micro-batch); per-batch cost is
+    proportional to the batch, never the corpus.
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         corpus_neardup_index,
@@ -276,7 +302,10 @@ def sink_stream_neardup(doc_stream: DataFrame, corpus: DataFrame, out_dir: str):
     index = corpus_neardup_index(corpus)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        survivors = neardup_screen(batch_df, index)
+        handles: list = []
+        survivors = neardup_screen(batch_df, index, cache_handles=handles)
         survivors.write.mode("append").parquet(out_dir)
+        for h in handles:  # write materialized the screen; drop caches
+            h.unpersist()
 
     return doc_stream.writeStream.foreachBatch(process)

@@ -368,3 +368,39 @@ def test_neardup_screen_drops_planted_copy_keeps_novel(spark, sf_dir):
     }
     want_odd = {r.doc_id for r in odd.collect()} - dropped_expected
     assert kept_odd == want_odd
+
+
+def test_d05_content_blocking_finds_distant_ids(spark):
+    """Edit-distance screen recall must not depend on doc_id adjacency:
+    a planted near-identical pair with ids 3 and 9003 must be blocked
+    together (LSH band collision) and verified by bounded levenshtein —
+    the property the old doc_id-range blocking lacked."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    near = BASE.replace("quick", "quik")  # 1 edit in the 64-char prefix
+    rows = [(3, BASE), (9003, near)]
+    for i in range(100, 130):
+        rows.append(
+            (i, " ".join(f"w{(i * 53 + j * 17) % 307}" for j in range(50)))
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (3, 9003) in cand, "distant-id near-dup pair must be a candidate"
+    verified = {
+        (r.doc_a, r.doc_b): r.prefix_dist
+        for r in docs.selectExpr("doc_id", "substring(text, 1, 64) AS p")
+        .alias("a")
+        .join(docs.selectExpr("doc_id", "substring(text, 1, 64) AS p").alias("b"))
+        .where("a.doc_id = 3 AND b.doc_id = 9003")
+        .selectExpr(
+            "a.doc_id AS doc_a", "b.doc_id AS doc_b",
+            "levenshtein(a.p, b.p, 30) AS prefix_dist",
+        )
+        .collect()
+    }
+    assert 0 < verified[(3, 9003)] <= 2  # deletion + shifted tail char in the fixed window

@@ -109,7 +109,8 @@ def test_window_features_match_python_reference(spark):
     assert set(got) == set(range(n_wins))
     for w in range(n_wins):
         win = [b - 128.0 for b in data[16 * w : 16 * w + 64]]
-        rms = math.sqrt(sum(x * x for x in win) / 64)
+        energy = sum(int(x) * int(x) for x in win)
+        rms = math.sqrt(energy / 64)
         zc = sum(
             1
             for a, b in zip(win, win[1:])
@@ -117,6 +118,7 @@ def test_window_features_match_python_reference(spark):
             and abs(((a > 0) - (a < 0)) - ((b > 0) - (b < 0))) > 1
         )
         assert abs(got[w].rms - round(rms, 6)) < 1e-9
+        assert got[w].energy == energy
         assert got[w].win_start == 16 * w and got[w].win_bytes == 64
         assert got[w].zero_crossings == zc
 
