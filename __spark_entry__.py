@@ -40,10 +40,11 @@ _NEEDS_DRIVER_ROW = [
     "p03_hash_split", "p04_pipeline_e2e", "p05_corpus_mix",
     # new this round
     "q46_windowed_percentile", "q47_sql_rollup", "q48_sql_window",
+    "p09_sequence_pack",
     # modified this round (need fresh green rows)
     "q12_ltv_deciles", "q14_percentile_benchmark", "q16_roi_deciles",
     "q17_daily_growth", "d11_semantic_dedup", "m04_window_features",
-    "p06_token_budget",
+    "p06_token_budget", "m02_frame_sample", "p02_stratified_sample",
 ]
 
 

@@ -189,3 +189,110 @@ def epoch_expand(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
         .drop("__copies")
     )
+
+
+def stratified_sample_md5(
+    df: DataFrame,
+    strata_col: str,
+    fractions_ppm: dict[str, int],
+    id_col: str = "doc_id",
+    seed: str | int = 0,
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling: keep a row iff
+    md5(seed:id) mod 1e6 falls below its stratum's rate (integer ppm).
+    Unlike sampleBy's engine-specific RNG draws, the kept SET is a
+    pure function of (seed, id, rate) — identical across runs,
+    engines, and partitionings, so the selection itself is
+    oracle-verifiable (p02) and a training mix built from it is
+    exactly reproducible. Unknown strata are dropped (rate 0).
+
+    Scale: per-row codegen arithmetic, map-side filter, no shuffle.
+    """
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    rate = None
+    for stratum, ppm in sorted(fractions_ppm.items()):
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, F.lit(ppm)) if rate is None else rate.when(cond, F.lit(ppm))
+    rate = (rate.otherwise(F.lit(0))) if rate is not None else F.lit(0)
+    return df.filter(bucket < rate)
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_len: int = 256,
+    seed: str | int = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    step that concatenates documents in a deterministic order and cuts
+    the token stream into fixed-`max_len` training sequences (GPT-style
+    packing; no padding waste, boundary docs span two sequences).
+
+    Order is md5(seed:id) (a reproducible epoch permutation, like
+    seeded_shuffle_rank); each doc's sequence assignment is pure
+    arithmetic on the exact running token total:
+
+        seq_id   = (cum - tokens) div max_len   -- where the doc starts
+        end_seq  = (cum - 1) div max_len        -- where it ends
+        is_split = end_seq > seq_id             -- crosses a boundary
+
+    Returns the input rows + (pack_rank, cum_tokens, seq_id, end_seq,
+    is_split).
+
+    Scale: the running sum comes from quantiles.grouped_prefix_stats
+    (range-bucketed local windows + broadcast offsets), so the global
+    token prefix-sum never serializes through one window task; the
+    md5 rank key's top 52 bits are used for bucketing (exact in
+    double).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    pack_num = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tagged = df.withColumn("pack_num", pack_num).withColumn("__g", F.lit(1))
+    stats = grouped_prefix_stats(
+        tagged,
+        "__g",
+        token_col,
+        ["pack_num"],
+        id_col,
+        rank_out="pack_rank",
+        cum_out="cum_tokens",
+        descending=False,
+    ).drop("__g")
+    start_seq = F.expr(f"(cum_tokens - {token_col}) div {max_len}")
+    end_seq = F.expr(f"(cum_tokens - 1) div {max_len}")
+    return (
+        stats.withColumn("seq_id", start_seq)
+        .withColumn("end_seq", end_seq)
+        .withColumn("is_split", (F.col("end_seq") > F.col("seq_id")).cast("int"))
+    )

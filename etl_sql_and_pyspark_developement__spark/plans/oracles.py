@@ -2251,3 +2251,85 @@ FROM feat
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# m02: replays the frame chunk/stride arithmetic on hex(encode(text))
+# like m04 — every-4th 32-byte frame, mean byte value per frame (one
+# exact int/int division), exact integer byte totals.
+ORACLES["m02_frame_sample"] = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+),
+fr AS (
+    SELECT doc_id, unnest(range(0, (nb + 31) // 32, 4)) AS idx, hx, nb
+    FROM b WHERE nb > 0
+),
+feat AS (
+    SELECT doc_id, idx,
+        CAST(least(nb - 32 * idx, 32) AS INT) AS flen,
+        list_sum(list_transform(range(least(nb - 32 * idx, 32)),
+            j -> CAST(('0x' || substr(hx, CAST(2 * (32 * idx + j) + 1 AS INT), 2))
+                      AS INT))) AS fsum
+    FROM fr
+)
+SELECT doc_id,
+       count(*) AS n_sampled_frames,
+       round(avg(fsum * 1.0 / flen), 4) AS avg_feature,
+       CAST(sum(flen) AS BIGINT) AS total_frame_bytes
+FROM feat
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# p02: mirrors stratified_sample_md5 — same md5(seed:id) ppm bucket,
+# same per-stratum rates, so the exact kept set (and therefore the
+# per-language counts) must match.
+ORACLES["p02_stratified_sample"] = """
+WITH keyed AS (
+    SELECT lang,
+        CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000 AS bucket
+    FROM documents
+),
+kept AS (
+    SELECT lang FROM keyed
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 500000
+        WHEN 'fr' THEN 1000000
+        WHEN 'es' THEN 1000000
+        WHEN 'de' THEN 1000000
+        WHEN 'zh' THEN 1000000
+        ELSE 0 END
+)
+SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang
+"""
+
+# p09: mirrors sequence_pack — same md5 order key (top 52 bits as the
+# numeric rank), same exact running token totals, same div chunking.
+ORACLES["p09_sequence_pack"] = """
+WITH toks AS (
+    SELECT doc_id,
+        len(string_split(text, ' ')) AS ws_tokens,
+        CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) AS pack_num
+    FROM documents
+),
+ordered AS (
+    SELECT *,
+        sum(ws_tokens) OVER (
+            ORDER BY pack_num, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_tokens
+    FROM toks
+)
+SELECT CAST((cum_tokens - ws_tokens) // 256 AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS seq_start_tokens,
+       CAST(sum(CASE WHEN (cum_tokens - 1) // 256
+                          > (cum_tokens - ws_tokens) // 256
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+FROM ordered
+GROUP BY 1
+ORDER BY seq_id
+"""

@@ -1946,24 +1946,37 @@ def p01_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("p02_stratified_sample")
 def p02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sampling per language (rows-only oracle —
-    Bernoulli draws are engine-specific; stability and per-stratum
-    rates are asserted in tests/test_sampling.py)."""
+    """Seeded stratified sampling per language, via the DETERMINISTIC
+    md5-rate form (sampling.stratified_sample_md5): the kept set is a
+    pure function of (seed, doc_id, stratum rate), so the DuckDB
+    oracle verifies the exact selection — not just its size. (The
+    engine-RNG sampleBy form remains available as
+    sampling.stratified_sample for Spark-native workflows; its
+    rate/stability properties are asserted in tests/test_sampling.py.)
+    """
     from etl_sql_and_pyspark_developement__spark.operators.sampling import (
-        stratified_sample,
+        stratified_sample_md5,
     )
 
     docs = table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 1.0}
-    sampled = stratified_sample(docs, "lang", fractions, seed=42)
+    fractions_ppm = {
+        "en": 500_000, "fr": 1_000_000, "es": 1_000_000,
+        "de": 1_000_000, "zh": 1_000_000,
+    }
+    sampled = stratified_sample_md5(docs, "lang", fractions_ppm, "doc_id", seed=42)
     return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled")).orderBy("lang")
 
 
 @query("m02_frame_sample")
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (video-sampler plumbing,
-    stubbed decode), aggregated per doc. Rows-only oracle; chunk math
-    is verified in tests/test_multimodal.py."""
+    stubbed decode), aggregated per doc.
+
+    Oracle-verified like m04: the payload is text's UTF-8 byte stream,
+    so the DuckDB oracle replays the chunk/stride/mean-byte arithmetic
+    from hex(encode(text)) — frame sums are exact integers and the
+    single int/int division is IEEE-identical in both engines. Chunk
+    math is additionally verified in tests/test_multimodal.py."""
     from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
         sample_frames,
         with_binary_payload,
@@ -1976,6 +1989,7 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sampled_frames"),
             F.round(F.avg("feature"), 4).alias("avg_feature"),
+            F.sum("frame_bytes").alias("total_frame_bytes"),
         )
         .orderBy("doc_id")
     )
@@ -2643,4 +2657,38 @@ def q48_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY custkey, seq_no
         """
+    )
+
+
+@query("p09_sequence_pack")
+def p09_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concat-and-chunk): documents in a
+    deterministic md5 epoch order are concatenated and cut into
+    256-token training sequences; per sequence, how many docs start in
+    it, their token mass, and how many straddle the boundary — the
+    packing-efficiency audit a training-data pipeline runs before
+    materializing examples.
+
+    Oracle-verified exactly: the order key, running token totals, and
+    div arithmetic are engine-portable (sampling.sequence_pack).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        sequence_pack,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "ws_tokens", F.size(tokens(F.col("text")))
+    )
+    packed = sequence_pack(docs, "doc_id", "ws_tokens", max_len=256)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("seq_start_tokens"),
+            F.sum("is_split").alias("n_split_docs"),
+        )
+        .orderBy("seq_id")
     )

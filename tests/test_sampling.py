@@ -278,3 +278,37 @@ def test_grouped_prefix_stats_bit_identical_to_window(spark, sf_dir):
         ).collect()
     }
     assert got == exact
+
+
+def test_sequence_pack_chunking_invariants(spark, sf_dir):
+    """Packing must form a gapless token stream: ranks are a
+    permutation, running totals increase by each doc's tokens, and
+    seq assignments tile [0, ceil(total/max_len))."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        sequence_pack,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import tokens
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "ws_tokens", F.size(tokens(F.col("text")))
+    )
+    rows = sorted(
+        sequence_pack(docs, "doc_id", "ws_tokens", max_len=256).collect(),
+        key=lambda r: r.pack_rank,
+    )
+    assert [r.pack_rank for r in rows] == list(range(1, len(rows) + 1))
+    cum = 0
+    for r in rows:
+        cum += r.ws_tokens
+        assert r.cum_tokens == cum
+        assert r.seq_id == (r.cum_tokens - r.ws_tokens) // 256
+        assert r.end_seq == (r.cum_tokens - 1) // 256
+        assert r.is_split == (1 if r.end_seq > r.seq_id else 0)
+    total = cum
+    seq_ids = {r.seq_id for r in rows}
+    assert max(r.end_seq for r in rows) == (total - 1) // 256
+    # every sequence index up to the last start is inhabited by a start
+    assert seq_ids == set(range(0, max(seq_ids) + 1)) - (
+        set() if 0 in seq_ids else {0}
+    )
