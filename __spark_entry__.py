@@ -45,6 +45,7 @@ _NEEDS_DRIVER_ROW = [
     "q12_ltv_deciles", "q14_percentile_benchmark", "q16_roi_deciles",
     "q17_daily_growth", "d11_semantic_dedup", "m04_window_features",
     "p06_token_budget", "m02_frame_sample", "p02_stratified_sample",
+    "m03_resize", "s04_mmr_diverse_topk",
 ]
 
 

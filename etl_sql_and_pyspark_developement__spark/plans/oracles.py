@@ -2333,3 +2333,107 @@ FROM ordered
 GROUP BY 1
 ORDER BY seq_id
 """
+
+# m03: replays the nearest-neighbor byte resample + Horner-mod
+# checksum from hex(encode(text)). The gather index i*(nb/1024.0) is
+# one IEEE double product (nb/2^10 is exact) floored identically in
+# both engines; the checksum folds with (acc*31 + b) % p per byte
+# (list_reduce with a prepended 0 accumulator == the kernel's
+# vectorized power-series form).
+ORACLES["m03_resize"] = """
+WITH b AS (
+    SELECT doc_id, source, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+),
+resized AS (
+    SELECT doc_id, source,
+        list_transform(range(1024),
+            i -> CAST(('0x' || substr(hx,
+                CAST(2 * least(CAST(floor(i * (nb / 1024.0)) AS BIGINT), nb - 1)
+                     + 1 AS INT), 2)) AS BIGINT)) AS vals
+    FROM b WHERE nb > 0
+),
+ck AS (
+    SELECT doc_id, source, CAST(1024 AS BIGINT) AS dst_bytes,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+    FROM resized
+    UNION ALL
+    SELECT doc_id, source, 0, 0 FROM b WHERE nb = 0
+)
+SELECT source, count(*) AS n_images,
+       CAST(sum(dst_bytes) AS BIGINT) AS total_dst_bytes,
+       count(DISTINCT checksum) AS n_unique_artifacts
+FROM ck GROUP BY source ORDER BY source
+"""
+
+
+def _s04_oracle(k: int = 10, pool: int = 50, lambda_x1000: int = 700) -> str:
+    """Mirrors mmr_select exactly by UNROLLING the greedy recurrence
+    into k chained CTE stages (k is a small constant, so the 'not
+    SQL-expressible sequential state' objection dissolves into k
+    static stages). Float arithmetic is replicated literally: lam =
+    700/1000.0 and (1.0 - lam) — NOT 0.3, which is a different double
+    — one IEEE product per term, argmax ties to the smaller id, same
+    left-to-right dot products as s01/s02."""
+    lam = f"({lambda_x1000} / 1000.0)"
+    one_minus = f"(1.0 - {lam})"
+    stages = []
+    sel_union = []
+    for i in range(1, k + 1):
+        if i == 1:
+            stages.append(
+                f"sel1 AS MATERIALIZED (\n"
+                f"    SELECT id, u, rel, {lam} * rel - {one_minus} * 0.0 AS score\n"
+                f"    FROM pool ORDER BY score DESC, id LIMIT 1\n)"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT id, u FROM sel{j}" for j in range(1, i)
+            )
+            stages.append(
+                f"selacc{i} AS ({prev}),\n"
+                f"cand{i} AS (\n"
+                f"    SELECT p.id, p.u, p.rel,\n"
+                f"        (SELECT max(list_dot_product(p.u, s.u))\n"
+                f"         FROM selacc{i} s) AS ms\n"
+                f"    FROM pool p\n"
+                f"    WHERE p.id NOT IN (SELECT id FROM selacc{i})\n"
+                f"),\n"
+                f"sel{i} AS MATERIALIZED (\n"
+                f"    SELECT id, u, rel, {lam} * rel - {one_minus} * ms AS score\n"
+                f"    FROM cand{i} ORDER BY score DESC, id LIMIT 1\n)"
+            )
+        sel_union.append(f"SELECT {i} AS rank, id, rel, score FROM sel{i}")
+    body = ",\n".join(stages)
+    union = "\nUNION ALL\n".join(sel_union)
+    return f"""
+WITH v AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+    FROM embeddings
+),
+q0 AS (SELECT min(id) AS qid FROM v),
+unitv AS (
+    SELECT id,
+           list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS u
+    FROM v WHERE list_dot_product(v0, v0) > 0
+),
+qv AS (SELECT u.u FROM unitv u JOIN q0 ON u.id = q0.qid),
+pool AS MATERIALIZED (
+    SELECT c.id, c.u, list_dot_product(c.u, q.u) AS rel
+    FROM unitv c CROSS JOIN qv q
+    WHERE c.id <> (SELECT qid FROM q0)
+    ORDER BY rel DESC, c.id
+    LIMIT {pool}
+),
+{body}
+SELECT CAST(rank AS INT) AS rank, id AS vec_id,
+       round(rel, 6) AS relevance, round(score, 6) AS mmr_score
+FROM ({union})
+ORDER BY rank
+"""
+
+
+ORACLES["s04_mmr_diverse_topk"] = _s04_oracle()

@@ -1680,11 +1680,15 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s04_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-10 against the min-id query vector: distributed
     exact-relevance top-50 pool, then the inherently-sequential greedy
-    MMR over that pool-sized set on the driver. No SQL oracle (the
-    greedy recurrence isn't SQL-expressible without recursive
-    per-step max-sim state); selection invariants (first pick = argmax
-    relevance, diversity ≤ plain top-k, determinism) are asserted in
-    tests/test_similarity.py."""
+    MMR over that pool-sized set on the driver.
+
+    Oracle-verified: k is a small constant, so the DuckDB oracle
+    UNROLLS the greedy recurrence into k materialized CTE stages with
+    literally-mirrored float arithmetic (lam = 700/1000.0 and
+    (1.0 - lam) — the same doubles the driver uses) — the sequential
+    selection matches value-for-value. Selection invariants (first
+    pick = argmax relevance, diversity ≤ plain top-k, determinism)
+    are additionally asserted in tests/test_similarity.py."""
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         mmr_select,
     )
@@ -2524,9 +2528,12 @@ def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-kernel plumbing over binary payloads (multimodal tier 3:
     decode m01, frame-sample m02, resize m03), aggregated per source.
-    Rows-only oracle (byte-level stub kernel is not SQL-expressible);
-    chunk math and determinism are covered in tests/test_multimodal.py.
-    """
+
+    Oracle-verified like m02/m04: the nearest-neighbor gather and
+    Horner-mod checksum are pure integer/IEEE arithmetic over text's
+    UTF-8 bytes, replayed by the DuckDB oracle from hex(encode(text)).
+    Determinism and dims are additionally covered in
+    tests/test_multimodal.py."""
     from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
         resize_payloads,
         with_binary_payload,
