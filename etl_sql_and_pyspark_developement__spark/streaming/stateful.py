@@ -94,3 +94,65 @@ def running_user_stats(events: DataFrame, expire_ms: int | None = None) -> DataF
             timeout,
         )
     )
+
+
+BUDGET_OUTPUT_SCHEMA = (
+    "doc_id bigint, source string, ws_tokens bigint, spent_after bigint, "
+    "admitted int"
+)
+BUDGET_STATE_SCHEMA = "spent bigint"
+
+
+def _make_budget_fn(budget: int):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (source,) = key
+        spent = state.get[0] if state.exists else 0
+        out = {k: [] for k in ("doc_id", "source", "ws_tokens", "spent_after", "admitted")}
+        for pdf in pdfs:
+            # Deterministic intra-batch order: doc_id ascending (the
+            # stream's arrival order within a micro-batch is not
+            # contractual; sorting makes re-runs identical).
+            for doc_id, toks in sorted(
+                zip(pdf["doc_id"], pdf["ws_tokens"]), key=lambda t: t[0]
+            ):
+                toks = int(toks)
+                admitted = 1 if spent + toks <= budget else 0
+                if admitted:
+                    spent += toks
+                out["doc_id"].append(int(doc_id))
+                out["source"].append(source)
+                out["ws_tokens"].append(toks)
+                out["spent_after"].append(spent)
+                out["admitted"].append(admitted)
+        state.update((spent,))
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def streaming_token_budget(docs: DataFrame, budget: int = 500) -> DataFrame:
+    """st11: streaming per-source token-budget admission — the
+    streaming twin of p06's batch curation. Each arriving document is
+    admitted iff it still fits its source's remaining budget; a doc
+    that does not fit is rejected but later smaller docs may still be
+    admitted (skip-and-continue, the correct semantics for a gate that
+    sees docs in arrival order rather than quality order).
+
+    State is ONE bigint per source (tokens spent) — bounded by the
+    number of sources regardless of stream length, the property that
+    lets a continuous-crawl admission gate run indefinitely. Input
+    must carry `ws_tokens` (see textstats.tokens).
+    """
+    return (
+        docs.select("doc_id", "source", "ws_tokens")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _make_budget_fn(budget),
+            BUDGET_OUTPUT_SCHEMA,
+            BUDGET_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -388,3 +388,54 @@ def test_st10_stream_neardup_matches_batch(spark, sf_dir, documents_dir, tmp_pat
         for r in neardup_screen(docs, corpus_neardup_index(corpus)).collect()
     }
     assert got == want and got
+
+
+def test_st11_streaming_token_budget_matches_batch_greedy(
+    spark, sf_dir, documents_dir
+):
+    """st11: the stateful streaming admission gate must admit exactly
+    the docs a batch skip-and-continue greedy admits (doc_id order per
+    source), with one bigint of state per source."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        tokens,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_token_budget,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    with_toks = lambda df: df.withColumn(  # noqa: E731
+        "ws_tokens", F.size(tokens(F.col("text"))).cast("long")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+    q = (
+        streaming_token_budget(with_toks(stream), budget=500)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st11_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.source, r.doc_id): (r.admitted, r.spent_after)
+        for r in spark.sql("SELECT * FROM st11_out").collect()
+    }
+
+    # batch expectation: same greedy in doc_id order per source
+    expected = {}
+    spent: dict[str, int] = {}
+    for r in sorted(
+        with_toks(docs).select("doc_id", "source", "ws_tokens").collect(),
+        key=lambda r: (r.source, r.doc_id),
+    ):
+        s = spent.get(r.source, 0)
+        admitted = 1 if s + r.ws_tokens <= 500 else 0
+        if admitted:
+            s += r.ws_tokens
+            spent[r.source] = s
+        expected[(r.source, r.doc_id)] = (admitted, s)
+    assert got == expected
+    n_admitted = sum(a for a, _ in got.values())
+    assert 0 < n_admitted < len(got), "budget must bind at sf0.001"
