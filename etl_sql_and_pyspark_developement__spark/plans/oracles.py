@@ -2437,3 +2437,37 @@ ORDER BY rank
 
 
 ORACLES["s04_mmr_diverse_topk"] = _s04_oracle()
+
+ORACLES["q49_sql_sessionize"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR (epoch_us(ts) / 1000000.0
+                         - epoch_us(prev_ts) / 1000000.0) > 1800
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq,
+        strftime(min(ts), '%Y-%m-%d') AS start_day,
+        count(*) AS n_events,
+        (max(epoch_us(ts) / 1000000.0) - min(epoch_us(ts) / 1000000.0)) / 60.0
+            AS minutes
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT start_day,
+       count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(n_events), 4) AS avg_session_events,
+       round(avg(minutes), 4) AS avg_session_minutes
+FROM per_session GROUP BY start_day ORDER BY start_day
+"""

@@ -2699,3 +2699,54 @@ def p09_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+@query("q49_sql_sessionize")
+def q49_sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface, sessionization workload: the reference's
+    marquee LAG + gap-flag + running-sum construct (SQL/Binge-Watching
+    Behavior Analysis.txt:10-56) as runnable spark.sql text over
+    registered views — daily session-level rollup, distinct from q03's
+    per-user DataFrame form so both API surfaces of the hardest
+    construct are exercised."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR (cast(ts AS double) - cast(prev_ts AS double)) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+            FROM ordered
+        ),
+        sess AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_seq,
+                date_format(min(ts), 'yyyy-MM-dd') AS start_day,
+                count(*) AS n_events,
+                (max(cast(ts AS double)) - min(cast(ts AS double))) / 60.0
+                    AS minutes
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT start_day,
+               count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users,
+               round(avg(n_events), 4) AS avg_session_events,
+               round(avg(minutes), 4) AS avg_session_minutes
+        FROM per_session GROUP BY start_day ORDER BY start_day
+        """
+    )
