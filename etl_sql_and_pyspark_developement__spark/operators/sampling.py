@@ -101,17 +101,37 @@ def seeded_shuffle_rank(
     orderBy(rand()). Ties on the 16-hex prefix are broken by id, so
     the order is total.
 
-    Scale: the rank is one global sort — at 100 TB you don't
-    materialize it; you range-partition by the SAME md5 key and read
-    partitions in key order, which is this exact permutation without
-    a total-order bottleneck. The windowed form here is the
-    correctness spec the oracle can verify.
+    Scale: the rank comes from quantiles.grouped_prefix_stats — the
+    md5 key's top 52 bits feed the monotone range bucketing, rows sort
+    within buckets by the FULL key (so the order is exactly ORDER BY
+    md5, id even on prefix collisions), and bucket offsets come from a
+    broadcast P-row table — the global permutation with no single-task
+    global sort, bit-identical to the windowed form (asserted in
+    tests/test_sampling.py).
     """
-    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
-    w = Window.orderBy(key, F.col(id_col))
-    return df.withColumn("shuffle_key", key).withColumn(
-        "epoch_rank", F.row_number().over(w)
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
     )
+
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    tagged = (
+        df.withColumn("shuffle_key", key)
+        .withColumn(
+            "__sk", F.conv(F.substring("shuffle_key", 1, 13), 16, 10).cast("long")
+        )
+        .withColumn("__g", F.lit(1))
+        .withColumn("__one", F.lit(1))
+    )
+    return grouped_prefix_stats(
+        tagged,
+        "__g",
+        "__one",
+        ["__sk"],
+        "shuffle_key",
+        rank_out="epoch_rank",
+        cum_out="__cum",
+        descending=False,
+    ).drop("__g", "__sk", "__one", "__cum")
 
 
 def weighted_mix(

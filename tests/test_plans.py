@@ -196,12 +196,14 @@ def test_q45_no_history_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_p07_single_ordering(spark, sf_dir):
-    """Epoch shuffle: the md5 rank is ONE global sort (the documented
-    spec form); no Python, no join."""
+def test_p07_distributed_rank(spark, sf_dir):
+    """Epoch shuffle: the md5 rank goes through the range-bucketed
+    machinery (per-bucket windows + a broadcast offsets join), never
+    one global sort task; no Python."""
     plan = plan_of(spark, "p07_epoch_shuffle", sf_dir)
     assert "BatchEvalPython" not in plan
-    assert "Join" not in plan
+    assert "hashpartitioning(__g" in plan, "rank not bucket-distributed"
+    assert "BroadcastHashJoin" in plan, "bucket offsets must broadcast"
 
 
 def _n_exchanges(plan: str) -> int:

@@ -312,3 +312,27 @@ def test_sequence_pack_chunking_invariants(spark, sf_dir):
     assert seq_ids == set(range(0, max(seq_ids) + 1)) - (
         set() if 0 in seq_ids else {0}
     )
+
+
+def test_seeded_shuffle_rank_bit_identical_to_window_form(spark, sf_dir):
+    """The distributed epoch rank must equal row_number() OVER
+    (ORDER BY md5_key, id) exactly."""
+    from pyspark.sql import Window
+
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        seeded_shuffle_rank,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("7"), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, F.col("doc_id"))
+    exact = {
+        r.doc_id: r.epoch_rank
+        for r in docs.withColumn("epoch_rank", F.row_number().over(w)).collect()
+    }
+    got = {
+        r.doc_id: r.epoch_rank
+        for r in seeded_shuffle_rank(docs, "doc_id", seed=7).collect()
+    }
+    assert got == exact
