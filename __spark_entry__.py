@@ -40,7 +40,7 @@ _NEEDS_DRIVER_ROW = [
     "p03_hash_split", "p04_pipeline_e2e", "p05_corpus_mix",
     # new this round
     "q46_windowed_percentile", "q47_sql_rollup", "q48_sql_window",
-    "p09_sequence_pack", "q49_sql_sessionize",
+    "p09_sequence_pack", "q49_sql_sessionize", "t11_bigram_surprisal",
     # modified this round (need fresh green rows)
     "q12_ltv_deciles", "q14_percentile_benchmark", "q16_roi_deciles",
     "q17_daily_growth", "d11_semantic_dedup", "m04_window_features",

@@ -464,3 +464,54 @@ def surprisal_scores(
         )
         .select(F.col("doc").alias(id_col), "n_tokens", "mean_rarity_ppm")
     )
+
+
+def bigram_surprisal_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-conditional surprisal — t10's unigram proxy upgraded to
+    a 2-gram LM: each bigram (w1, w2) contributes
+    (1e6 * count(w1-as-prefix)) div count(w1 w2), the integer
+    reciprocal of the conditional probability p(w2 | w1) estimated
+    from the corpus itself; a document's score is the integer mean
+    over its bigrams. High score ⇒ improbable continuations (noisy /
+    shuffled / OOV text), low ⇒ fluent common phrasing — the closest
+    engine-exact analogue of a perplexity filter. Docs with < 2
+    tokens are excluded (no bigram evidence).
+
+    Scale: bigram explode → two grouped counts (bigram, prefix) — both
+    shuffle on high-cardinality gram keys with partial aggregation —
+    → join back → per-doc agg. Linear, no driver state.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    )
+    flat = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct("
+                    "element_at(t, i) AS w1, "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS bg))"
+                )
+            ).alias("x"),
+        )
+        .select("doc", "x.w1", "x.bg")
+        .persist()
+    )
+    f12 = flat.groupBy("bg").agg(F.count("*").alias("c12"))
+    f1 = flat.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        flat.join(f12, "bg")
+        .join(f1, "w1")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum((1000000 * c1) div c12) div count(*)").alias(
+                "mean_cond_ppm"
+            ),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "mean_cond_ppm")
+    )

@@ -2471,3 +2471,26 @@ SELECT start_day,
        round(avg(minutes), 4) AS avg_session_minutes
 FROM per_session GROUP BY start_day ORDER BY start_day
 """
+
+ORACLES["t11_bigram_surprisal"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bgx AS (
+    SELECT doc_id AS doc,
+        unnest(list_transform(range(1, len(t)),
+            i -> {'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]})) AS x
+    FROM toks WHERE len(t) >= 2
+),
+flat AS (SELECT doc, x.w1 AS w1, x.bg AS bg FROM bgx),
+f12 AS (SELECT bg, count(*) AS c12 FROM flat GROUP BY bg),
+f1 AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1)
+SELECT doc AS doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum((1000000 * c1) // c12) // count(*) AS BIGINT) AS mean_cond_ppm
+FROM flat
+JOIN f12 USING (bg)
+JOIN f1 USING (w1)
+GROUP BY doc
+ORDER BY doc_id
+"""

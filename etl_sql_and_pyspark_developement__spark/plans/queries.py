@@ -2750,3 +2750,16 @@ def q49_sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_session GROUP BY start_day ORDER BY start_day
         """
     )
+
+
+@query("t11_bigram_surprisal")
+def t11_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-conditional surprisal per doc (2-gram LM fluency axis,
+    engine-exact BIGINT arithmetic) — see
+    textstats.bigram_surprisal_scores."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bigram_surprisal_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_surprisal_scores(docs).orderBy("doc_id")

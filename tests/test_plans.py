@@ -244,3 +244,27 @@ def test_d12_no_cartesian_two_gram_shuffles(spark, sf_dir):
     # gram-level partial->final aggs + tiny per-source rollup + n_docs
     # join; the gram explode itself must stay narrow
     assert "Generate" in plan and "explode" in plan
+
+
+def test_q46_windowed_percentile_partitioned(spark, sf_dir):
+    """The windowed percentile must partition by nation — never an
+    unpartitioned window over the per-supplier frame."""
+    plan = plan_of(spark, "q46_windowed_percentile", sf_dir)
+    assert "hashpartitioning(nation_name" in plan
+
+
+def test_p09_sequence_pack_distributed_prefix(spark, sf_dir):
+    """Packing's global running token total must ride the bucketed
+    prefix-sum machinery with broadcast offsets."""
+    plan = plan_of(spark, "p09_sequence_pack", sf_dir)
+    assert "__rb" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_t11_jvm_only_two_gram_shuffles(spark, sf_dir):
+    """Bigram surprisal stays JVM-side; its wide shuffles are keyed on
+    high-cardinality grams (bg / w1) plus the per-doc agg."""
+    plan = plan_of(spark, "t11_bigram_surprisal", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
