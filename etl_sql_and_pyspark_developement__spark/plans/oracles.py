@@ -2494,3 +2494,92 @@ JOIN f1 USING (w1)
 GROUP BY doc
 ORDER BY doc_id
 """
+
+# s03: literal mirror of operators/similarity.ann_ivf_topk with
+# train_iterations=1, k=16, n_probe=4 — seeds are the 16 lowest-id
+# vectors (cluster = seed rank), one Lloyd step (nearest-seed
+# assignment by squared L2, per-(cluster,pos) mean update, empty
+# clusters keep their seed), final nearest-centroid assignment, each
+# query probes its 4 nearest lists, cosine scored only inside probed
+# lists. Float arithmetic mirrored literally (cast-to-double, same
+# (x-w)*(x-w) form, round 6) — the same literal-mirror contract the
+# s01/s02/d08/d11 oracles already rely on.
+ORACLES["s03_ann_ivf"] = """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS cent FROM (
+        SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM corpus
+    ) WHERE rn <= 16
+),
+d0 AS (
+    SELECT c.vec_id, s.cluster,
+        list_sum(list_transform(list_zip(c.v, s.cent),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM corpus c CROSS JOIN seeds s
+),
+a0 AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d0
+    ) WHERE rn = 1
+),
+sums AS (
+    SELECT a0.cluster, i.i AS pos, sum(c.v[i.i]) AS s, count(*) AS n
+    FROM a0 JOIN corpus c USING (vec_id), range(1, 65) i(i)
+    GROUP BY a0.cluster, i.i
+),
+newc AS (
+    SELECT cluster, list(s / n ORDER BY pos) AS cent FROM sums GROUP BY cluster
+),
+cent1 AS (
+    SELECT s.cluster, coalesce(n.cent, s.cent) AS cent
+    FROM seeds s LEFT JOIN newc n USING (cluster)
+),
+d1 AS (
+    SELECT c.vec_id, c.v, k.cluster,
+        list_sum(list_transform(list_zip(c.v, k.cent),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM corpus c CROSS JOIN cent1 k
+),
+assign AS (
+    SELECT vec_id, v, cluster FROM (
+        SELECT vec_id, v, cluster,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+qd AS (
+    SELECT c.vec_id AS query_id, c.v AS q_vec, k.cluster,
+        list_sum(list_transform(list_zip(c.v, k.cent),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM corpus c CROSS JOIN cent1 k
+    WHERE c.vec_id < 10
+),
+probes AS (
+    SELECT query_id, q_vec, cluster FROM (
+        SELECT query_id, q_vec, cluster,
+            row_number() OVER (PARTITION BY query_id ORDER BY dist, cluster) AS pr
+        FROM qd
+    ) WHERE pr <= 4
+),
+pairs AS (
+    SELECT p.query_id, a.vec_id AS cand_id,
+        round(list_dot_product(p.q_vec, a.v)
+              / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                 * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+    FROM assign a JOIN probes p USING (cluster)
+    WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM pairs
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""

@@ -1660,9 +1660,14 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     One Lloyd iteration: measured recall@5 vs s01 drops only 1.0→0.98
     at sf0.1 while training cost halves — the right trade for a coarse
     quantizer whose misses the n_probe=4 multi-list probing already
-    covers. No SQL oracle (k-means centroid sums are float-order
-    nondeterministic); recall floor asserted in
-    tests/test_similarity.py.
+    covers. SQL oracle: the whole path (lowest-id seeds → one Lloyd
+    step → final assignment → n_probe lists → in-list cosine top-k)
+    is unrolled into DuckDB CTEs with literally-mirrored float
+    arithmetic — centroid sums are double accumulations whose
+    cross-engine order difference is ~1 ulp, orders of magnitude
+    below any argmin/rank gap, the same literal-mirror contract the
+    s01/s02/d08/d11 oracles rely on. Recall floor additionally
+    asserted in tests/test_similarity.py.
     """
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         ann_ivf_topk,
