@@ -268,3 +268,123 @@ def window_features(
     return df.select(id_col, "payload").mapInPandas(
         extract, WINDOW_FEATURE_SCHEMA
     )
+
+
+PHASH_SCHEMA = "doc_id bigint, n_bytes int, c0 int, c1 int, c2 int, c3 int"
+
+
+def phash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual-hash signatures over an opaque binary payload — the
+    multimodal bridge into the dedup stack (near-duplicate IMAGES, not
+    near-duplicate text): resample the payload to a fixed 8x8=64-byte
+    thumbnail (the same nearest-neighbor gather as resize_payloads),
+    then emit the 64-bit average-hash (aHash): bit_j = 1 iff
+    thumb[j]*64 > sum(thumb) — integer-exact, no float thresholds.
+    A production pipeline decodes real pixels and may swap the DCT
+    pHash in; signature→candidate→verify plumbing is unchanged.
+
+    The signature ships as four 16-bit chunks (c0..c3) rather than one
+    BIGINT: the pigeonhole candidate join needs the chunks anyway, and
+    chunked storage sidesteps sign-bit issues at bit 63.
+
+    Scale: mapInPandas, narrow, constant output per row.
+    """
+    import numpy as np
+
+    base_idx = np.arange(64, dtype=np.float64)
+    shifts = np.arange(16, dtype=np.int64)
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_bytes", "c0", "c1", "c2", "c3")}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    chunks = [0, 0, 0, 0]
+                else:
+                    src = np.frombuffer(data, dtype=np.uint8)
+                    idx = np.minimum(
+                        (base_idx * (len(data) / 64.0)).astype(np.int64),
+                        len(data) - 1,
+                    )
+                    thumb = src[idx].astype(np.int64)
+                    total = int(thumb.sum())
+                    bits = (thumb * 64 > total).astype(np.int64)
+                    chunks = [
+                        int((bits[16 * c : 16 * c + 16] << shifts).sum())
+                        for c in range(4)
+                    ]
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(data))
+                for c in range(4):
+                    rows[f"c{c}"].append(chunks[c])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(hasher, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    sigs: DataFrame, max_hamming: int | None = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs of perceptually-near payloads.
+
+    Candidates via the chunk-equality pigeonhole (same scheme as
+    simhash_pairs in operators/dedup.py): any pair within hamming ≤ 3
+    of a 64-bit signature leaves at least one of the four 16-bit
+    chunks untouched, so an EQUI-join on (chunk_id, chunk_val) is a
+    lossless candidate generator — never an all-pairs comparison.
+    Verification is exact popcount-of-xor over the chunks.
+    `max_hamming=None` keeps ALL chunk-colliding candidates scored
+    (for top-k "closest pairs" review queues); completeness then only
+    holds to hamming 3 — candidates further apart may miss every
+    chunk, which is the standard LSH recall trade.
+
+    Scale: one shuffle on the chunk key; hot chunk values (e.g. the
+    all-zero chunk from low-entropy payloads) bound the blowup — at
+    corpus scale, add a frequency cap on pathological chunk buckets
+    exactly as minhash_lsh_pairs does for its bands.
+    """
+    # both the explode side and the verify side read sigs
+    sigs = sigs.persist()
+    chunked = sigs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk_val")
+                )
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("doc", "ch.chunk_id", "ch.chunk_val")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{c}").alias(f"a_c{c}") for c in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{c}").alias(f"b_c{c}") for c in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a_c{c} ^ b_c{c}")) for c in range(4)
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+    )
+    if max_hamming is not None:
+        scored = scored.filter(F.col("hamming") <= max_hamming)
+    return scored.select("doc_a", "doc_b", "hamming")

@@ -2583,3 +2583,47 @@ SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
 FROM ranked WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
+
+# m05: byte replay of the phash kernel — thumbnail gather mirrored
+# from the m03 oracle, aHash bit = thumb[j]*64 > sum(thumb) (integer),
+# 16-bit chunks, OR-of-chunk-equality candidates (same pair set as the
+# Spark chunk-explode equi-join), popcount-of-xor hamming, closest 20.
+ORACLES["m05_image_phash"] = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+),
+vals AS (
+    SELECT doc_id,
+        list_transform(range(64),
+            i -> CAST(('0x' || substr(hx,
+                CAST(2 * least(CAST(floor(i * (nb / 64.0)) AS BIGINT), nb - 1)
+                     + 1 AS INT), 2)) AS BIGINT)) AS v
+    FROM b WHERE nb > 0
+),
+sigs AS (
+    SELECT doc_id, v, list_sum(v) AS s FROM vals
+),
+chunks AS (
+    SELECT doc_id,
+        CAST(list_sum(list_transform(range(16),
+            t -> CASE WHEN v[t + 1] * 64 > s THEN 1 << t ELSE 0 END)) AS INT) AS c0,
+        CAST(list_sum(list_transform(range(16),
+            t -> CASE WHEN v[16 + t + 1] * 64 > s THEN 1 << t ELSE 0 END)) AS INT) AS c1,
+        CAST(list_sum(list_transform(range(16),
+            t -> CASE WHEN v[32 + t + 1] * 64 > s THEN 1 << t ELSE 0 END)) AS INT) AS c2,
+        CAST(list_sum(list_transform(range(16),
+            t -> CASE WHEN v[48 + t + 1] * 64 > s THEN 1 << t ELSE 0 END)) AS INT) AS c3
+    FROM sigs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+       + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT)
+        AS hamming
+FROM chunks a JOIN chunks b
+  ON a.doc_id < b.doc_id
+ AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+ORDER BY hamming, doc_a, doc_b
+LIMIT 20
+"""

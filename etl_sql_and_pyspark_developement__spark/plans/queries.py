@@ -2768,3 +2768,34 @@ def t11_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bigram_surprisal_scores(docs).orderBy("doc_id")
+
+
+@query("m05_image_phash")
+def m05_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads — the
+    multimodal tier joined to the dedup stack: stub-decode each payload
+    to an 8x8 thumbnail (same gather as m03), 64-bit average-hash
+    signature, chunk-pigeonhole candidates, exact hamming verify,
+    top-20 closest pairs (the dedup review queue; this synthetic
+    corpus has no pairs under the strict ≤ 3 cutoff, so the query
+    surfaces the nearest candidates instead of an empty screen).
+
+    Oracle-verified like m02–m04: thumbnail gather and the aHash bit
+    threshold (thumb[j]*64 > sum) are pure integer arithmetic over the
+    text's UTF-8 bytes, replayed by the DuckDB oracle from
+    hex(encode(text)); candidate losslessness at hamming ≤ 3
+    (pigeonhole) and planted near-dup recovery are additionally
+    covered in tests/test_multimodal.py."""
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        phash_neardup_pairs,
+        phash_signatures,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = phash_signatures(with_binary_payload(docs))
+    return (
+        phash_neardup_pairs(sigs, max_hamming=None)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -133,3 +133,70 @@ def test_window_features_short_payload_empty(spark):
         spark.createDataFrame([(1, "tiny")], "doc_id BIGINT, text STRING")
     )
     assert window_features(df, win_size=64, hop=16).count() == 0
+
+
+def _phash_reference(data: bytes) -> list[int]:
+    """Independent Python reference for the aHash chunk signature."""
+    if not data:
+        return [0, 0, 0, 0]
+    idx = [min(int(j * (len(data) / 64.0)), len(data) - 1) for j in range(64)]
+    thumb = [data[i] for i in idx]
+    total = sum(thumb)
+    bits = [1 if v * 64 > total else 0 for v in thumb]
+    return [
+        sum(bits[16 * c + t] << t for t in range(16)) for c in range(4)
+    ]
+
+
+def test_phash_signature_matches_reference(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        phash_signatures,
+        with_binary_payload,
+    )
+
+    texts = ["hello world " * 9, "abc", "x" * 64, ""]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+        for r in phash_signatures(with_binary_payload(df)).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        assert rows[doc_id] == tuple(_phash_reference(text.encode())), doc_id
+
+
+def test_phash_pigeonhole_lossless_and_planted_neardup(spark):
+    """A planted near-dup (few flipped bytes, distant doc ids) must be
+    recovered by the chunk-pigeonhole candidates at hamming <= 3, and
+    the screen must equal the brute-force all-pairs screen."""
+    import itertools
+
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        phash_neardup_pairs,
+        phash_signatures,
+        with_binary_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    # id 7000 is a light mutation of id 3: same bytes except one char —
+    # thumbnail mostly unchanged -> low hamming
+    texts = [(i, f"document number {i} " + "filler text " * (3 + i % 5)) for i in range(10)]
+    texts[3] = (3, base)
+    texts.append((7000, base[:-1] + "!"))
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sigs = phash_signatures(with_binary_payload(df)).cache()
+    screened = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_neardup_pairs(sigs, max_hamming=3).collect()
+    }
+    assert (3, 7000) in screened
+    # brute force over collected signatures
+    rows = {r.doc_id: (r.c0, r.c1, r.c2, r.c3) for r in sigs.collect()}
+    brute = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        h = sum(bin(x ^ y).count("1") for x, y in zip(rows[a], rows[b]))
+        if h <= 3:
+            brute[(a, b)] = h
+    assert screened == brute
+    sigs.unpersist()

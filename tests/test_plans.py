@@ -268,3 +268,13 @@ def test_t11_jvm_only_two_gram_shuffles(spark, sf_dir):
     plan = plan_of(spark, "t11_bigram_surprisal", sf_dir)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_m05_phash_candidates_equi_join(spark, sf_dir):
+    """The phash candidate stage must be a chunk-key EQUI-join (the
+    pigeonhole), never an all-pairs nested loop; the kernel is the one
+    Arrow lane."""
+    plan = plan_of(spark, "m05_image_phash", sf_dir)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "chunk_val" in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan.lower()
