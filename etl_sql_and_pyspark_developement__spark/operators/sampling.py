@@ -316,3 +316,68 @@ def sequence_pack(
         .withColumn("end_seq", end_seq)
         .withColumn("is_split", (F.col("end_seq") > F.col("seq_id")).cast("int"))
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score_ppm",
+    stages: int = 4,
+    seed: str | int = 0,
+) -> DataFrame:
+    """Deterministic curriculum ordering for a training run: documents
+    staged easy→hard by a quality score (stage 1 = highest-quality
+    quartile), with a seeded md5 shuffle INSIDE each stage so no stage
+    replays corpus order, and a single global `curriculum_rank` that
+    concatenates the stages. The permutation is engine-portable and
+    identical across runs/partitionings (same contract as
+    seeded_shuffle_rank; change `seed` per run to reshuffle within
+    stages without touching the stage structure).
+
+    Scale: stage boundaries come from quantiles.scalable_ntile (exact
+    distributed NTILE — no unpartitioned window); the within-stage
+    order comes from grouped_prefix_stats keyed on the md5's 52-bit
+    prefix (no serial per-stage sort); the cross-stage offsets are a
+    window over a ≤`stages`-row aggregate joined broadcast. Nothing
+    funnels the corpus through one task.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+        scalable_ntile,
+    )
+
+    staged = scalable_ntile(
+        df, score_col, stages, id_col, out_col="stage", descending=True
+    )
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    tagged = (
+        staged.withColumn("shuffle_key", key)
+        .withColumn(
+            "__sk", F.conv(F.substring("shuffle_key", 1, 13), 16, 10).cast("long")
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    ranked = grouped_prefix_stats(
+        tagged,
+        "stage",
+        "__one",
+        ["__sk"],
+        "shuffle_key",
+        rank_out="__stage_rank",
+        cum_out="__cum",
+        descending=False,
+    )
+    sizes = staged.groupBy("stage").count()
+    w_off = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "stage", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__soff")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "stage")
+        .withColumn(
+            "curriculum_rank", F.col("__soff") + F.col("__stage_rank")
+        )
+        .select(id_col, "stage", score_col, "curriculum_rank")
+    )

@@ -2627,3 +2627,44 @@ FROM chunks a JOIN chunks b
 ORDER BY hamming, doc_a, doc_b
 LIMIT 20
 """
+
+# p10: t08's scorer (bit-exact integer ppm) → NTILE(4) stages →
+# within-stage md5 shuffle → concatenated global rank. The single
+# ORDER BY (stage, md5, doc_id) row_number IS the concatenation of
+# per-stage ranks offset by stage sizes.
+ORACLES["p10_curriculum"] = """
+WITH feats AS (
+    SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a', 'the'))) AS n_stop
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+        least(n_tokens, 100) * 3000
+        + greatest(0, 250000 - abs((n_stop * 1000000 // n_tokens) - 100000))
+        + greatest(0, 150000 - 2 * (n_punct * 1000000 // n_chars))
+        + ((n_distinct * 1000000 // n_tokens) * 3 // 10) AS score_ppm
+    FROM feats
+),
+staged AS (
+    SELECT doc_id, score_ppm,
+        ntile(4) OVER (ORDER BY score_ppm DESC, doc_id) AS stage
+    FROM scored
+),
+keyed AS (
+    SELECT doc_id, stage, score_ppm,
+        md5('0:' || CAST(doc_id AS VARCHAR)) AS sk
+    FROM staged
+)
+SELECT doc_id,
+    CAST(stage AS INTEGER) AS stage,
+    CAST(score_ppm AS BIGINT) AS score_ppm,
+    row_number() OVER (ORDER BY stage, sk, doc_id) AS curriculum_rank
+FROM keyed
+ORDER BY curriculum_rank
+"""

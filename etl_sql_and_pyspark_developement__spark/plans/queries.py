@@ -2799,3 +2799,28 @@ def m05_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@query("p10_curriculum")
+def p10_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for a training run: t08's quality scorer →
+    4 quality stages (stage 1 = cleanest quartile first) → seeded md5
+    shuffle within each stage → one global curriculum_rank.
+
+    Exact oracle: the whole permutation is verified (NTILE staging,
+    md5 within-stage order, concatenated rank), not just proportions —
+    stage assignment rides quantiles.scalable_ntile (bit-equal to the
+    global-window NTILE) and the within-stage order rides
+    grouped_prefix_stats, both already parity-tested machinery."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        curriculum_order,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = classifier_score(docs).select("doc_id", "score_ppm")
+    return curriculum_order(scored, stages=4, seed=0).orderBy(
+        "curriculum_rank"
+    )

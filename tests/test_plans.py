@@ -278,3 +278,13 @@ def test_m05_phash_candidates_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "chunk_val" in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_p10_curriculum_distributed_machinery(spark, sf_dir):
+    """Curriculum staging + within-stage shuffle must ride the
+    range-bucket rank machinery with broadcast offsets — no
+    unpartitioned data-wide window, no Python lane."""
+    plan = plan_of(spark, "p10_curriculum", sf_dir)
+    assert "__rb" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

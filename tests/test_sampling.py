@@ -336,3 +336,41 @@ def test_seeded_shuffle_rank_bit_identical_to_window_form(spark, sf_dir):
         for r in seeded_shuffle_rank(docs, "doc_id", seed=7).collect()
     }
     assert got == exact
+
+
+def test_curriculum_order_invariants(spark, sf_dir):
+    """Ranks are a permutation, stages partition easy->hard by score,
+    and reseeding reshuffles within stages without moving any doc
+    across stages."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        curriculum_order,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    scored = classifier_score(table(spark, sf_dir, "documents")).select(
+        "doc_id", "score_ppm"
+    )
+    out = curriculum_order(scored, stages=4, seed=0).collect()
+    n = len(out)
+    assert sorted(r.curriculum_rank for r in out) == list(range(1, n + 1))
+    # every stage-1 score >= every stage-4 score; stages ordered by rank
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert sorted(by_stage) == [1, 2, 3, 4]
+    for s in (1, 2, 3):
+        assert min(r.score_ppm for r in by_stage[s]) >= max(
+            r.score_ppm for r in by_stage[s + 1]
+        )
+        assert max(r.curriculum_rank for r in by_stage[s]) < min(
+            r.curriculum_rank for r in by_stage[s + 1]
+        )
+    out2 = curriculum_order(scored, stages=4, seed=1).collect()
+    stage_of = {r.doc_id: r.stage for r in out}
+    assert all(stage_of[r.doc_id] == r.stage for r in out2)
+    assert {r.doc_id: r.curriculum_rank for r in out} != {
+        r.doc_id: r.curriculum_rank for r in out2
+    }
