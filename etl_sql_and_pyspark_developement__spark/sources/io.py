@@ -145,3 +145,33 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
             "Delta Lake requires the delta-spark package on the classpath; "
             "not available in this environment"
         ) from exc
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in `df`, leaving sibling partitions untouched — the idempotent
+    backfill/late-data pattern (re-run one day's pipeline without
+    truncating the whole dataset). Static overwrite (the default)
+    would delete every partition under `path` first.
+
+    Scoped via the writer option, not the session conf, so concurrent
+    writers with different semantics don't race on a global setting.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: mergeSchema unions the footer schemas of
+    every file, so columns added by newer writers appear (null-filled
+    for old files) instead of being silently dropped by the
+    first-footer-wins default. Costs one footer read per file — use on
+    evolved datasets, not hot paths (compact to a uniform schema when
+    the evolution settles)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

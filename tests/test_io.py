@@ -153,3 +153,44 @@ def test_compact_parquet_file_count_and_zone_maps(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges interleave: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    """Overwriting one partition's data must not delete sibling
+    partitions (the idempotent single-day backfill)."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        overwrite_partitions,
+        read_parquet,
+    )
+
+    path = str(tmp_path / "dyn")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["id", "day"]
+    )
+    overwrite_partitions(v1, path, ["day"])
+    # re-run day b only, with corrected rows
+    fix = spark.createDataFrame([(30, "b"), (31, "b")], ["id", "day"])
+    overwrite_partitions(fix, path, ["day"])
+    rows = {(r.id, r.day) for r in read_parquet(spark, path).collect()}
+    assert rows == {(1, "a"), (2, "a"), (30, "b"), (31, "b")}
+
+
+def test_merge_schema_read_unions_evolved_columns(spark, tmp_path):
+    """A column added by a newer writer must surface (null for old
+    files) under read_parquet_evolving, and the plain read must still
+    work on the mixed directory."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "x")], ["id", "name"]).write.parquet(
+        path, mode="append"
+    )
+    spark.createDataFrame(
+        [(2, "y", 9.5)], ["id", "name", "score"]
+    ).write.parquet(path, mode="append")
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None
