@@ -161,6 +161,73 @@ def ann_lsh_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus: every vector's
+    top-k cosine neighbors among vectors sharing an LSH bucket (own
+    bucket plus every hamming-1 probe). The kNN graph is the backbone
+    of semantic curation — SemDeDup clustering, density-based quality
+    scoring, and graph-based diversity sampling all start from it.
+
+    Unlike ann_lsh_topk (small query set, broadcast), BOTH sides here
+    are the full corpus, so neither is broadcast: the probe side
+    explodes (n_bits+1) narrow rows per vector and the candidate join
+    is a shuffle equi-join on the bucket id. Expected pair count is
+    ~(n_bits+1)/2^n_bits of n² — at n_bits=8 that is ~3.5% of the
+    cross product, and recall is tested vs the exact graph. A pair can
+    collide in several probe buckets, so pairs are deduplicated before
+    scoring (duplicate rows would occupy two ranks in the window).
+
+    Scale: signatures are map-side expressions; the only wide ops are
+    the bucket join, the pair distinct, and the per-vector top-k
+    window (partitioned by the high-cardinality vector id). Real
+    embedding distributions skew bucket sizes — AQE skew-join splits
+    hot buckets; raise n_bits to keep E[bucket size] bounded as the
+    corpus grows (buckets ∝ 2^n_bits).
+    """
+    sig = lsh_signature(vec_col, n_bits, dim)
+    base = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), sig.alias("bucket")
+    ).persist()
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ {1 << b}").cast("long") for b in range(n_bits)],
+    )
+    q = base.select(
+        F.col("vid").alias("query_id"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = base.select(F.col("vid").alias("cand_id"), F.col("bucket"))
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    vecs_q = base.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"))
+    vecs_c = base.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"))
+    scored = (
+        cand.join(vecs_q, "query_id")
+        .join(vecs_c, "cand_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "cosine")
+    )
+
+
 def _centroids_df(spark, centroids: list[list[float]]):
     """Tiny (k rows) DataFrame of centroid vectors — joined broadcast
     instead of inlined as literals, so plans stay small at any k."""

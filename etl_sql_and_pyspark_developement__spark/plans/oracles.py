@@ -1878,6 +1878,66 @@ ORDER BY query_id, rnk
 ORACLES["s02_ann_lsh"] = _s02_oracle()
 
 
+# s05's oracle mirrors the kNN-graph pipeline literal-for-literal:
+# the same 8 ±1-hyperplane sign buckets, the hamming-1 probe set, the
+# DISTINCT pair dedup (a pair can collide in several probe buckets),
+# and the rounded-cosine / cand_id tiebreak ranking.
+def _s05_oracle(n_bits: int = 8, k: int = 5) -> str:
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        _planes,
+    )
+
+    planes = _planes(n_bits, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec0, {[float(v) for v in row]}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, row in enumerate(planes)
+    )
+    probe_list = (
+        "[bucket, "
+        + ", ".join(f"xor(bucket, {1 << b})" for b in range(n_bits))
+        + "]"
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec0
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, vec0, ({bucket_terms}) AS bucket FROM v
+),
+probes AS (
+    SELECT vec_id AS query_id, unnest({probe_list}) AS bucket FROM sig
+),
+cand AS (
+    SELECT DISTINCT p.query_id, s.vec_id AS cand_id
+    FROM probes p JOIN sig s ON s.bucket = p.bucket
+    WHERE s.vec_id <> p.query_id
+),
+pairs AS (
+    SELECT c.query_id, c.cand_id,
+        round(list_dot_product(q.vec0, s.vec0)
+              / (sqrt(list_dot_product(q.vec0, q.vec0))
+                 * sqrt(list_dot_product(s.vec0, s.vec0))), 6) AS cosine
+    FROM cand c
+    JOIN sig q ON q.vec_id = c.query_id
+    JOIN sig s ON s.vec_id = c.cand_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM pairs
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+ORACLES["s05_knn_graph"] = _s05_oracle()
+
+
 # d04's oracle mirrors the md5-based simhash pipeline end-to-end:
 # same per-token 32-bit halves, same 64 bit-sums, same chunk assembly,
 # same pigeonhole candidate join, same bit_count hamming verify.

@@ -1702,6 +1702,28 @@ def s04_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb, k=10, pool=50, lambda_x1000=700).orderBy("rank")
 
 
+@query("s05_knn_graph")
+def s05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole embedding corpus (every
+    vector's top-5 cosine neighbors among LSH-bucket collisions, own
+    bucket + hamming-1 probes) — the starting artifact for semantic
+    curation: SemDeDup clustering, density scoring, diversity
+    sampling.
+
+    The hyperplanes are deterministic literals, so the DuckDB oracle
+    mirrors the bucketing, the probe set, the pair dedup, and the
+    scoring bit-for-bit — the approximate graph itself is
+    value-verified; recall vs the exact graph is additionally tested
+    in tests/test_similarity.py.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_bits=8, dim=64).orderBy("query_id", "rnk")
+
+
 @query("q31_unpivot")
 def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide→long melt) via stack(): the inverse of q08's

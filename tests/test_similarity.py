@@ -260,3 +260,57 @@ def test_mmr_first_pick_is_argmax_relevance_and_diverse(spark, vectors):
     # determinism: re-running yields the identical selection
     again = mmr_select(vectors, k=k, pool=20, lambda_x1000=700).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in sel]
+
+
+def test_knn_graph_recall_and_planted_copy(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    k = 3
+    approx = knn_graph(vectors, k=k, n_bits=6, dim=16).collect()
+    # every vector that produced neighbors got at most k, ranked 1..m
+    by_q: dict[int, list] = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rnks = sorted(r["rnk"] for r in rows)
+        assert rnks == list(range(1, len(rows) + 1))
+        assert len(rows) <= k
+
+    # the planted exact copy (50 == 0) shares every LSH bucket with
+    # its twin, so each must surface as the other's top neighbor
+    assert by_q[0][0]["cand_id"] == 50 and by_q[0][0]["cosine"] == 1.0
+    assert by_q[50][0]["cand_id"] == 0 and by_q[50][0]["cosine"] == 1.0
+
+    # Recall is asserted on CLUSTERED vectors — the case the LSH
+    # contract covers (collision probability rises with cosine; on
+    # uniformly random vectors the "nearest" neighbors are ~orthogonal
+    # and hyperplane LSH rightly keeps them apart). 12 centers × 5
+    # jittered members: true neighbors are same-cluster, high-cosine.
+    import math as _math
+
+    def jitter(base, j):
+        state = (j * 48271 + 11) % (1 << 31)
+        out = []
+        for x in base:
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            out.append(x + 0.05 * ((state / (1 << 30)) - 1.0))
+        return out
+
+    base_rows = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    clustered = []
+    vid = 0
+    for c in range(12):
+        center = base_rows[c]
+        for j in range(5):
+            clustered.append((vid, [float(v) for v in jitter(center, j)]))
+            vid += 1
+    cdf = spark.createDataFrame(clustered, vectors.schema)
+    exact = cosine_topk(cdf, cdf, k=k).collect()
+    approx2 = knn_graph(cdf, k=k, n_bits=6, dim=16).collect()
+    exact_pairs = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["cand_id"]) for r in approx2}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"kNN-graph recall too low on clustered data: {recall:.2f}"
