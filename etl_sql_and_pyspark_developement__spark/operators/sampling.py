@@ -381,3 +381,61 @@ def curriculum_order(
         )
         .select(id_col, "stage", score_col, "curriculum_rank")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget_divisor: int = 2,
+) -> DataFrame:
+    """Temperature-smoothed source re-balancing (α = 0.5): sampling
+    rates ∝ n_g^α / n_g, the mT5/XLM-R mixture rule that upweights
+    scarce groups and damps dominant ones, applied as a deterministic
+    md5-ppm keep decision so the KEPT SET is engine-portable.
+
+    The group weight is an INTEGER milli-weight floor(sqrt(n)*1000):
+    sqrt and * are IEEE correctly-rounded, so both engines compute the
+    identical double and the identical floor — and the weight SUM is
+    then integer arithmetic, immune to the float-reduction-order
+    nondeterminism a sum of raw sqrt doubles would have. The per-group
+    ppm rate is one fixed-order double expression (mirrored literally
+    in the oracle), capped at 1e6.
+
+    Returns the kept rows + (w_mil, rate_ppm) audit columns.
+
+    Scale: one tiny groupBy (|groups| rows), a broadcast join of the
+    rate table, and a per-row md5 filter — zero wide shuffles on the
+    corpus itself.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "w_mil", F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("w_mil").alias("sum_w")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr(f"total_docs div {budget_divisor}"))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("budget")
+                    / F.col("sum_w")
+                    * F.col("w_mil")
+                    / F.col("n_docs")
+                ).cast("long"),
+            ),
+        )
+        .select(group_col, "w_mil", "rate_ppm")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return df.join(F.broadcast(rates), group_col).filter(bucket < F.col("rate_ppm"))

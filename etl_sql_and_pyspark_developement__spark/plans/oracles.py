@@ -2692,6 +2692,52 @@ LIMIT 20
 # within-stage md5 shuffle → concatenated global rank. The single
 # ORDER BY (stage, md5, doc_id) row_number IS the concatenation of
 # per-stage ranks offset by stage sizes.
+# p11: mirrors temperature_mix — same integer milli-weights
+# (floor(sqrt(n)*1000): sqrt and * are IEEE correctly-rounded, so both
+# engines produce the identical double), same integer weight sum, same
+# fixed-order rate expression, same md5-ppm keep decision.
+ORACLES["p11_temperature_mix"] = """
+WITH counts AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs,
+        CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS w_mil
+    FROM counts
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+           CAST(sum(w_mil) AS BIGINT) AS sum_w
+    FROM w
+),
+rates AS (
+    SELECT lang, n_docs, w_mil,
+        least(1000000,
+              CAST(floor(1000000.0 * (total_docs // 2) / sum_w * w_mil
+                         / n_docs) AS BIGINT)) AS rate_ppm
+    FROM w, tot
+),
+kept AS (
+    SELECT d.lang, d.n_chars, r.w_mil, r.rate_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < r.rate_ppm
+),
+summary AS (
+    SELECT lang, w_mil, rate_ppm,
+        count(*) AS n_kept,
+        CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY lang, w_mil, rate_ppm
+)
+SELECT c.lang, c.n_docs,
+    COALESCE(s.w_mil, 0) AS w_mil,
+    COALESCE(s.rate_ppm, 0) AS rate_ppm,
+    COALESCE(s.n_kept, 0) AS n_kept,
+    COALESCE(s.kept_chars, 0) AS kept_chars
+FROM counts c LEFT JOIN summary s USING (lang)
+ORDER BY lang
+"""
+
 ORACLES["p10_curriculum"] = """
 WITH feats AS (
     SELECT doc_id,

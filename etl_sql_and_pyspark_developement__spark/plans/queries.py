@@ -2823,6 +2823,42 @@ def m05_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("p11_temperature_mix")
+def p11_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (α = 0.5) language re-balancing of the
+    corpus — rates ∝ sqrt(n_lang)/n_lang under a half-corpus budget,
+    the mT5/XLM-R mixture rule — summarized per language as the
+    actually-kept set (md5-ppm deterministic, not rand()).
+
+    Oracle-verified value-for-value: integer milli-weights make the
+    weight sum order-independent, and the rate is one fixed-order
+    IEEE double expression both engines compute bit-identically.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "doc_id", "lang", budget_divisor=2)
+    summary = kept.groupBy("lang", "w_mil", "rate_ppm").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(summary, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("w_mil", F.lit(0)).alias("w_mil"),
+            F.coalesce("rate_ppm", F.lit(0)).alias("rate_ppm"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("p10_curriculum")
 def p10_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering for a training run: t08's quality scorer →

@@ -374,3 +374,45 @@ def test_curriculum_order_invariants(spark, sf_dir):
     assert {r.doc_id: r.curriculum_rank for r in out} != {
         r.doc_id: r.curriculum_rank for r in out2
     }
+
+
+def test_temperature_mix_rebalances_and_is_deterministic(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        temperature_mix,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "doc_id", "lang", budget_divisor=2)
+    rows = kept.collect()
+    # kept set is a subset of the corpus
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert {r.doc_id for r in rows} <= all_ids
+
+    # α=0.5 smoothing: the TARGET rate (rate_ppm, carried as an audit
+    # column) orders opposite to group size — the dominant group is
+    # damped hardest. (The ACHIEVED rate additionally carries md5
+    # sampling noise, ±10% on 70-doc groups, so it is only compared
+    # at the extremes.)
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    ppm = {r.lang: r.rate_ppm for r in rows}
+    by_size = sorted(sizes, key=lambda g: sizes[g])
+    for small, big in zip(by_size, by_size[1:]):
+        if sizes[small] < sizes[big]:
+            assert ppm[small] >= ppm[big], (
+                f"{small} (n={sizes[small]}) should target a rate >= "
+                f"{big} (n={sizes[big]}): {ppm}"
+            )
+    kept_n: dict[str, int] = {}
+    for r in rows:
+        kept_n[r.lang] = kept_n.get(r.lang, 0) + 1
+    smallest, biggest = by_size[0], by_size[-1]
+    if sizes[biggest] >= 2 * sizes[smallest]:
+        assert (
+            kept_n.get(smallest, 0) / sizes[smallest]
+            > kept_n.get(biggest, 0) / sizes[biggest]
+        )
+
+    # deterministic: identical kept set on re-run
+    again = temperature_mix(docs, "doc_id", "lang", budget_divisor=2)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in rows)
