@@ -288,3 +288,23 @@ def test_p10_curriculum_distributed_machinery(spark, sf_dir):
     assert "__rb" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s05_knn_graph_equi_join_no_python(spark, sf_dir):
+    """The kNN-graph candidate stage must be a bucket EQUI-join (LSH
+    probes), never an all-pairs nested loop, with the vector math in
+    codegen — no Python lane."""
+    plan = plan_of(spark, "s05_knn_graph", sf_dir)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "bucket" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_p11_temperature_mix_broadcast_rates_no_wide_shuffle(spark, sf_dir):
+    """The rate table (|langs| rows) must broadcast onto the corpus;
+    the keep decision is per-row codegen arithmetic — the only wide
+    shuffles are the tiny per-lang aggregations."""
+    plan = plan_of(spark, "p11_temperature_mix", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
