@@ -53,6 +53,9 @@ def main() -> None:
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
+        # the inventory grows round over round — normalize totals by
+        # n_queries (or compare per-query) across rounds
+        "n_queries": len(timings),
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
     }
