@@ -2498,6 +2498,36 @@ ORDER BY rank
 
 ORACLES["s04_mmr_diverse_topk"] = _s04_oracle()
 
+# q50: DuckDB dayofweek() is 0-6 (Sunday=0); Spark's is 1-7
+# (Sunday=1) — the +1 aligns them. string_agg(... ORDER BY rnk)
+# mirrors the rank-ordered concat.
+ORACLES["q50_ranked_concat"] = """
+WITH per_type AS (
+    SELECT dayofweek(ts) + 1 AS dow, event_type,
+           count(*) AS n, round(sum(value), 2) AS tv
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY dow
+                                 ORDER BY tv DESC, event_type) AS rnk
+    FROM per_type
+),
+top3 AS (
+    SELECT dow, string_agg(event_type, ',' ORDER BY rnk) AS top_types
+    FROM ranked WHERE rnk <= 3 GROUP BY dow
+),
+totals AS (
+    SELECT dayofweek(ts) + 1 AS dow,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+)
+SELECT CAST(t.dow AS INTEGER) AS dow, t.n_events, t.total_value,
+       top3.top_types
+FROM totals t JOIN top3 USING (dow)
+ORDER BY dow
+"""
+
 ORACLES["q49_sql_sessionize"] = """
 WITH ordered AS (
     SELECT user_id, event_id, ts, value,

@@ -2728,6 +2728,57 @@ def p09_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q50_ranked_concat")
+def q50_ranked_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality with a RANK-ORDERED top-3 concat list —
+    the reference's favorite reporting garnish, GROUP_CONCAT(x ORDER BY
+    score DESC LIMIT 3), which it applies in SEVEN workloads (e.g.
+    SQL/Geographic Content Preference Mapping.txt:93, SQL/Seasonal
+    Viewing Pattern Analysis.txt:94), plus its DAYOFWEEK axis
+    (SQL/Seasonal Viewing Pattern Analysis.txt).
+
+    Spark-first: collect_list has no intra-group order guarantee, so
+    the rank-ordered string is built as array_join(transform(
+    array_sort(collect_list(struct(rnk, x))))) — deterministic on any
+    partitioning. Ranking uses the 2dp-rounded per-type value with a
+    name tiebreak so both engines order identically.
+
+    Scale: facts collapse to (dow × event_type) partials first; every
+    window/agg after that runs on ≤ 7×|types| rows.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("tv"),
+    )
+    w = Window.partitionBy("dow").orderBy(F.desc("tv"), "event_type")
+    top3 = (
+        per_type.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("dow")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("top_types")
+        )
+    )
+    totals = ev.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return totals.join(top3, "dow").orderBy("dow")
+
+
 @query("q49_sql_sessionize")
 def q49_sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text surface, sessionization workload: the reference's
