@@ -177,23 +177,33 @@ def knn_graph(
 
     Unlike ann_lsh_topk (small query set, broadcast), BOTH sides here
     are the full corpus, so neither is broadcast: the probe side
-    explodes (n_bits+1) narrow rows per vector and the candidate join
-    is a shuffle equi-join on the bucket id. Expected pair count is
+    explodes (n_bits+1) rows per vector and the candidate join is a
+    shuffle equi-join on the bucket id. Expected pair count is
     ~(n_bits+1)/2^n_bits of n² — at n_bits=8 that is ~3.5% of the
-    cross product, and recall is tested vs the exact graph. A pair can
-    collide in several probe buckets, so pairs are deduplicated before
-    scoring (duplicate rows would occupy two ranks in the window).
+    cross product, and recall is tested vs the exact graph.
 
-    Scale: signatures are map-side expressions; the only wide ops are
-    the bucket join, the pair distinct, and the per-vector top-k
-    window (partitioned by the high-cardinality vector id). Real
-    embedding distributions skew bucket sizes — AQE skew-join splits
-    hot buckets; raise n_bits to keep E[bucket size] bounded as the
-    corpus grows (buckets ∝ 2^n_bits).
+    Pairs are UNIQUE BY CONSTRUCTION — no dedup shuffle: a query's
+    probe rows carry (n_bits+1) DISTINCT bucket values, and each
+    corpus vector sits in exactly ONE bucket, so a (query, candidate)
+    pair can match at most one probe row (it matches iff
+    hamming(sig_q, sig_c) ≤ 1). Scoring happens AT the bucket join
+    (both sides carry their vector), so the whole operator is two
+    wide ops: the bucket join and the per-vector top-k window. The
+    probe side replicates each vector (n_bits+1)× through the
+    shuffle — the standard LSH trade (the minhash band path
+    replicates 32×), cheaper than re-joining vectors onto id-only
+    pairs twice. Real embedding distributions skew bucket sizes —
+    AQE skew-join splits hot buckets; raise n_bits to keep
+    E[bucket size] bounded as the corpus grows (buckets ∝ 2^n_bits).
     """
     sig = lsh_signature(vec_col, n_bits, dim)
+    # norms computed ONCE per vector here, not per candidate pair —
+    # per-pair work drops to one dot product + two scalar reads
     base = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), sig.alias("bucket")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sig.alias("bucket"),
+        _norm(vec_col).alias("nrm"),
     ).persist()
     probes = F.array(
         F.col("bucket"),
@@ -201,24 +211,24 @@ def knn_graph(
     )
     q = base.select(
         F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
         F.explode(probes).alias("bucket"),
     )
-    c = base.select(F.col("vid").alias("cand_id"), F.col("bucket"))
-    cand = (
+    c = base.select(
+        F.col("vid").alias("cand_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("bucket"),
+    )
+    scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-        .distinct()
-    )
-    vecs_q = base.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"))
-    vecs_c = base.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"))
-    scored = (
-        cand.join(vecs_q, "query_id")
-        .join(vecs_c, "cand_id")
         .withColumn(
             "cosine",
-            F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6),
+            F.round(_dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6),
         )
+        .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
