@@ -52,6 +52,26 @@ _MIX_A2 = [_rng.randrange(1, 1 << 29) for _ in range(N_MINHASH)]
 _MIX_B = [_rng.randrange(0, 1 << 29) for _ in range(N_MINHASH)]
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a frame that multiple downstream consumers (self-join
+    sides, size/verify passes) will read, WITHOUT re-executing its
+    subtree per consumer.
+
+    localCheckpoint, not persist: Spark does not reuse the exchange
+    across self-join sides (each side gets fresh expression ids), so
+    some materialization is required for scale correctness — but
+    persist() pays the InMemoryRelation COLUMNAR CACHE BUILD, measured
+    2-3s for a 160k-row band frame at sf0.1 vs 0.5s to recompute;
+    localCheckpoint writes plain shuffle-style blocks (measured: LSH
+    pipeline 4.1s persist / 3.7s no-persist / 3.3s localCheckpoint at
+    sf0.1, with the subtree still executed exactly once). Caveat (same
+    as dedup_components): localCheckpoint blocks don't survive
+    executor loss — on a preemptible cluster set a checkpoint dir and
+    use .checkpoint() instead.
+    """
+    return df.localCheckpoint()
+
+
 def _with_base_fingerprint(sh: DataFrame) -> DataFrame:
     m = sh.withColumn("__md5", F.md5(F.col("shingle")))
     return m.withColumn(
@@ -138,8 +158,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     into this same verification math.
     """
     # The shingle set feeds sizes AND both sides of the pair join —
-    # persist it so the tokenize+explode runs once, not three times.
-    sh = shingle_df(df, id_col, text_col, n).persist()
+    # materialize it so the tokenize+explode runs once, not three times.
+    sh = _materialize(shingle_df(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     # Shingles unique to one doc can't intersect any pair — dropping
     # them before the self-join is semantics-preserving (sizes are
@@ -201,7 +221,7 @@ def jaccard_pairs_prefix(
     IDENTICAL to jaccard_pairs(...).filter(jaccard >= t) — asserted
     in tests/test_dedup.py at three thresholds.
     """
-    sh = shingle_df(df, id_col, text_col, n).persist()
+    sh = _materialize(shingle_df(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     # rank shingles within each doc, rarest first (deterministic ties)
@@ -315,7 +335,7 @@ def lsh_candidate_pairs(
     never all-pairs.
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
-    banded = _banded(sigs).persist()
+    banded = _materialize(_banded(sigs))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -347,13 +367,13 @@ def minhash_lsh_pairs(
     """
     # One shingle pass feeds signatures, sizes, and candidate
     # verification — persist it (reused 4×).
-    sh = shingle_df(df, id_col, text_col, n).persist()
+    sh = _materialize(shingle_df(df, id_col, text_col, n))
     sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
     # The candidate self-join references `banded` twice; only `sh`
     # below it is persisted, so without this persist the 128-min-agg
     # signature groupBy executes once PER SIDE — measured ~2.8s of the
     # 6.6s execution at sf0.1. 160k narrow rows: cache them.
-    banded = _banded(sigs).persist()
+    banded = _materialize(_banded(sigs))
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -457,7 +477,7 @@ def simhash_pairs(
     """
     # `sigs` feeds FOUR subtrees (both chunk-join sides + sa + sb);
     # unpersisted, the 64-conditional-sum groupBy would run four times.
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+    sigs = _materialize(simhash_signatures(df, id_col, text_col))
     chunks = sigs.select(
         "doc",
         F.explode(
@@ -524,7 +544,7 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # The union reads `pairs` twice; without this persist the whole
     # upstream pair pipeline (e.g. MinHash-LSH) executes twice just to
     # build the edge set — measured 2x the d06 runtime.
-    pairs = pairs.persist()
+    pairs = _materialize(pairs)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -598,7 +618,7 @@ def contamination_check(
     test = df.filter(F.col(split_col) == test_value)
     train = df.filter(F.col(split_col) != test_value)
     # test-side shingles feed sizes AND the overlap join — persist.
-    sh_t = shingle_df(test, id_col, text_col, n).persist()
+    sh_t = _materialize(shingle_df(test, id_col, text_col, n))
     sh_r = shingle_df(train, id_col, text_col, n).withColumnRenamed(
         "doc", "train_doc"
     )
@@ -683,7 +703,7 @@ def duplicated_spans(
     grams = (
         toked.select("doc", F.explode(grams_arr).alias("g"))
         .select("doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-        .persist()
+        .localCheckpoint()
     )
     # "appears in >= 2 distinct docs" == min(doc) != max(doc): same
     # predicate as count_distinct >= 2 but with cheap decomposable

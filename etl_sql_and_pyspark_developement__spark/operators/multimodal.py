@@ -344,8 +344,11 @@ def phash_neardup_pairs(
     corpus scale, add a frequency cap on pathological chunk buckets
     exactly as minhash_lsh_pairs does for its bands.
     """
-    # both the explode side and the verify side read sigs
-    sigs = sigs.persist()
+    # both the explode side and the verify side read sigs;
+    # localCheckpoint beats persist's columnar cache build (see
+    # dedup._materialize for measurements) — and here it also cuts the
+    # mapInPandas hash kernel to ONE execution
+    sigs = sigs.localCheckpoint()
     chunked = sigs.select(
         F.col("doc_id").alias("doc"),
         F.explode(

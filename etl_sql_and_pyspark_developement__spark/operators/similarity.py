@@ -199,12 +199,15 @@ def knn_graph(
     sig = lsh_signature(vec_col, n_bits, dim)
     # norms computed ONCE per vector here, not per candidate pair —
     # per-pair work drops to one dot product + two scalar reads
+    # localCheckpoint, not persist: both join sides read this frame,
+    # but persist's columnar cache build costs more than the one-time
+    # shuffle-block write (see dedup._materialize for measurements)
     base = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         sig.alias("bucket"),
         _norm(vec_col).alias("nrm"),
-    ).persist()
+    ).localCheckpoint()
     probes = F.array(
         F.col("bucket"),
         *[F.expr(f"bucket ^ {1 << b}").cast("long") for b in range(n_bits)],
