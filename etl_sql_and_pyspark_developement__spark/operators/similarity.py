@@ -424,8 +424,10 @@ def ann_ivf_topk(
     """
     spark = corpus.sparkSession
     # training scans the corpus once per Lloyd iteration and the final
-    # assignment once more — cache it across those passes
-    corpus = corpus.persist()
+    # assignment once more — materialize it across those passes
+    # (localCheckpoint: cheaper than persist's columnar cache build,
+    # see dedup._materialize)
+    corpus = corpus.localCheckpoint()
     centroids = kmeans_lite_centroids(
         corpus, vec_col, n_clusters, train_iterations, dim
     )
@@ -595,7 +597,7 @@ def semantic_dedup(
             F.col("best.cent").alias("cent"),
         )
         .join(pts, "id")
-        .persist()
+        .localCheckpoint()
     )
     w_rank = Window.partitionBy("cluster").orderBy(F.desc("cent"), F.asc("id"))
     ranked = assigned.withColumn("crank", F.row_number().over(w_rank))
