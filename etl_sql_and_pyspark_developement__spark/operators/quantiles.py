@@ -107,13 +107,14 @@ def scalable_ntile(
     tests/test_sampling.py — at ~P-way parallel sort cost.
 
     `range_partitions` bounds per-task sort size: at 10⁹ entities use
-    n_rows / ~5M. The input is persisted (MEMORY_AND_DISK) because the
+    n_rows / ~5M. The input is materialized (localCheckpoint — cheaper
+    than persist's columnar cache build, see dedup._materialize) as the
     sketch, count, and rank passes would otherwise re-execute its
     whole upstream plan 3x — callers feed it a per-entity aggregate,
     which is exactly the frame worth caching (bench: q16 1.75s→~0.6s
     at sf0.1)."""
     key = -F.col(value_col) if descending else F.col(value_col)
-    df = df.persist()
+    df = df.localCheckpoint()
     bucketed = range_bucket(df, key, range_partitions, accuracy)
     counts = bucketed.groupBy("__rb").count()
     # ≤ range_partitions rows: a global window over this aggregate is
@@ -186,10 +187,10 @@ def grouped_prefix_stats(
     else:
         key = F.col(tiebreak_col)
         tail = [F.asc(tiebreak_col)]
-    # Persisted for the same 3-pass reason as scalable_ntile — the
+    # Materialized for the same 3-pass reason as scalable_ntile — the
     # upstream here is often a feature-heavy scan (p06's quality
     # scoring regexes), the worst thing to execute three times.
-    tagged = df.withColumn("__rkey", key.cast("double")).persist()
+    tagged = df.withColumn("__rkey", key.cast("double")).localCheckpoint()
     probs = [i / range_partitions for i in range(1, range_partitions)]
     cuts = tagged.groupBy(group_col).agg(
         F.percentile_approx("__rkey", probs, accuracy).alias("__cuts")

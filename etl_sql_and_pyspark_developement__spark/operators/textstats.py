@@ -181,7 +181,7 @@ def repetition_stats(
         )
         .groupBy(id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
         .agg(F.count("*").alias("cnt"))
-        .persist()
+        .localCheckpoint()
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), "gram")
     top_bg = (
@@ -499,7 +499,7 @@ def bigram_surprisal_scores(
             ).alias("x"),
         )
         .select("doc", "x.w1", "x.bg")
-        .persist()
+        .localCheckpoint()
     )
     f12 = flat.groupBy("bg").agg(F.count("*").alias("c12"))
     f1 = flat.groupBy("w1").agg(F.count("*").alias("c1"))
