@@ -34,6 +34,11 @@ def pair_cooccurrence(
             items.join(sizes.filter(F.col("n") <= max_basket_size), "basket")
             .drop("n")
         )
+    # both self-join sides read the distinct+guard subtree; Spark
+    # assigns each side fresh expression ids (no ReusedExchange), so
+    # materialize it once (localCheckpoint — cheaper than persist's
+    # columnar cache build, see dedup._materialize)
+    items = items.localCheckpoint()
     a = items.alias("a")
     b = items.alias("b")
     return (
