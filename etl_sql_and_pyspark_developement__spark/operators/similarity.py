@@ -732,3 +732,87 @@ def mmr_select(
         ],
         "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE",
     )
+
+
+def embedding_neardup_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Precomputed artifact for screening ARRIVING embeddings against a
+    static reference corpus: (c_id, L2-unit vector, LSH bucket),
+    materialized once (localCheckpoint) and reused across every
+    screened batch/micro-batch — the embedding twin of
+    dedup.corpus_neardup_index's never-rescan contract. Signatures are
+    scale-invariant, so hashing the raw vector and storing the unit
+    vector is consistent."""
+    sig = lsh_signature(vec_col, n_bits, dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.when(nrm > 0, F.transform(v, lambda x: x / nrm))
+        .otherwise(v)
+        .alias("c_unit"),
+        sig.alias("bucket"),
+    ).localCheckpoint()
+
+
+def embedding_neardup_screen(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_bits: int = 8,
+    dim: int = 64,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Drop every batch embedding with a cosine >= threshold match in
+    the indexed corpus (ids differing); returns surviving batch rows
+    unchanged — the semantic-ingest gate of a continuous multimodal /
+    embedding crawl.
+
+    The BATCH side (small) carries the multi-probe expansion (own
+    bucket + hamming-1) and is broadcast onto the corpus index, so the
+    probe join never shuffles the corpus; per-pair cost is ONE dot
+    product on pre-normalized vectors. Per-batch cost ∝ batch size,
+    never the corpus — the same sustainability contract as
+    dedup.neardup_screen, lifted to embeddings. Long-running callers
+    (st12's per-micro-batch loop) MUST pass `cache_handles` and
+    unpersist them after the sink write.
+    """
+    sig = lsh_signature(vec_col, n_bits, dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    b = batch.select(
+        F.col(id_col).alias("b_id"),
+        F.when(nrm > 0, F.transform(v, lambda x: x / nrm))
+        .otherwise(v)
+        .alias("b_unit"),
+        sig.alias("bucket"),
+    ).persist()
+    if cache_handles is not None:
+        cache_handles.append(b)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ {1 << i}").cast("long") for i in range(n_bits)],
+    )
+    probed = b.select("b_id", "b_unit", F.explode(probes).alias("bucket"))
+    cos = F.aggregate(
+        F.zip_with(F.col("b_unit"), F.col("c_unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dup_ids = (
+        index.join(F.broadcast(probed), "bucket")
+        .filter(F.col("b_id") != F.col("c_id"))
+        .filter(cos >= threshold)
+        .select("b_id")
+        .distinct()
+    )
+    return batch.join(
+        dup_ids.withColumnRenamed("b_id", id_col), id_col, "left_anti"
+    )

@@ -309,3 +309,34 @@ def sink_stream_neardup(doc_stream: DataFrame, corpus: DataFrame, out_dir: str):
             h.unpersist()
 
     return doc_stream.writeStream.foreachBatch(process)
+
+
+def sink_stream_embed_neardup(vec_stream: DataFrame, corpus: DataFrame, out_dir: str):
+    """st12: streaming EMBEDDING near-duplicate ingest — each arriving
+    micro-batch of vectors is screened against a static embedding
+    corpus (LSH-bucketed, pre-normalized; similarity.
+    embedding_neardup_screen) and survivors land in the sink. The
+    semantic twin of st10's text near-dup gate: a multimodal crawl
+    dedups arriving embeddings against the corpus it has already kept.
+
+    foreachBatch, same shape as st10: the index is built and
+    materialized ONCE outside the loop; per-batch caches are released
+    after each sink write; per-batch cost ∝ batch, never corpus.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        embedding_neardup_index,
+        embedding_neardup_screen,
+    )
+
+    index = embedding_neardup_index(corpus)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        handles: list = []
+        survivors = embedding_neardup_screen(
+            batch_df, index, cache_handles=handles
+        )
+        survivors.write.mode("append").parquet(out_dir)
+        for h in handles:
+            h.unpersist()
+
+    return vec_stream.writeStream.foreachBatch(process)

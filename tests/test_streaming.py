@@ -439,3 +439,57 @@ def test_st11_streaming_token_budget_matches_batch_greedy(
     assert got == expected
     n_admitted = sum(a for a, _ in got.values())
     assert 0 < n_admitted < len(got), "budget must bind at sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("embeddings_stream")
+    shutil.copy(f"{sf_dir}/embeddings.parquet", d / "embeddings.parquet")
+    return str(d)
+
+
+def test_st12_stream_embed_neardup_matches_batch(
+    spark, sf_dir, embeddings_dir, tmp_path
+):
+    """Streaming embedding near-dup ingest must write exactly the
+    batch embedding_neardup_screen survivors — foreachBatch reuses the
+    batch operator, so row sets are identical. A planted exact copy of
+    an indexed vector (fresh id) must be dropped."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        embedding_neardup_index,
+        embedding_neardup_screen,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        sink_stream_embed_neardup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    out = str(tmp_path / "st12_out")
+
+    stream = spark.readStream.schema(emb.schema).parquet(embeddings_dir)
+    q = sink_stream_embed_neardup(stream, corpus, out).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.vec_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.vec_id
+        for r in embedding_neardup_screen(
+            emb, embedding_neardup_index(corpus)
+        ).collect()
+    }
+    assert got == want and got
+
+    # planted copy: clone an indexed vector under a fresh id — the
+    # screen must drop it (cosine 1.0 to its indexed twin, which
+    # shares every LSH bucket)
+    donor = corpus.orderBy("vec_id").first()
+    planted = spark.createDataFrame(
+        [(10_000_000, donor.embedding, donor.label)], emb.schema
+    )
+    survivors = embedding_neardup_screen(
+        planted, embedding_neardup_index(corpus)
+    ).collect()
+    assert survivors == []
