@@ -2498,6 +2498,18 @@ ORDER BY rank
 
 ORACLES["s04_mmr_diverse_topk"] = _s04_oracle()
 
+# q51: sketch bytes are engine-specific; the oracle checks the
+# portable contract — day count, exact totals, and TRUE accuracy
+# booleans (the Spark side computes |est - exact| <= 5% against its
+# own deterministic Datasketches HLL).
+ORACLES["q51_sketch_merge"] = """
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total_users,
+       TRUE AS merged_within_5pct,
+       TRUE AS daily_all_within_5pct
+FROM events
+"""
+
 # q50: DuckDB dayofweek() is 0-6 (Sunday=0); Spark's is 1-7
 # (Sunday=1) — the +1 aligns them. string_agg(... ORDER BY rnk)
 # mirrors the rank-ordered concat.

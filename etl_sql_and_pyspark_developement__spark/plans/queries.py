@@ -2728,6 +2728,59 @@ def p09_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q51_sketch_merge")
+def q51_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch maintenance: per-day Datasketches HLL sketches
+    of the distinct-user set (hll_sketch_agg), UNION-merged
+    (hll_union_agg) into the global estimate — the pattern that makes
+    incremental distinct-count maintenance possible at 100 TB: daily
+    partials are tiny binary sketches, the merge never rescans
+    history, and (unlike q45's decomposable sums) even COUNT DISTINCT
+    becomes decomposable. Complements q27 (one-shot approx) with the
+    MERGE axis.
+
+    Sketch bytes are engine-specific, so the oracle asserts the
+    portable contract: the merged estimate sits within HLL error
+    bounds of the exact distinct count (lgConfigK=12 → ~1.6% standard
+    error; 5% gate), per-day and merged. Datasketches HLL is
+    hash-deterministic — the booleans are stable across runs and
+    partitionings.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day_ok = daily.select(
+        F.min(
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk") - F.col("exact_users")
+                )
+                <= F.col("exact_users") * 0.05
+            ).cast("int")
+        ).alias("__all_ok")
+    )
+    merged = daily.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_total_users"))
+    return (
+        merged.crossJoin(exact)
+        .crossJoin(per_day_ok)
+        .select(
+            "n_days",
+            "exact_total_users",
+            (
+                F.abs(F.col("__est") - F.col("exact_total_users"))
+                <= F.col("exact_total_users") * 0.05
+            ).alias("merged_within_5pct"),
+            (F.col("__all_ok") == 1).alias("daily_all_within_5pct"),
+        )
+    )
+
+
 @query("q50_ranked_concat")
 def q50_ranked_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality with a RANK-ORDERED top-3 concat list —

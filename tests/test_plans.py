@@ -324,3 +324,12 @@ def test_p11_temperature_mix_broadcast_rates_no_wide_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q51_sketch_merge_jvm_sketches(spark, sf_dir):
+    """Sketch build + merge must be JVM datasketches aggregates (two
+    agg stages over tiny frames), no Python lane, no cartesian blowup
+    (the crossJoins are 1-row frames)."""
+    plan = plan_of(spark, "q51_sketch_merge", sf_dir)
+    assert "hll_sketch_agg" in plan or "hll_union_agg" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
