@@ -431,6 +431,13 @@ def ann_ivf_topk(
     centroids = kmeans_lite_centroids(
         corpus, vec_col, n_clusters, train_iterations, dim
     )
+    if not centroids:
+        # empty corpus (e.g. an empty ingest partition): no lists to
+        # probe — return an empty, correctly-typed result instead of
+        # training a quantizer on nothing
+        return spark.createDataFrame(
+            [], "query_id BIGINT, rnk INT, cand_id BIGINT, cosine DOUBLE"
+        )
     c = assign_clusters(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
