@@ -423,6 +423,9 @@ def ann_ivf_topk(
     tests/test_similarity.py.
     """
     spark = corpus.sparkSession
+    # a NULL vector can neither train the quantizer nor be probed —
+    # drop such rows at the operator boundary (no-op on clean data)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     # training scans the corpus once per Lloyd iteration and the final
     # assignment once more — materialize it across those passes
     # (localCheckpoint: cheaper than persist's columnar cache build,

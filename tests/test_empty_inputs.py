@@ -32,3 +32,44 @@ def test_every_query_tolerates_empty_tables(spark, empty_sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting the full list
             failures.append(f"{key}: {type(ex).__name__}: {str(ex).splitlines()[0][:100]}")
     assert not failures, "queries crashed on empty inputs:\n" + "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(sf_dir, tmp_path_factory):
+    """sf0.001 with 10% NULLs injected into the nullable value columns
+    (document text/lang, event value/props, embedding vectors)."""
+    d = tmp_path_factory.mktemp("sf_nulls")
+    mods = {
+        "documents": (
+            "SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN NULL ELSE text END AS text, "
+            "CASE WHEN doc_id % 10 = 4 THEN NULL ELSE lang END AS lang, source, n_chars FROM t"
+        ),
+        "events": (
+            "SELECT event_id, ts, user_id, event_type, "
+            "CASE WHEN event_id % 10 = 3 THEN NULL ELSE value END AS value, "
+            "CASE WHEN event_id % 10 = 4 THEN NULL ELSE props END AS props FROM t"
+        ),
+        "embeddings": (
+            "SELECT vec_id, CASE WHEN vec_id % 10 = 3 THEN NULL ELSE embedding END AS embedding, "
+            "label FROM t"
+        ),
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        sel = mods.get(t, "SELECT * FROM t").replace(
+            " FROM t", f" FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+        con.execute(f"COPY ({sel}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_every_query_tolerates_null_values(spark, nulled_sf_dir):
+    """A real corpus has missing fields; no query may crash on NULL
+    text / lang / value / props / embedding rows."""
+    failures = []
+    for key in sorted(QUERIES):
+        try:
+            QUERIES[key](spark, nulled_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{key}: {type(ex).__name__}: {str(ex).splitlines()[0][:100]}")
+    assert not failures, "queries crashed on NULL inputs:\n" + "\n".join(failures)
