@@ -37,12 +37,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    # greatest(..., 1) guards: ANSI mode raises DIVIDE_BY_ZERO on
+    # zero-length docs (empty strings tokenize to one empty token, but
+    # n_chars can be 0); mirrored literally in the DuckDB oracles
+    avg_token_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
     return (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tokens)
-        .withColumn("punct_ratio", F.round(n_punct * 1.0 / n_chars, 6))
-        .withColumn("stopword_ratio", F.round(n_stop * 1.0 / n_tokens, 6))
+        .withColumn("punct_ratio", F.round(n_punct * 1.0 / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(n_stop * 1.0 / F.greatest(n_tokens, F.lit(1)), 6))
         .withColumn("avg_token_len", F.round(avg_token_len, 6))
     )
 
@@ -385,9 +388,9 @@ def classifier_score(
         F.expr(
             """
             least(n_tokens, 100) * 3000
-            + greatest(0, 250000 - abs((n_stop * 1000000 div n_tokens) - 100000))
-            + greatest(0, 150000 - 2 * (n_punct * 1000000 div n_chars))
-            + ((n_distinct * 1000000 div n_tokens) * 3 div 10)
+            + greatest(0, 250000 - abs((n_stop * 1000000 div greatest(n_tokens, 1)) - 100000))
+            + greatest(0, 150000 - 2 * (n_punct * 1000000 div greatest(n_chars, 1)))
+            + ((n_distinct * 1000000 div greatest(n_tokens, 1)) * 3 div 10)
             """
         ).alias("score_ppm"),
     )

@@ -573,9 +573,9 @@ WITH feats AS (
 ratios AS (
     SELECT doc_id,
         n_tokens,
-        round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
-        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-        round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len
+        round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+        round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+        round((n_chars - (n_tokens - 1)) * 1.0 / greatest(n_tokens, 1), 6) AS avg_token_len
     FROM feats
 )
 SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
@@ -807,9 +807,9 @@ WITH feats AS (
 scored AS (
     SELECT doc_id,
         least(n_tokens, 100) * 3000
-        + greatest(0, 250000 - abs((n_stop * 1000000 // n_tokens) - 100000))
-        + greatest(0, 150000 - 2 * (n_punct * 1000000 // n_chars))
-        + ((n_distinct * 1000000 // n_tokens) * 3 // 10) AS score_ppm
+        + greatest(0, 250000 - abs((n_stop * 1000000 // greatest(n_tokens, 1)) - 100000))
+        + greatest(0, 150000 - 2 * (n_punct * 1000000 // greatest(n_chars, 1)))
+        + ((n_distinct * 1000000 // greatest(n_tokens, 1)) * 3 // 10) AS score_ppm
     FROM feats
 )
 SELECT doc_id,
@@ -863,8 +863,8 @@ WITH feats AS (
 ),
 ratios AS (
     SELECT doc_id, source, n_tokens,
-        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-        round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len
+        round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+        round((n_chars - (n_tokens - 1)) * 1.0 / greatest(n_tokens, 1), 6) AS avg_token_len
     FROM feats
 ),
 scored AS (
@@ -2794,9 +2794,9 @@ WITH feats AS (
 scored AS (
     SELECT doc_id,
         least(n_tokens, 100) * 3000
-        + greatest(0, 250000 - abs((n_stop * 1000000 // n_tokens) - 100000))
-        + greatest(0, 150000 - 2 * (n_punct * 1000000 // n_chars))
-        + ((n_distinct * 1000000 // n_tokens) * 3 // 10) AS score_ppm
+        + greatest(0, 250000 - abs((n_stop * 1000000 // greatest(n_tokens, 1)) - 100000))
+        + greatest(0, 150000 - 2 * (n_punct * 1000000 // greatest(n_chars, 1)))
+        + ((n_distinct * 1000000 // greatest(n_tokens, 1)) * 3 // 10) AS score_ppm
     FROM feats
 ),
 staged AS (

@@ -73,3 +73,44 @@ def test_every_query_tolerates_null_values(spark, nulled_sf_dir):
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{key}: {type(ex).__name__}: {str(ex).splitlines()[0][:100]}")
     assert not failures, "queries crashed on NULL inputs:\n" + "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(sf_dir, tmp_path_factory):
+    """documents with adversarial text: empty strings, whitespace-only,
+    emoji/CJK/RTL unicode, embedded tabs/newlines, 5000-char tokens."""
+    d = tmp_path_factory.mktemp("sf_adversarial")
+    adv = """SELECT doc_id,
+     CASE doc_id % 7
+       WHEN 0 THEN ''
+       WHEN 1 THEN '🚀🔥 émojis and ünïcode 北京 مرحبا текст'
+       WHEN 2 THEN repeat('x', 5000)
+       WHEN 3 THEN concat('tabs\tand\nnewlines  ', text)
+       WHEN 4 THEN ' '
+       ELSE text END AS text,
+     lang, source, n_chars
+     FROM read_parquet('{src}/documents.parquet')"""
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({adv.format(src=sf_dir)}) TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    for t in TABLES:
+        if t != "documents":
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return str(d)
+
+
+def test_every_query_tolerates_adversarial_text(spark, adversarial_sf_dir):
+    """Empty / whitespace-only / unicode / giant-token documents must
+    not crash any query (ANSI mode turns division-by-zero on
+    degenerate docs into task failures — guarded in textstats)."""
+    failures = []
+    for key in sorted(QUERIES):
+        try:
+            QUERIES[key](spark, adversarial_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{key}: {type(ex).__name__}: {str(ex).splitlines()[0][:100]}")
+    assert not failures, "queries crashed on adversarial text:\n" + "\n".join(failures)
