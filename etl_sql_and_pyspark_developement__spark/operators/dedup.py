@@ -319,8 +319,40 @@ def _banded(sigs: DataFrame) -> DataFrame:
     ).select("doc", "band.band_id", "band.band_hash")
 
 
+def cap_hot_bands(banded: DataFrame, max_band_df: int) -> DataFrame:
+    """Drop LSH band buckets shared by more than `max_band_df` docs
+    before the candidate self-join — the hot-bucket guard for
+    pathological corpora (boilerplate/templated text can collapse a
+    band value onto millions of docs, turning the bucket join into a
+    quadratic blowup: 10⁶ docs in one bucket = 10¹² candidate pairs).
+
+    Dropping a hot bucket trades recall for boundedness the standard
+    way: a TRUE near-dup pair sharing a dropped band almost always
+    collides in another of its 32 bands, and docs that only ever meet
+    in mega-buckets are boilerplate-similar, not near-duplicates.
+    Pair work after the cap is bounded by 32·n·max_band_df/2. The
+    same pigeonhole-capping applies to simhash chunks and phash
+    chunks (multimodal.phash_neardup_pairs). Capped + lossless-below-
+    cap behavior is asserted in tests/test_dedup.py.
+    """
+    counts = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("__df")
+    )
+    return (
+        banded.join(
+            counts.filter(F.col("__df") <= max_band_df),
+            ["band_id", "band_hash"],
+        )
+        .drop("__df")
+    )
+
+
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """CONTENT-based candidate pairs from MinHash-LSH band collisions,
     WITHOUT the Jaccard verify — the reusable blocking stage for any
@@ -332,10 +364,15 @@ def lsh_candidate_pairs(
 
     Scale: signatures are one groupBy shuffle; banding is narrow; the
     self-join is an equi-join on (band_id, band_hash) — bucketed,
-    never all-pairs.
+    never all-pairs. Pass `max_band_df` to arm the hot-bucket guard
+    (cap_hot_bands) on corpora with templated/boilerplate text, which
+    bounds per-bucket pair work at the cost of mega-bucket recall.
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
-    banded = _materialize(_banded(sigs))
+    banded = _banded(sigs)
+    if max_band_df is not None:
+        banded = cap_hot_bands(banded, max_band_df)
+    banded = _materialize(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -356,24 +393,29 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate generation → exact Jaccard verification.
 
     Scale path: signatures are one shuffle (groupBy doc); banding
     explodes 32 narrow rows per doc; the bucket groupBy is the only
     wide shuffle, keyed by (band_id, band_hash) which is uniform by
-    construction (hash values) — no skew. Verification touches only
-    candidate pairs.
+    construction (hash values) on natural text — templated/boilerplate
+    corpora can still collapse a band value onto many docs, so
+    `max_band_df` arms the cap_hot_bands guard. Verification touches
+    only candidate pairs.
     """
     # One shingle pass feeds signatures, sizes, and candidate
-    # verification — persist it (reused 4×).
+    # verification — materialize it (reused 4×).
     sh = _materialize(shingle_df(df, id_col, text_col, n))
     sigs = _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
-    # The candidate self-join references `banded` twice; only `sh`
-    # below it is persisted, so without this persist the 128-min-agg
-    # signature groupBy executes once PER SIDE — measured ~2.8s of the
-    # 6.6s execution at sf0.1. 160k narrow rows: cache them.
-    banded = _materialize(_banded(sigs))
+    banded = _banded(sigs)
+    if max_band_df is not None:
+        banded = cap_hot_bands(banded, max_band_df)
+    # The candidate self-join references `banded` twice — materialize
+    # so the 128-min-agg signature groupBy does not execute once PER
+    # SIDE (measured ~2.8s of the 6.6s execution at sf0.1).
+    banded = _materialize(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

@@ -341,8 +341,8 @@ def phash_neardup_pairs(
 
     Scale: one shuffle on the chunk key; hot chunk values (e.g. the
     all-zero chunk from low-entropy payloads) bound the blowup — at
-    corpus scale, add a frequency cap on pathological chunk buckets
-    exactly as minhash_lsh_pairs does for its bands.
+    corpus scale, cap pathological chunk buckets the way
+    dedup.cap_hot_bands guards the minhash band join.
     """
     # both the explode side and the verify side read sigs;
     # localCheckpoint beats persist's columnar cache build (see

@@ -404,3 +404,49 @@ def test_d05_content_blocking_finds_distant_ids(spark):
         .collect()
     }
     assert 0 < verified[(3, 9003)] <= 2  # deletion + shifted tail char in the fixed window
+
+
+def test_cap_hot_bands_bounds_blowup_and_lossless_below_cap(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(120)
+    # boilerplate corpus: 30 docs share the identical templated text →
+    # every band of those docs collapses onto one bucket of size 30
+    template = spark.createDataFrame(
+        [
+            (9_000_000 + i, "identical boilerplate template text repeated verbatim "
+             "across many documents of the corpus", "en", "tpl", 90)
+            for i in range(30)
+        ],
+        docs.schema,
+    )
+    corpus = docs.unionByName(template)
+
+    uncapped = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5)
+    capped = minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.5, max_band_df=10
+    )
+    un_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cap_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+
+    # the 30-doc template clique is 435 pairs; the cap (10 < 30)
+    # removes its mega-buckets, so the capped result loses exactly the
+    # pairs that only ever met in hot buckets
+    tpl_pairs = {(a, b) for (a, b) in un_pairs if a >= 9_000_000 and b >= 9_000_000}
+    assert len(tpl_pairs) == 435
+    assert not (cap_pairs & tpl_pairs), "hot-bucket pairs must be dropped by the cap"
+
+    # lossless below the cap: every pair whose docs are NOT part of the
+    # hot clique survives identically
+    normal_un = {(a, b) for (a, b) in un_pairs if b < 9_000_000}
+    normal_cap = {(a, b) for (a, b) in cap_pairs if b < 9_000_000}
+    assert normal_un == normal_cap
+
+    # a cap ABOVE every bucket size changes nothing at all
+    loose = minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.5, max_band_df=1000
+    )
+    assert {(r.doc_a, r.doc_b) for r in loose.collect()} == un_pairs
