@@ -161,12 +161,26 @@ def ann_lsh_topk(
     )
 
 
+def adaptive_n_bits(n_rows: int, target_bucket: int = 8, floor_bits: int = 8) -> int:
+    """Hyperplane count that keeps E[bucket size] ≈ target_bucket as
+    the corpus grows: buckets ∝ 2^n_bits, so n_bits must grow with
+    log2(n). At fixed n_bits the bucket join is quadratic — measured
+    89× wall at 10× vectors with n_bits=8; with bits scaling, pair
+    work stays ~n·(n_bits+1)·target_bucket. The recall trade: more
+    bits lower per-pair collision probability, partially compensated
+    by the probe count growing with n_bits — the same
+    capacity-∝-corpus rule as d11's k = floor(sqrt(n)) clustering."""
+    import math
+
+    return max(floor_bits, math.ceil(math.log2(max(n_rows, 1) / target_bucket)))
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus: every vector's
@@ -193,9 +207,14 @@ def knn_graph(
     shuffle — the standard LSH trade (the minhash band path
     replicates 32×), cheaper than re-joining vectors onto id-only
     pairs twice. Real embedding distributions skew bucket sizes —
-    AQE skew-join splits hot buckets; raise n_bits to keep
-    E[bucket size] bounded as the corpus grows (buckets ∝ 2^n_bits).
+    AQE skew-join splits hot buckets; n_bits must grow with the
+    corpus to keep E[bucket size] bounded (buckets ∝ 2^n_bits) —
+    pass n_bits=None to size it automatically via adaptive_n_bits
+    (one count job; stays 8 up to ~2k vectors, so small-corpus
+    results are unchanged).
     """
+    if n_bits is None:
+        n_bits = adaptive_n_bits(corpus.count())
     sig = lsh_signature(vec_col, n_bits, dim)
     # norms computed ONCE per vector here, not per candidate pair —
     # per-pair work drops to one dot product + two scalar reads

@@ -1714,14 +1714,18 @@ def s05_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the bucketing, the probe set, the pair dedup, and the
     scoring bit-for-bit — the approximate graph itself is
     value-verified; recall vs the exact graph is additionally tested
-    in tests/test_similarity.py.
+    in tests/test_similarity.py. n_bits is ADAPTIVE (None →
+    similarity.adaptive_n_bits): it resolves to 8 at every test scale
+    (≤ 2k vectors — the oracle mirrors 8), and grows with log2(n)
+    beyond so the bucket join stays linear (fixed bits measured 89×
+    wall at 10× vectors).
     """
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         knn_graph,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=5, n_bits=8, dim=64).orderBy("query_id", "rnk")
+    return knn_graph(emb, k=5, n_bits=None, dim=64).orderBy("query_id", "rnk")
 
 
 @query("q31_unpivot")

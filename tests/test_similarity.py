@@ -314,3 +314,22 @@ def test_knn_graph_recall_and_planted_copy(spark, vectors):
     approx_pairs = {(r["query_id"], r["cand_id"]) for r in approx2}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.8, f"kNN-graph recall too low on clustered data: {recall:.2f}"
+
+
+def test_adaptive_n_bits_keeps_buckets_bounded():
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        adaptive_n_bits,
+    )
+
+    # floor: small corpora keep the oracle-mirrored 8 bits
+    for n in (0, 1, 100, 500, 2000):
+        assert adaptive_n_bits(n) == 8
+    # growth: E[bucket] = n / 2^bits stays <= target as n scales
+    for n in (20_000, 10**6, 10**9):
+        bits = adaptive_n_bits(n)
+        assert n / (1 << bits) <= 8
+        # and not over-sized (one bit of slack above the exact log)
+        assert n / (1 << (bits - 1)) > 8
+    # monotone in n
+    seq = [adaptive_n_bits(n) for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
+    assert seq == sorted(seq)
