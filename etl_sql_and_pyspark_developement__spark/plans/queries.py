@@ -2483,22 +2483,31 @@ def q43_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic tier of the
     dedup ladder, above token-level d01-d07), via the SCALE path:
-    same-LSH-bucket candidate pairs (4 deterministic hyperplanes → 16
-    buckets, a ~16x cut of the quadratic pair space) verified with one
-    exact dot product over per-row-normalized vectors. Because the
-    hyperplanes are fixed literals, the DuckDB oracle computes the
-    IDENTICAL bucketing — the approximate path itself is
+    same-LSH-bucket candidate pairs (deterministic hyperplanes; the
+    bucket count cuts the quadratic pair space ~2^bits-fold) verified
+    with one exact dot product over per-row-normalized vectors.
+    Because the hyperplanes are fixed literals, the DuckDB oracle
+    computes the IDENTICAL bucketing — the approximate path itself is
     value-verified, not just the exact one (the exact all-pairs
     verifier is covered by tests/test_similarity.py's subset test).
-    Vector math is zip_with/aggregate codegen — zero Python."""
+    Vector math is zip_with/aggregate codegen — zero Python.
+
+    The bit count is ADAPTIVE (floor 4 — what the oracle mirrors,
+    resolved at every test scale ≤ 2k vectors): fixed bits make the
+    bucket join quadratic in the corpus (measured 50× wall at 10×
+    vectors). More bits trade recall on moderate-cosine pairs; at
+    corpus scale recover it with OR-construction (several independent
+    plane tables, union of candidates) rather than fewer bits."""
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        adaptive_n_bits,
         cosine_neardup_pairs,
         lsh_signature,
     )
 
     emb = table(spark, sf_dir, "embeddings")
+    bits = adaptive_n_bits(emb.count(), target_bucket=125, floor_bits=4)
     bucketed = emb.select(
-        "vec_id", lsh_signature("embedding", 4, 64).alias("bucket")
+        "vec_id", lsh_signature("embedding", bits, 64).alias("bucket")
     )
     cands = (
         bucketed.alias("a")
