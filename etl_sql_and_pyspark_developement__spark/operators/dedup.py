@@ -863,6 +863,92 @@ def corpus_dup_profile(
     )
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicated-segment removal (CCNet-style line dedup,
+    Wenzek et al. 2020): drop every fixed-width token segment that
+    occurs in ≥ `min_docs` DISTINCT documents (navigation chrome,
+    cookie banners, license footers — the boilerplate that survives
+    document-level dedup because the documents AROUND it differ), then
+    reassemble each document's surviving segments in original order.
+
+    Complements d10 (duplicated_spans): d10 finds shared spans between
+    candidate PAIRS (pairwise join); this removes corpus-frequency
+    boilerplate with NO pairwise machinery at all — linear passes only,
+    which is why CCNet runs it over Common Crawl before anything
+    pairwise is attempted.
+
+    Per doc: n_segs, n_removed, removed_ppm (integer), and clean_fp =
+    md5 of the reassembled text (md5('') when every segment was
+    boilerplate) — value-verifiable without shipping full text.
+
+    Scale (100 TB): four linear passes, never pairwise —
+    1. chunk+explode into (doc, pos, seg) — narrow;
+    2. doc-frequency count on md5(seg): partial-agg (the distinct
+       (doc, fp) pre-step shuffles on high-cardinality fp — skew-free
+       even when one banner is in every doc, because partial
+       aggregation collapses per-task before the exchange);
+    3. left_anti join segments × boiler-fp set on fp — the boiler set
+       is tiny by construction (only fps crossing `min_docs`), so AQE
+       broadcasts it;
+    4. per-doc reassembly groupBy: collect_list bounded by the doc's
+       own segment count — the same size bound as the source row.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(seg_words)).cast("int")
+    segs = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("_toks", i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("fp", F.md5("seg"))
+    boiler = (
+        segs.select("doc", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= min_docs)
+        .select("fp")
+    )
+    kept = segs.join(boiler, "fp", "left_anti")
+    totals = segs.groupBy("doc").agg(F.count("*").alias("n_segs"))
+    reassembled = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+    return (
+        totals.join(reassembled, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.expr(
+                "1000000 * (n_segs - coalesce(n_kept, 0)) div n_segs"
+            ).alias("removed_ppm"),
+            F.coalesce("clean_fp", F.md5(F.lit(""))).alias("clean_fp"),
+        )
+    )
+
+
 def corpus_neardup_index(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> dict[str, DataFrame]:

@@ -2816,3 +2816,52 @@ SELECT doc_id,
 FROM keyed
 ORDER BY curriculum_rank
 """
+
+ORACLES["d13_boilerplate_scrub"] = """
+WITH aug AS (
+    SELECT doc_id,
+        concat_ws(' ',
+            CASE WHEN doc_id % 2 = 0
+                 THEN 'subscribe now to our premium newsletter for updates'
+            END,
+            'this content is provided under the standard corporate '
+            || 'license agreement all rights reserved worldwide by provider',
+            text) AS aug_text
+    FROM documents
+),
+base AS (
+    SELECT doc_id, string_split(aug_text, ' ') AS toks FROM aug
+),
+segs AS (
+    SELECT doc_id, i AS pos,
+        array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+    FROM base, unnest(range(0, (len(toks) + 7) // 8)) AS t(i)
+),
+fps AS (
+    SELECT doc_id, pos, seg, md5(seg) AS fp FROM segs
+),
+boiler AS (
+    SELECT fp
+    FROM (SELECT fp, count(DISTINCT doc_id) AS n_docs_with
+          FROM fps GROUP BY fp)
+    WHERE n_docs_with >= 10
+),
+kept AS (
+    SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM boiler)
+),
+totals AS (
+    SELECT doc_id, count(*) AS n_segs FROM fps GROUP BY doc_id
+),
+reassembled AS (
+    SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_fp
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+    t.n_segs,
+    t.n_segs - coalesce(r.n_kept, 0) AS n_removed,
+    1000000 * (t.n_segs - coalesce(r.n_kept, 0)) // t.n_segs AS removed_ppm,
+    coalesce(r.clean_fp, md5('')) AS clean_fp
+FROM totals t LEFT JOIN reassembled r USING (doc_id)
+ORDER BY t.doc_id
+"""

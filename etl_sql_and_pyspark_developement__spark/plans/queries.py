@@ -2999,3 +2999,46 @@ def p10_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(scored, stages=4, seed=0).orderBy(
         "curriculum_rank"
     )
+
+
+# Planted boilerplate for d13: segment-aligned PREFIXES so the planted
+# segments chunk identically across docs (an appended suffix would
+# straddle a chunk boundary at a doc-dependent offset and never
+# collide cross-doc). 16 shared words (= segments 0-1 at seg_words=8)
+# on every doc; even docs get an extra 8-word promo segment in front
+# (3 planted segments). The original word-soup text shifts by a
+# doc-dependent multiple of 8, so its chunks stay doc-unique.
+_D13_COMMON = (
+    "this content is provided under the standard corporate "
+    "license agreement all rights reserved worldwide by provider"
+)
+_D13_PROMO = "subscribe now to our premium newsletter for updates"
+
+
+@query("d13_boilerplate_scrub")
+def d13_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide boilerplate-segment removal (Wenzek et
+    al. 2020): 8-word segments occurring in ≥10 distinct docs are
+    dropped, surviving segments reassembled in order — the linear-pass
+    scrub that runs BEFORE any pairwise dedup. The synthetic corpus has
+    no shared chrome, so the query plants deterministic license/promo
+    prefixes (all docs / even docs) — both engines build the identical
+    augmented text, so removal AND reassembly are value-verified
+    (per-doc clean_fp = md5 of the scrubbed text)."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        boilerplate_scrub,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_D13_PROMO)),
+            F.lit(_D13_COMMON),
+            F.col("text"),
+        ).alias("aug_text"),
+    )
+    return boilerplate_scrub(
+        aug, id_col="doc_id", text_col="aug_text", seg_words=8, min_docs=10
+    ).orderBy("doc_id")

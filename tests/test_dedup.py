@@ -450,3 +450,40 @@ def test_cap_hot_bands_bounds_blowup_and_lossless_below_cap(spark, sf_dir):
         corpus, "doc_id", "text", threshold=0.5, max_band_df=1000
     )
     assert {(r.doc_a, r.doc_b) for r in loose.collect()} == un_pairs
+
+
+def test_boilerplate_scrub_removes_planted_keeps_unique(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        boilerplate_scrub,
+    )
+    import hashlib
+
+    banner = "one two three four five six seven eight"  # 8 words
+    rows = []
+    # 12 docs sharing a banner prefix (>= min_docs=10) plus unique body
+    for i in range(12):
+        body = " ".join(f"u{i}w{j}" for j in range(8))
+        rows.append((i, f"{banner} {body}"))
+    # 1 doc that is NOTHING BUT the banner (all segments removed)
+    rows.append((100, banner))
+    # 1 doc with a misaligned banner occurrence (prefixed by 4 words):
+    # its chunks straddle the banner so they never match the aligned
+    # copies — documents alignment-sensitivity of segment dedup.
+    rows.append((101, "a b c d " + banner))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_scrub(df, min_docs=10).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for i in range(12):
+        r = out[i]
+        assert (r.n_segs, r.n_removed) == (2, 1), r
+        body = " ".join(f"u{i}w{j}" for j in range(8))
+        assert r.clean_fp == md5(body)
+        assert r.removed_ppm == 500000
+    # all-boilerplate doc: everything removed, clean_fp = md5("")
+    assert (out[100].n_removed, out[100].clean_fp) == (1, md5(""))
+    # misaligned doc: its straddling chunks are corpus-unique -> kept
+    assert out[101].n_removed == 0
+    assert out[101].clean_fp == md5("a b c d " + banner)
