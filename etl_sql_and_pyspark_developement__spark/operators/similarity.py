@@ -845,3 +845,80 @@ def embedding_neardup_screen(
     return batch.join(
         dup_ids.withColumnRenamed("b_id", id_col), id_col, "left_anti"
     )
+
+
+def density_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 5,
+    n_bits: int | None = 8,
+    dim: int = 64,
+    keep_num: int = 1,
+    keep_den: int = 2,
+) -> DataFrame:
+    """D4-style density-based diversification (Tirumala et al. 2023):
+    score every vector by the total cosine similarity to its k nearest
+    neighbors in the approximate kNN graph (dense region = redundant,
+    prototypical content), then per group keep the LEAST dense
+    keep_num/keep_den fraction — pruning the over-represented modes a
+    near-dup pass (d08/d11) leaves behind.
+
+    Emits the full per-vector artifact (density_ppm, dens_rank, kept),
+    not just the kept set, so downstream mixing can reweight rather
+    than drop.
+
+    Determinism/oracle: per-neighbor cosines are the kNN graph's
+    6dp-rounded doubles, converted to integer micro-units BEFORE the
+    sum — density_ppm is a BIGINT sum, reduction-order-independent,
+    so the DuckDB oracle matches bit-exactly. Vectors with fewer than
+    k graph neighbors (sparse buckets) sum what they have; isolated
+    vectors get density 0 — absent similarity counts as dissimilar.
+
+    Scale: knn_graph's two wide ops (bucket join + per-vector top-k)
+    dominate; on top of that, one groupBy on the graph (high-
+    cardinality query_id), a broadcast of |groups| counts, and the
+    per-group rank via quantiles.grouped_prefix_stats — no serial
+    per-group window even when one label holds most of the corpus.
+    keep threshold is integer arithmetic (rank*den <= n*num), exact
+    at any size.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    g = knn_graph(corpus, id_col=id_col, vec_col=vec_col, k=k, n_bits=n_bits, dim=dim)
+    density = g.groupBy(F.col("query_id").alias("__vid")).agg(
+        F.sum(F.round(F.col("cosine") * 1000000).cast("bigint")).alias(
+            "density_ppm"
+        )
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(group_col).alias("grp")
+    ).join(density, "__vid", "left").select(
+        "__vid", "grp", F.coalesce("density_ppm", F.lit(0)).alias("density_ppm")
+    )
+    ranked = grouped_prefix_stats(
+        base.withColumn("__one", F.lit(1)),
+        group_col="grp",
+        sum_col="__one",
+        priority_cols=["density_ppm"],
+        tiebreak_col="__vid",
+        rank_out="dens_rank",
+        cum_out="__cum",
+        descending=False,
+    )
+    counts = base.groupBy("grp").agg(F.count("*").alias("__n"))
+    return (
+        ranked.join(F.broadcast(counts), "grp")
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("grp").alias(group_col),
+            "density_ppm",
+            F.col("dens_rank").cast("int").alias("dens_rank"),
+            (F.col("dens_rank") * keep_den <= F.col("__n") * keep_num).alias(
+                "kept"
+            ),
+        )
+    )

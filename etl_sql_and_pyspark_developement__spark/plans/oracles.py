@@ -1882,7 +1882,10 @@ ORACLES["s02_ann_lsh"] = _s02_oracle()
 # the same 8 ±1-hyperplane sign buckets, the hamming-1 probe set, the
 # DISTINCT pair dedup (a pair can collide in several probe buckets),
 # and the rounded-cosine / cand_id tiebreak ranking.
-def _s05_oracle(n_bits: int = 8, k: int = 5) -> str:
+def _knn_graph_ctes(n_bits: int = 8, k: int = 5) -> str:
+    """Shared CTE prefix mirroring similarity.knn_graph bit-for-bit
+    (same literal hyperplanes, probe set, pair dedup, 6dp scoring) —
+    the common backbone of the s05 and p12 oracles."""
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         _planes,
     )
@@ -1928,7 +1931,14 @@ ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, cand_id) AS rnk
     FROM pairs
-)
+),
+knn AS (
+    SELECT query_id, cand_id, cosine FROM ranked WHERE rnk <= {k}
+)"""
+
+
+def _s05_oracle(n_bits: int = 8, k: int = 5) -> str:
+    return f"""{_knn_graph_ctes(n_bits, k)}
 SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, cosine
 FROM ranked WHERE rnk <= {k}
 ORDER BY query_id, rnk
@@ -1936,6 +1946,40 @@ ORDER BY query_id, rnk
 
 
 ORACLES["s05_knn_graph"] = _s05_oracle()
+
+
+# p12 extends the mirrored kNN graph with integer-micro-unit density
+# sums (reduction-order-independent), per-label ascending rank, and
+# the integer keep-fraction test — all bit-exact.
+def _p12_oracle(n_bits: int = 8, k: int = 5, keep_num: int = 1, keep_den: int = 2) -> str:
+    return f"""{_knn_graph_ctes(n_bits, k)},
+density AS (
+    SELECT query_id,
+        CAST(sum(CAST(round(cosine * 1000000) AS BIGINT)) AS BIGINT)
+            AS density_ppm
+    FROM knn GROUP BY query_id
+),
+base AS (
+    SELECT e.vec_id, e.label,
+        coalesce(d.density_ppm, 0) AS density_ppm
+    FROM embeddings e LEFT JOIN density d ON d.query_id = e.vec_id
+),
+rankedv AS (
+    SELECT *,
+        row_number() OVER (PARTITION BY label
+                           ORDER BY density_ppm, vec_id) AS dens_rank,
+        count(*) OVER (PARTITION BY label) AS n
+    FROM base
+)
+SELECT vec_id, label, density_ppm,
+    CAST(dens_rank AS INTEGER) AS dens_rank,
+    dens_rank * {keep_den} <= n * {keep_num} AS kept
+FROM rankedv
+ORDER BY label, dens_rank
+"""
+
+
+ORACLES["p12_density_prune"] = _p12_oracle()
 
 
 # d04's oracle mirrors the md5-based simhash pipeline end-to-end:

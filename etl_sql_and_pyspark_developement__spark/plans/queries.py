@@ -3042,3 +3042,22 @@ def d13_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scrub(
         aug, id_col="doc_id", text_col="aug_text", seg_words=8, min_docs=10
     ).orderBy("doc_id")
+
+
+@query("p12_density_prune")
+def p12_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style density-based diversification (Tirumala et al. 2023)
+    over the embedding corpus: total-neighbor-cosine density from the
+    s05 kNN graph, per-label ascending rank, keep the least-dense
+    half — the curation stage that prunes over-represented semantic
+    modes AFTER near-dup removal (d08/d11). Emits the full per-vector
+    artifact (density_ppm, dens_rank, kept), value-verified: integer
+    micro-unit density sums + mirrored kNN-graph oracle."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        density_prune,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return density_prune(emb, k=5, n_bits=None, dim=64).orderBy(
+        "label", "dens_rank"
+    )

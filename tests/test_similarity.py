@@ -333,3 +333,60 @@ def test_adaptive_n_bits_keeps_buckets_bounded():
     # monotone in n
     seq = [adaptive_n_bits(n) for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
     assert seq == sorted(seq)
+
+
+def test_density_prune_planted_dense_cluster(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        density_prune,
+    )
+
+    # 10 near-identical vectors (a dense mode) + 10 well-spread ones,
+    # all one label: the dense mode must occupy the PRUNED (high-rank)
+    # half, the spread vectors the kept half.
+    import math
+
+    def unit(theta, phi):
+        return [
+            math.cos(theta) * math.cos(phi),
+            math.cos(theta) * math.sin(phi),
+            math.sin(theta),
+        ] + [0.0] * 13
+
+    rows = []
+    for i in range(10):  # tight cluster around (0, 0), ~0.01 rad apart
+        rows.append((i, [float(v) for v in unit(0.001 * i, 0.001 * i)], 0))
+    for i in range(10):  # spread over the sphere
+        rows.append(
+            (10 + i, [float(v) for v in unit(-1.2 + 0.27 * i, 2.1 * i)], 0)
+        )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = density_prune(df, k=3, n_bits=4, dim=16)
+    res = {r.vec_id: r for r in out.collect()}
+    assert len(res) == 20
+    # exact keep fraction: exactly half kept
+    assert sum(r.kept for r in res.values()) == 10
+    # every clustered vector is denser than every spread vector
+    dense = [res[i].density_ppm for i in range(10)]
+    spread = [res[10 + i].density_ppm for i in range(10)]
+    assert min(dense) > max(spread), (min(dense), max(spread))
+    # so the kept set is exactly the spread vectors
+    assert all(not res[i].kept for i in range(10))
+    assert all(res[10 + i].kept for i in range(10))
+    # ranks are a permutation of 1..n within the label
+    assert sorted(r.dens_rank for r in res.values()) == list(range(1, 21))
