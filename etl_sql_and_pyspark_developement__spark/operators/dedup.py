@@ -863,6 +863,87 @@ def corpus_dup_profile(
     )
 
 
+def _segments(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int
+) -> DataFrame:
+    """(doc, pos, seg, fp): non-overlapping `seg_words`-token chunks
+    with position and md5 fingerprint — the shared segmentation of the
+    batch scrub (boilerplate_scrub) and the streaming gate
+    (boilerplate_index / boilerplate_apply)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(seg_words)).cast("int")
+    return base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("_toks", i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("fp", F.md5("seg"))
+
+
+def boilerplate_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+    min_docs: int = 10,
+) -> DataFrame:
+    """The boilerplate-fingerprint set of a STATIC reference corpus:
+    md5 fps of every `seg_words`-token segment found in ≥ `min_docs`
+    distinct corpus docs. Build and persist once; reuse across every
+    screened batch/micro-batch (st13) — same never-rescan contract as
+    corpus_neardup_index. Tiny by construction (only fps crossing the
+    threshold), so the per-batch anti-join broadcasts it."""
+    return (
+        _segments(corpus, id_col, text_col, seg_words)
+        .select("doc", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= min_docs)
+        .select("fp")
+    )
+
+
+def boilerplate_apply(
+    batch: DataFrame,
+    boiler: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+) -> DataFrame:
+    """Scrub a batch against a prebuilt boilerplate index: drop every
+    segment whose fp is in `boiler`, reassemble survivors in order.
+    Returns (id, n_segs, n_removed, clean_text) — clean_text is ''
+    when the whole doc was boilerplate. Per-batch cost ∝ batch
+    (segment explode + broadcast anti-join + per-doc groupBy); the
+    corpus is never rescanned."""
+    segs = _segments(batch, id_col, text_col, seg_words)
+    kept = segs.join(F.broadcast(boiler), "fp", "left_anti")
+    totals = segs.groupBy("doc").agg(F.count("*").alias("n_segs"))
+    reassembled = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(reassembled, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_segs",
+        (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def boilerplate_scrub(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -899,20 +980,7 @@ def boilerplate_scrub(
     4. per-doc reassembly groupBy: collect_list bounded by the doc's
        own segment count — the same size bound as the source row.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
-    n_chunks = F.ceil(F.size("_toks") / F.lit(seg_words)).cast("int")
-    segs = base.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice("_toks", i * seg_words + 1, seg_words), " "
-                ),
-            )
-        ).alias("pos", "seg"),
-    ).withColumn("fp", F.md5("seg"))
+    segs = _segments(df, id_col, text_col, seg_words)
     boiler = (
         segs.select("doc", "fp")
         .distinct()

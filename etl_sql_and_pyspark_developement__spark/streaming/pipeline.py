@@ -340,3 +340,36 @@ def sink_stream_embed_neardup(vec_stream: DataFrame, corpus: DataFrame, out_dir:
             h.unpersist()
 
     return vec_stream.writeStream.foreachBatch(process)
+
+
+def sink_stream_boilerplate(doc_stream: DataFrame, corpus: DataFrame, out_dir: str):
+    """st13: streaming boilerplate-segment scrub — each arriving
+    micro-batch of documents is scrubbed against the STATIC corpus's
+    boilerplate index (dedup.boilerplate_index: md5 fps of segments in
+    ≥10 distinct corpus docs) and the cleaned docs land in the sink.
+    The streaming twin of d13, the way st10/st12 are streaming twins
+    of the text/embedding near-dup screens: a continuous crawl strips
+    the chrome it has already learned from the corpus it keeps.
+
+    foreachBatch, same contract as st10: the index (tiny by
+    construction) is built and persisted ONCE outside the loop and
+    BROADCAST into each batch's anti-join; per-batch cost ∝ batch
+    (segment explode + broadcast anti-join + per-doc reassembly) —
+    the corpus is never rescanned. The index frame is one persisted
+    handle for the stream's lifetime, not one per batch, so there is
+    nothing to release per micro-batch.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        boilerplate_apply,
+        boilerplate_index,
+    )
+
+    boiler = boilerplate_index(corpus).persist()
+    boiler.count()  # materialize once, before the first batch
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        boilerplate_apply(batch_df, boiler).write.mode("append").parquet(
+            out_dir
+        )
+
+    return doc_stream.writeStream.foreachBatch(process)

@@ -493,3 +493,51 @@ def test_st12_stream_embed_neardup_matches_batch(
         planted, embedding_neardup_index(corpus)
     ).collect()
     assert survivors == []
+
+
+def test_st13_stream_boilerplate_matches_batch(
+    spark, sf_dir, documents_dir, tmp_path
+):
+    """st13: the streaming boilerplate gate must emit exactly what the
+    batch boilerplate_apply emits over the same static index —
+    foreachBatch reuses the batch operator, so row sets are identical;
+    planted corpus-wide chrome must be stripped from arriving docs."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        boilerplate_apply,
+        boilerplate_index,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        sink_stream_boilerplate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # plant an aligned 8-word banner prefix on every doc so the corpus
+    # index is non-empty and arriving docs really get scrubbed
+    banner = "accept all cookies to continue reading this site"
+    planted = docs.withColumn(
+        "text", F.concat_ws(" ", F.lit(banner), F.col("text"))
+    )
+    planted_dir = str(tmp_path / "planted_docs")
+    planted.write.parquet(planted_dir)
+    corpus = spark.read.parquet(planted_dir)
+    out = str(tmp_path / "st13_out")
+
+    stream = spark.readStream.schema(corpus.schema).parquet(planted_dir)
+    q = sink_stream_boilerplate(stream, corpus, out).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.n_segs, r.n_removed, r.clean_text)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.n_segs, r.n_removed, r.clean_text)
+        for r in boilerplate_apply(
+            corpus, boilerplate_index(corpus)
+        ).collect()
+    }
+    assert got == want and got
+    # the planted banner segment is gone from every cleaned doc
+    assert all(r[2] >= 1 and banner not in r[3] for r in got)
