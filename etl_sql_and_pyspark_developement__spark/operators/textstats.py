@@ -518,3 +518,73 @@ def bigram_surprisal_scores(
         )
         .select(F.col("doc").alias(id_col), "n_bigrams", "mean_cond_ppm")
     )
+
+
+def heuristic_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100000,
+    min_mean_len: int = 4,
+    max_mean_len: int = 10,
+    min_unique_num: int = 1,
+    min_unique_den: int = 2,
+) -> DataFrame:
+    """C4/Gopher-style heuristic rule battery (Raffel et al. 2020;
+    Rae et al. 2021 Gopher §A1.1) — the RULE gate that runs before any
+    learned classifier (t08): per-doc boolean flags for each rule plus
+    the conjunction, so a pipeline can audit WHICH rule rejected a doc
+    rather than just how many were dropped.
+
+    - r_nwords:  word count in [min_words, max_words]
+    - r_wordlen: mean word length in [min_mean_len, max_mean_len] —
+      as the INTEGER inequality min*n <= total_chars <= max*n (no
+      division, engine-exact); total word chars = len(text) minus the
+      n-1 separator spaces
+    - r_stop2:   ≥2 distinct stop words present (Gopher's stop-word
+      requirement over this corpus's 2-word list)
+    - r_unique:  unique-token fraction ≥ min_unique_num/min_unique_den
+      (integer cross-multiplication)
+    - r_clean:   no '{' and no 'lorem ipsum' (C4's code/placeholder
+      screens; cheap constant guards on natural corpora)
+
+    Scale: ONE scan, pure codegen expressions (split/size/
+    array_distinct/contains), zero shuffles, zero UDFs — adding the
+    gate to a pipeline costs no extra pass, same contract as t08.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    total_chars = F.length(F.col(text_col)) - (n - F.lit(1))
+    n_uniq = F.size(F.array_distinct(toks))
+    r_nwords = (n >= min_words) & (n <= max_words)
+    r_wordlen = (total_chars >= F.lit(min_mean_len) * n) & (
+        total_chars <= F.lit(max_mean_len) * n
+    )
+    r_stop2 = (
+        sum(
+            F.when(F.array_contains(toks, w), 1).otherwise(0)
+            for w in STOPWORDS
+        )
+        >= 2
+    )
+    r_unique = n_uniq * min_unique_den >= n * min_unique_num
+    r_clean = (~F.col(text_col).contains("{")) & (
+        ~F.col(text_col).contains("lorem ipsum")
+    )
+    out = df.select(
+        "*",
+        n.alias("n_tokens"),
+        r_nwords.alias("r_nwords"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop2.alias("r_stop2"),
+        r_unique.alias("r_unique"),
+        r_clean.alias("r_clean"),
+    )
+    flags = ["r_nwords", "r_wordlen", "r_stop2", "r_unique", "r_clean"]
+    n_failed = sum(
+        F.when(F.col(c), 0).otherwise(1) for c in flags
+    ).cast("int")
+    keep = F.col(flags[0])
+    for c in flags[1:]:
+        keep = keep & F.col(c)
+    return out.withColumn("n_failed", n_failed).withColumn("keep", keep)

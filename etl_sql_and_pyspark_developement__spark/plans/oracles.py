@@ -2909,3 +2909,45 @@ SELECT t.doc_id,
 FROM totals t LEFT JOIN reassembled r USING (doc_id)
 ORDER BY t.doc_id
 """
+
+ORACLES["t12_heuristic_rules"] = """
+WITH t AS (
+    SELECT doc_id,
+        string_split(text, ' ') AS toks,
+        length(text) AS lc,
+        contains(text, '{') AS has_brace,
+        contains(text, 'lorem ipsum') AS has_lorem
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+        len(toks) AS n_tokens,
+        lc - (len(toks) - 1) AS total_chars,
+        len(list_distinct(toks)) AS n_uniq,
+        (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+            AS n_stop,
+        has_brace, has_lorem
+    FROM t
+),
+flags AS (
+    SELECT doc_id,
+        n_tokens,
+        n_tokens >= 30 AND n_tokens <= 100000 AS r_nwords,
+        total_chars >= 4 * n_tokens AND total_chars <= 10 * n_tokens
+            AS r_wordlen,
+        n_stop >= 2 AS r_stop2,
+        n_uniq * 2 >= n_tokens * 1 AS r_unique,
+        NOT has_brace AND NOT has_lorem AS r_clean
+    FROM f
+)
+SELECT doc_id, n_tokens, r_nwords, r_wordlen, r_stop2, r_unique, r_clean,
+    CAST((CASE WHEN r_nwords THEN 0 ELSE 1 END)
+       + (CASE WHEN r_wordlen THEN 0 ELSE 1 END)
+       + (CASE WHEN r_stop2 THEN 0 ELSE 1 END)
+       + (CASE WHEN r_unique THEN 0 ELSE 1 END)
+       + (CASE WHEN r_clean THEN 0 ELSE 1 END) AS INTEGER) AS n_failed,
+    r_nwords AND r_wordlen AND r_stop2 AND r_unique AND r_clean AS keep
+FROM flags
+ORDER BY doc_id
+"""

@@ -3061,3 +3061,29 @@ def p12_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_prune(emb, k=5, n_bits=None, dim=64).orderBy(
         "label", "dens_rank"
     )
+
+
+@query("t12_heuristic_rules")
+def t12_heuristic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher heuristic rule battery over the corpus: per-doc
+    boolean rule flags (word-count bounds, integer mean-word-length
+    bounds, ≥2 stop words, unique-token fraction, code/placeholder
+    screens) + n_failed + the keep conjunction — the rule gate that
+    runs BEFORE the learned classifier (t08). One scan, pure codegen,
+    engine-exact integer arithmetic; oracle verifies every flag."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        heuristic_rules,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return heuristic_rules(docs).select(
+        "doc_id",
+        "n_tokens",
+        "r_nwords",
+        "r_wordlen",
+        "r_stop2",
+        "r_unique",
+        "r_clean",
+        "n_failed",
+        "keep",
+    ).orderBy("doc_id")

@@ -356,3 +356,10 @@ def test_p12_no_global_or_per_label_serial_window(spark, sf_dir):
     assert re.search(r"hashpartitioning\(grp#\d+, __rb#\d+", plan), plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t12_rule_gate_single_scan_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "t12_heuristic_rules", sf_dir)
+    assert plan.count("Scan parquet") == 2, "rule battery must be one scan"
+    assert "hashpartitioning(" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

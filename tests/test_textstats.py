@@ -244,3 +244,34 @@ def test_surprisal_rare_tokens_score_higher(spark):
     assert got[1].mean_rarity_ppm == 200000
     assert got[2].mean_rarity_ppm == (200000 + 3 * 1000000) // 4
     assert got[2].mean_rarity_ppm > got[1].mean_rarity_ppm
+
+
+def test_heuristic_rules_flags_and_conjunction(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        heuristic_rules,
+    )
+
+    rows = [
+        # passes everything: 30+ varied words incl. 'a' and 'the'
+        (0, "a the " + " ".join(f"word{i:02d}" for i in range(30))),
+        # too short
+        (1, "a the tiny doc"),
+        # repetitive: unique fraction < 1/2
+        (2, "a the " + " ".join(["dup"] * 40)),
+        # no stopwords
+        (3, " ".join(f"tok{i:02d}" for i in range(32))),
+        # code screen: contains '{'
+        (4, "a the { " + " ".join(f"w{i:03d}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in heuristic_rules(df).collect()}
+    assert out[0].keep and out[0].n_failed == 0
+    assert not out[1].r_nwords and not out[1].keep
+    assert not out[2].r_unique and not out[2].keep
+    assert not out[3].r_stop2 and not out[3].keep
+    assert not out[4].r_clean and not out[4].keep
+    # n_failed counts exactly the false flags
+    for r in out.values():
+        flags = [r.r_nwords, r.r_wordlen, r.r_stop2, r.r_unique, r.r_clean]
+        assert r.n_failed == sum(not f for f in flags)
+        assert r.keep == all(flags)
