@@ -922,3 +922,148 @@ def density_prune(
             ),
         )
     )
+
+
+def _pq_code_expr(
+    vec_col: str, codebook: list[list[float]], offset: int, sub_dim: int
+) -> Column:
+    """Argmin code over one subspace's codebook: squared-L2 between
+    slice(vec, offset+1, sub_dim) and each (literal) codebook entry,
+    via array_sort-of-structs so every distance subtree appears once
+    (same construction and Math.pow discipline as _nearest_centroid,
+    which the s03 oracle already mirrors bit-exactly)."""
+    sub = f"slice({vec_col}, {offset + 1}, {sub_dim})"
+    entries = []
+    for i, c in enumerate(codebook):
+        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        d = (
+            f"aggregate(zip_with({sub}, {arr},"
+            " (x, w) -> power(cast(x as double) - w, 2)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+        entries.append(f"named_struct('d', {d}, 'code', {i})")
+    return F.expr(
+        "cast(array_sort(array(" + ", ".join(entries) + "))[0].code as int)"
+    )
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+    refine_n: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each vector
+    into `m_sub` subspaces, quantize each against a per-subspace
+    codebook of `k_codes` entries, and answer queries in two stages —
+    an ADC (asymmetric distance computation) scan that sums per-
+    subspace query→codeword distances over the CODES, then an exact
+    cosine re-rank of the top `refine_n` ADC candidates.
+
+    Completes the ANN toolbox (brute s01 → LSH s02 → IVF s03 → kNN
+    graph s05): PQ is the MEMORY story — the scan touches m_sub small
+    ints per vector (m_sub·log2(k_codes) bits, here 4 codes ≈ 12 bits
+    vs 256 bytes of floats), which is what keeps 10⁹-vector indexes
+    in RAM; only the refine stage re-reads refine_n real vectors per
+    query.
+
+    Deterministic end-to-end (lowest-id codebook seeds, argmin ties to
+    the lower code, fixed-order ADC sum d0+d1+…), so the DuckDB oracle
+    mirrors codebooks, codes, ADC, and refine value-for-value.
+
+    Scale: codebooks are k_codes×dim floats collected once (a
+    constant, not data); encoding is one map-side pass (m_sub argmin
+    expressions, zero shuffle); the ADC scan is broadcast-queries ×
+    codes with no shuffle; refine joins refine_n·|queries| ids back
+    against the corpus — the only wide op is the final per-query
+    top-k window over refine_n rows.
+    """
+    spark = corpus.sparkSession
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    sub_dim = dim // m_sub
+    seed_rows = corpus.orderBy(id_col).limit(k_codes).select(vec_col).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [],
+            f"query_id long, rnk int, cand_id long, "
+            f"adc_dist double, cosine double",
+        )
+    seeds = [[float(x) for x in r[0]] for r in seed_rows]
+    codebooks = [
+        [s[m * sub_dim : (m + 1) * sub_dim] for s in seeds]
+        for m in range(m_sub)
+    ]
+    code_cols = [
+        _pq_code_expr(vec_col, codebooks[m], m * sub_dim, sub_dim).alias(
+            f"code_{m}"
+        )
+        for m in range(m_sub)
+    ]
+    # encoded frame feeds the ADC scan; the refine stage re-reads real
+    # vectors from the corpus — materialize the (tiny-per-row) codes
+    enc = corpus.select(
+        F.col(id_col).alias("cand_id"), *code_cols
+    ).localCheckpoint()
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # ADC: per subspace, distance from the query's subvector to the
+    # codeword the candidate stored — element_at over the literal
+    # codebook, summed in FIXED order (d0 + d1 + ...)
+    def sub_d(m: int) -> Column:
+        cb = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+                for c in codebooks[m]
+            )
+            + ")"
+        )
+        return F.expr(
+            f"aggregate(zip_with(slice(q_vec, {m * sub_dim + 1}, {sub_dim}),"
+            f" element_at({cb}, code_{m} + 1),"
+            " (x, w) -> power(cast(x as double) - w, 2)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+
+    adc_dist = sub_d(0)
+    for m in range(1, m_sub):
+        adc_dist = adc_dist + sub_d(m)
+    scored = (
+        F.broadcast(q)
+        .join(enc, F.col("query_id") != F.col("cand_id"))
+        .withColumn("adc_dist", F.round(adc_dist, 6))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    shortlist = (
+        scored.withColumn("__pr", F.row_number().over(w_adc))
+        .filter(F.col("__pr") <= refine_n)
+        .select("query_id", "q_vec", "cand_id", "adc_dist")
+    )
+    # exact refine: true cosine on the shortlisted real vectors
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(vec_col).alias("c_nrm"),
+    )
+    refined = shortlist.join(cand_vecs, "cand_id").withColumn(
+        "cosine",
+        F.round(
+            _dot("q_vec", "c_vec") / (_norm("q_vec") * F.col("c_nrm")),
+            6,
+        ),
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w_fin))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "adc_dist", "cosine")
+    )

@@ -2951,3 +2951,92 @@ SELECT doc_id, n_tokens, r_nwords, r_wordlen, r_stop2, r_unique, r_clean,
 FROM flags
 ORDER BY doc_id
 """
+
+# s06 mirrors the PQ pipeline end-to-end: lowest-id codebook seeds,
+# per-subspace argmin codes (ties to lower code), fixed-order ADC sum
+# ((d0+d1)+d2)+d3 rounded at 6dp BEFORE the shortlist rank, exact
+# cosine re-rank of the top-20 — all float arithmetic mirrored
+# literally (power(x,2) == x*x and left-fold sums, proven by s03/s05).
+ORACLES["s06_pq_ann"] = """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS code, v FROM (
+        SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM corpus
+    ) WHERE rn <= 8
+),
+codebook AS (
+    SELECT m.m, s.code, s.v[m.m * 16 + 1 : m.m * 16 + 16] AS sub
+    FROM seeds s, range(0, 4) m(m)
+),
+subdists AS (
+    SELECT c.vec_id, cb.m, cb.code,
+        list_sum(list_transform(
+            list_zip(c.v[cb.m * 16 + 1 : cb.m * 16 + 16], cb.sub),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+    FROM corpus c CROSS JOIN codebook cb
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        FROM subdists
+    ) WHERE rn = 1
+),
+codes_w AS (
+    SELECT vec_id,
+        max(CASE WHEN m = 0 THEN code END) AS code_0,
+        max(CASE WHEN m = 1 THEN code END) AS code_1,
+        max(CASE WHEN m = 2 THEN code END) AS code_2,
+        max(CASE WHEN m = 3 THEN code END) AS code_3
+    FROM codes GROUP BY vec_id
+),
+queries AS (
+    SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 10
+),
+adc AS (
+    SELECT q.query_id, cw.vec_id AS cand_id,
+        round(((
+            list_sum(list_transform(list_zip(q.q[1:16], cb0.sub),
+                p -> (p[1] - p[2]) * (p[1] - p[2])))
+          + list_sum(list_transform(list_zip(q.q[17:32], cb1.sub),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))))
+          + list_sum(list_transform(list_zip(q.q[33:48], cb2.sub),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))))
+          + list_sum(list_transform(list_zip(q.q[49:64], cb3.sub),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS adc_dist
+    FROM queries q
+    CROSS JOIN codes_w cw
+    JOIN codebook cb0 ON cb0.m = 0 AND cb0.code = cw.code_0
+    JOIN codebook cb1 ON cb1.m = 1 AND cb1.code = cw.code_1
+    JOIN codebook cb2 ON cb2.m = 2 AND cb2.code = cw.code_2
+    JOIN codebook cb3 ON cb3.m = 3 AND cb3.code = cw.code_3
+    WHERE cw.vec_id <> q.query_id
+),
+shortlist AS (
+    SELECT query_id, cand_id, adc_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, cand_id) AS pr
+        FROM adc
+    ) WHERE pr <= 20
+),
+refined AS (
+    SELECT s.query_id, s.cand_id, s.adc_dist,
+        round(list_dot_product(q.v, c.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM shortlist s
+    JOIN corpus q ON q.vec_id = s.query_id
+    JOIN corpus c ON c.vec_id = s.cand_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, adc_dist, cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM refined
+)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""

@@ -3087,3 +3087,20 @@ def t12_heuristic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_failed",
         "keep",
     ).orderBy("doc_id")
+
+
+@query("s06_pq_ann")
+def s06_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 8
+    lowest-id codebook entries, ADC scan over 4 small codes per vector
+    (the RAM story for 10⁹-vector indexes), exact cosine re-rank of
+    the top-20 ADC candidates. Fully deterministic (seeded codebooks,
+    tie-to-lower-code argmin, fixed-order ADC sum), so the DuckDB
+    oracle mirrors codebooks → codes → ADC → refine value-for-value."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_pq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_pq_topk(emb, queries, k=5).orderBy("query_id", "rnk")

@@ -363,3 +363,12 @@ def test_t12_rule_gate_single_scan_no_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, "rule battery must be one scan"
     assert "hashpartitioning(" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s06_pq_codes_mapside_and_broadcast_queries(spark, sf_dir):
+    plan = plan_of(spark, "s06_pq_ann", sf_dir)
+    # encoding is map-side (zero Python); ADC scan broadcasts the tiny
+    # query side (nested-loop on the != predicate, same shape as s01)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

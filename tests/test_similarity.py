@@ -390,3 +390,30 @@ def test_density_prune_planted_dense_cluster(spark):
     assert all(res[10 + i].kept for i in range(10))
     # ranks are a permutation of 1..n within the label
     assert sorted(r.dens_rank for r in res.values()) == list(range(1, 21))
+
+
+def test_pq_ann_finds_exact_copy_and_is_deterministic(spark, vectors):
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_pq_topk,
+    )
+
+    queries = vectors.filter("vec_id < 5")
+    out1 = ann_pq_topk(vectors, queries, dim=16, m_sub=4, k_codes=8).collect()
+    out2 = ann_pq_topk(vectors, queries, dim=16, m_sub=4, k_codes=8).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r.query_id, []).append(r)
+    # vector 50 is an exact copy of vector 0: its ADC distance equals
+    # query 0's own quantization error (the minimum possible for that
+    # query), so it survives the shortlist and the exact re-rank puts
+    # it at rank 1 with cosine 1.0
+    top0 = sorted(by_q[0], key=lambda r: r.rnk)[0]
+    assert top0.cand_id == 50 and top0.cosine == 1.0
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        # refine orders by exact cosine descending
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.cand_id != q for r in rows)
