@@ -391,3 +391,89 @@ def phash_neardup_pairs(
     if max_hamming is not None:
         scored = scored.filter(F.col("hamming") <= max_hamming)
     return scored.select("doc_a", "doc_b", "hamming")
+
+
+_PNG_HEX = "89504E470D0A1A0A"   # \x89PNG\r\n\x1a\n
+_JPEG_HEX = "FFD8FF"
+_RIFF_HEX = "52494646"          # 'RIFF'
+_WAVE_HEX = "57415645"          # 'WAVE'
+
+
+def with_mixed_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a MIXED-modality blob column: the doc's UTF-8 bytes
+    prefixed with a real container magic by doc_id % 4 — PNG (0),
+    JPEG (1), WAV/RIFF (2), or no header (3, an unrecognized blob).
+    Both engines build the identical bytes, so the router's sniffing
+    is value-verifiable."""
+    body = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.unhex(F.lit(_PNG_HEX)), body))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.unhex(F.lit(_JPEG_HEX)), body))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.unhex(F.lit(_RIFF_HEX)),
+                F.unhex(F.lit("00000000")),
+                F.unhex(F.lit(_WAVE_HEX)),
+                body,
+            ),
+        )
+        .otherwise(body),
+    )
+
+
+def modality_router(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Single-pass modality ROUTER over an opaque binary column: sniff
+    the container magic (PNG / JPEG / RIFF-WAVE), split off the body,
+    and emit the per-modality typed metadata each downstream decode
+    lane needs — image lane gets stub dimensions (same first/last-byte
+    arithmetic as _decode_stub), audio lane gets sample count and an
+    8 kHz duration estimate, unrecognized blobs are quarantined with a
+    reason instead of poisoning a decode worker. The dispatch step a
+    mixed 100 TB crawl runs BEFORE any expensive decode fan-out.
+
+    Pure codegen (hex/substring/conv integer arithmetic — the sniff
+    must be cheap precisely because it sees every blob): one scan,
+    zero shuffles, zero Python — and therefore a full DuckDB oracle,
+    unlike the decode stubs behind it. NULL metadata columns mark the
+    lanes a modality does not populate.
+    """
+    p = F.col("payload")
+    hexp = F.hex(p)
+    n_bytes = F.length(p)
+    is_png = F.substring(hexp, 1, 16) == _PNG_HEX
+    is_jpeg = F.substring(hexp, 1, 6) == _JPEG_HEX
+    is_wav = (F.substring(hexp, 1, 8) == _RIFF_HEX) & (
+        F.substring(hexp, 17, 8) == _WAVE_HEX
+    )
+    modality = (
+        F.when(is_png, "image/png")
+        .when(is_jpeg, "image/jpeg")
+        .when(is_wav, "audio/wav")
+        .otherwise("unknown")
+    )
+    body_off = (
+        F.when(is_png, 9).when(is_jpeg, 4).when(is_wav, 13).otherwise(1)
+    )
+    body_bytes = n_bytes - (body_off - 1)
+    byte_at = lambda pos_expr: F.conv(  # noqa: E731
+        F.substring(hexp, pos_expr, 2), 16, 10
+    ).cast("int")
+    first_b = byte_at((body_off - 1) * 2 + 1)
+    last_b = byte_at(n_bytes * 2 - 1)
+    is_image = is_png | is_jpeg
+    return df.select(
+        F.col(id_col),
+        modality.alias("modality"),
+        n_bytes.alias("n_bytes"),
+        body_bytes.alias("body_bytes"),
+        F.when(is_image, 64 + first_b % 64).alias("width"),
+        F.when(is_image, 64 + last_b % 64).alias("height"),
+        F.when(is_wav, F.floor((body_bytes * 1000) / F.lit(8000)))
+        .cast("bigint")
+        .alias("dur_ms"),
+        F.when(modality == "unknown", F.lit("unknown_format"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

@@ -3040,3 +3040,53 @@ FROM (
 WHERE rnk <= 5
 ORDER BY query_id, rnk
 """
+
+ORACLES["m06_modality_router"] = """
+WITH payloads AS (
+    SELECT doc_id,
+        CASE
+            WHEN doc_id % 4 = 0 THEN '89504E470D0A1A0A' || hex(encode(text))
+            WHEN doc_id % 4 = 1 THEN 'FFD8FF' || hex(encode(text))
+            WHEN doc_id % 4 = 2 THEN '52494646' || '00000000' || '57415645'
+                                     || hex(encode(text))
+            ELSE hex(encode(text))
+        END AS hexp
+    FROM documents
+),
+sniffed AS (
+    SELECT doc_id, hexp,
+        CAST(length(hexp) // 2 AS BIGINT) AS n_bytes,
+        substr(hexp, 1, 16) = '89504E470D0A1A0A' AS is_png,
+        substr(hexp, 1, 6) = 'FFD8FF' AS is_jpeg,
+        substr(hexp, 1, 8) = '52494646'
+            AND substr(hexp, 17, 8) = '57415645' AS is_wav
+    FROM payloads
+),
+routed AS (
+    SELECT doc_id, hexp, n_bytes, is_png, is_jpeg, is_wav,
+        CASE WHEN is_png THEN 'image/png'
+             WHEN is_jpeg THEN 'image/jpeg'
+             WHEN is_wav THEN 'audio/wav'
+             ELSE 'unknown' END AS modality,
+        CASE WHEN is_png THEN 9 WHEN is_jpeg THEN 4
+             WHEN is_wav THEN 13 ELSE 1 END AS body_off
+    FROM sniffed
+)
+SELECT doc_id,
+    modality,
+    CAST(n_bytes AS BIGINT) AS n_bytes,
+    CAST(n_bytes - (body_off - 1) AS BIGINT) AS body_bytes,
+    CASE WHEN is_png OR is_jpeg THEN CAST(64 +
+        CAST(('0x' || substr(hexp, (body_off - 1) * 2 + 1, 2)) AS INTEGER)
+        % 64 AS INTEGER) END AS width,
+    CASE WHEN is_png OR is_jpeg THEN CAST(64 +
+        CAST(('0x' || substr(hexp, CAST(n_bytes * 2 - 1 AS INTEGER), 2))
+             AS INTEGER) % 64 AS INTEGER) END AS height,
+    CASE WHEN is_wav THEN
+        CAST((n_bytes - (body_off - 1)) * 1000 // 8000 AS BIGINT)
+    END AS dur_ms,
+    CASE WHEN modality = 'unknown' THEN 'unknown_format'
+         ELSE 'ok' END AS status
+FROM routed
+ORDER BY doc_id
+"""

@@ -3104,3 +3104,21 @@ def s06_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_pq_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@query("m06_modality_router")
+def m06_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality payload routing: sniff container magic bytes
+    (PNG/JPEG/RIFF-WAVE planted by doc_id % 4), split off the body,
+    and emit per-modality typed metadata (image stub dims / audio
+    duration / quarantine reason) in ONE codegen pass — the dispatch
+    stage a mixed crawl runs before any decode fan-out. Full oracle:
+    both engines build identical bytes, and the sniff/metadata
+    arithmetic is hex/integer-exact."""
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        modality_router,
+        with_mixed_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return modality_router(with_mixed_payload(docs)).orderBy("doc_id")

@@ -200,3 +200,48 @@ def test_phash_pigeonhole_lossless_and_planted_neardup(spark):
             brute[(a, b)] = h
     assert screened == brute
     sigs.unpersist()
+
+
+def test_modality_router_sniffs_and_quarantines(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        modality_router,
+        with_mixed_payload,
+    )
+
+    rows = [(i, f"payload body {i} " + "x" * i) for i in range(8)]
+    df = with_mixed_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    out = {r.doc_id: r for r in modality_router(df).collect()}
+    assert len(out) == 8
+    for i, r in out.items():
+        want = ["image/png", "image/jpeg", "audio/wav", "unknown"][i % 4]
+        assert r.modality == want, (i, r.modality)
+        body_len = len(f"payload body {i} " + "x" * i)
+        assert r.body_bytes == body_len
+        if want.startswith("image"):
+            # stub dims follow the first/last BODY byte (header skipped):
+            # body starts with 'p' (0x70), ends with digit or 'x'
+            first, last = b"p"[0], (f"payload body {i} " + "x" * i).encode()[-1]
+            assert (r.width, r.height) == (64 + first % 64, 64 + last % 64)
+            assert r.dur_ms is None and r.status == "ok"
+        elif want == "audio/wav":
+            assert r.dur_ms == body_len * 1000 // 8000
+            assert r.width is None and r.height is None and r.status == "ok"
+        else:
+            assert r.status == "unknown_format"
+            assert r.width is None and r.dur_ms is None
+
+
+def test_modality_router_single_pass_plan(spark, sf_dir):
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    df = QUERIES["m06_modality_router"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("Scan parquet") == 2, "router must be one scan"
+    assert "hashpartitioning(" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
