@@ -373,3 +373,19 @@ def sink_stream_boilerplate(doc_stream: DataFrame, corpus: DataFrame, out_dir: s
         )
 
     return doc_stream.writeStream.foreachBatch(process)
+
+
+def stream_modality_router(doc_stream: DataFrame) -> DataFrame:
+    """st14: streaming modality dispatch — m06's magic-byte sniff +
+    per-modality typed metadata applied to arriving blobs. Stateless
+    pure-codegen per micro-batch (no watermark, no state store), so a
+    mixed crawl routes every incoming payload to its decode lane —
+    or the quarantine — at ingest speed; compose with st09/st10/st13
+    for the full multimodal curation path.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        modality_router,
+        with_mixed_payload,
+    )
+
+    return modality_router(with_mixed_payload(doc_stream))

@@ -541,3 +541,35 @@ def test_st13_stream_boilerplate_matches_batch(
     assert got == want and got
     # the planted banner segment is gone from every cleaned doc
     assert all(r[2] >= 1 and banner not in r[3] for r in got)
+
+
+def test_st14_stream_modality_router_matches_batch(
+    spark, sf_dir, documents_dir
+):
+    """st14: the streaming router must emit exactly the batch m06
+    rows — stateless codegen, so row sets are identical."""
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        modality_router,
+        with_mixed_payload,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        run_to_memory,
+        stream_modality_router,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+    run_to_memory(stream_modality_router(stream), "st14_out", "append")
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM st14_out").collect()
+    }
+    want = {
+        tuple(r)
+        for r in modality_router(with_mixed_payload(docs)).collect()
+    }
+    assert got == want and got
+    # all four lanes exercised
+    assert {r[1] for r in got} == {
+        "image/png", "image/jpeg", "audio/wav", "unknown"
+    }
