@@ -487,3 +487,31 @@ def test_boilerplate_scrub_removes_planted_keeps_unique(spark):
     # misaligned doc: its straddling chunks are corpus-unique -> kept
     assert out[101].n_removed == 0
     assert out[101].clean_fp == md5("a b c d " + banner)
+
+
+def test_boilerplate_scrub_identity_and_monotonicity(spark):
+    """min_docs above the corpus size removes nothing (clean_fp is the
+    original text's md5); lowering min_docs only ever removes MORE."""
+    import hashlib
+
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        boilerplate_scrub,
+    )
+
+    banner = "one two three four five six seven eight"
+    rows = [
+        (i, f"{banner} " + " ".join(f"u{i}w{j}" for j in range(8)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # identity: threshold 100 > 6 docs -> nothing is boilerplate
+    ident = {r.doc_id: r for r in boilerplate_scrub(df, min_docs=100).collect()}
+    for i, text in rows:
+        assert ident[i].n_removed == 0
+        assert ident[i].clean_fp == hashlib.md5(text.encode()).hexdigest()
+    # monotonicity: removals at min_docs=2 are a superset per doc
+    loose = {r.doc_id: r.n_removed for r in boilerplate_scrub(df, min_docs=2).collect()}
+    tight = {r.doc_id: r.n_removed for r in boilerplate_scrub(df, min_docs=6).collect()}
+    assert all(loose[i] >= tight[i] for i in loose)
+    # at min_docs=6 exactly the shared banner goes
+    assert all(v == 1 for v in tight.values())

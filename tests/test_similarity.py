@@ -417,3 +417,44 @@ def test_pq_ann_finds_exact_copy_and_is_deterministic(spark, vectors):
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r.cand_id != q for r in rows)
+
+
+def test_density_prune_keep_fraction_odd_sizes(spark):
+    """The integer keep test (rank*den <= n*num) keeps exactly
+    floor(n*num/den) per group, for odd and tiny group sizes."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        density_prune,
+    )
+
+    rows = []
+    vid = 0
+    for label, n in ((0, 7), (1, 1), (2, 4)):
+        for i in range(n):
+            vec = [0.0] * 16
+            vec[(vid + i) % 16] = 1.0
+            vec[(vid + i + 3) % 16] = 0.5
+            rows.append((vid, [float(v) for v in vec], label))
+            vid += 1
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    out = density_prune(
+        spark.createDataFrame(rows, schema), k=3, n_bits=4, dim=16
+    ).collect()
+    kept_per = {}
+    for r in out:
+        kept_per[r.label] = kept_per.get(r.label, 0) + int(r.kept)
+    assert kept_per == {0: 3, 1: 0, 2: 2}  # floor(n/2) each
