@@ -350,6 +350,7 @@ def tfidf_top_terms(
 def classifier_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     keep_threshold_ppm: int = 700_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality-classifier filter (the FineWeb-Edu / DCLM
     pipeline stage: score every document with a trained quality model,
@@ -367,30 +368,36 @@ def classifier_score(
     - punct:      max(0, 150000 - 2 * punct_ppm)        (≤ 150000)
     - diversity:  distinct/total token ppm * 3 div 10   (≤ 300000)
 
-    Returns (id, score_ppm, kept). One scan, no shuffle, no UDFs —
+    Returns (id, *carry_cols, score_ppm, kept) — pass `carry_cols`
+    to keep input columns (grouping keys, earlier gate flags) riding
+    the same single pass instead of re-joining the scan (p13's
+    dataset card does). One scan, no shuffle, no UDFs —
     whole-stage codegen end to end, so it runs at parquet-scan speed
     on a 100 TB corpus.
     """
     toks = tokens(F.col(text_col))
+    carry = [F.col(c) for c in carry_cols]
     feats = df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        *carry,
+        F.length(text_col).alias("__qc_chars"),
+        F.size(toks).alias("__qc_tokens"),
+        F.size(F.array_distinct(toks)).alias("__qc_distinct"),
         (
             F.length(text_col)
             - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
-        ).alias("n_punct"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        ).alias("__qc_punct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__qc_stop"),
     )
     scored = feats.select(
         id_col,
+        *[F.col(c) for c in carry_cols],
         F.expr(
             """
-            least(n_tokens, 100) * 3000
-            + greatest(0, 250000 - abs((n_stop * 1000000 div greatest(n_tokens, 1)) - 100000))
-            + greatest(0, 150000 - 2 * (n_punct * 1000000 div greatest(n_chars, 1)))
-            + ((n_distinct * 1000000 div greatest(n_tokens, 1)) * 3 div 10)
+            least(__qc_tokens, 100) * 3000
+            + greatest(0, 250000 - abs((__qc_stop * 1000000 div greatest(__qc_tokens, 1)) - 100000))
+            + greatest(0, 150000 - 2 * (__qc_punct * 1000000 div greatest(__qc_chars, 1)))
+            + ((__qc_distinct * 1000000 div greatest(__qc_tokens, 1)) * 3 div 10)
             """
         ).alias("score_ppm"),
     )

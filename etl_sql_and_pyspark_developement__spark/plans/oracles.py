@@ -3090,3 +3090,57 @@ SELECT doc_id,
 FROM routed
 ORDER BY doc_id
 """
+
+# p13 composes the (already individually-verified) t08 scorer, t12
+# rule battery, and d01 fingerprint into one grouped audit; the oracle
+# recomputes all three inline with the same integer arithmetic.
+ORACLES["p13_dataset_card"] = """
+WITH t AS (
+    SELECT doc_id, source, lang, n_chars, text,
+        string_split(text, ' ') AS toks,
+        length(text) AS lc,
+        md5(lower(trim(text))) AS fp
+    FROM documents
+),
+f AS (
+    SELECT *,
+        len(toks) AS n_tokens,
+        lc - (len(toks) - 1) AS total_wchars,
+        len(list_distinct(toks)) AS n_uniq,
+        len(list_filter(toks, x -> x IN ('a', 'the'))) AS n_stop,
+        (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+            AS n_stop_distinct,
+        lc - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+    FROM t
+),
+rules AS (
+    SELECT *,
+        (n_tokens >= 30 AND n_tokens <= 100000)
+        AND (total_wchars >= 4 * n_tokens AND total_wchars <= 10 * n_tokens)
+        AND (n_stop_distinct >= 2)
+        AND (n_uniq * 2 >= n_tokens * 1)
+        AND (NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum'))
+            AS keep
+    FROM f
+),
+scored AS (
+    SELECT *,
+        least(n_tokens, 100) * 3000
+        + greatest(0, 250000 - abs((n_stop * 1000000 // greatest(n_tokens, 1)) - 100000))
+        + greatest(0, 150000 - 2 * (n_punct * 1000000 // greatest(lc, 1)))
+        + ((n_uniq * 1000000 // greatest(n_tokens, 1)) * 3 // 10) AS score_ppm
+    FROM rules
+)
+SELECT source, lang,
+    count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+    CAST(sum(score_ppm) AS BIGINT) // count(*) AS mean_quality_ppm,
+    CAST(1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END) // count(*)
+         AS BIGINT) AS rule_pass_ppm,
+    1000000 * (count(*) - count(DISTINCT fp)) // count(*) AS exact_dup_ppm
+FROM scored
+GROUP BY source, lang
+ORDER BY source, lang
+"""

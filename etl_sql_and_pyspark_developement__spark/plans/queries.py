@@ -3122,3 +3122,50 @@ def m06_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return modality_router(with_mixed_payload(docs)).orderBy("doc_id")
+
+
+@query("p13_dataset_card")
+def p13_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card audit: the per-(source, lang) release artifact a
+    curated corpus ships — sizes (docs / whitespace tokens / chars),
+    mean quality-classifier score, heuristic-rule pass rate, and
+    exact-duplicate rate, computed in ONE scan + one groupBy (every
+    measure is a decomposable conditional aggregate; the dup rate is
+    countDistinct over the d01 fingerprint). Integer ppm arithmetic
+    end to end — bit-exact oracle."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+        exact_fingerprint,
+        heuristic_rules,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    rules = heuristic_rules(docs).select(
+        "doc_id", "text", "source", "lang", "n_chars",
+        F.col("n_tokens").cast("long").alias("__toks"),
+        F.col("keep").alias("__rule_keep"),
+        exact_fingerprint("text").alias("__fp"),
+    )
+    scored = classifier_score(
+        rules,
+        carry_cols=(
+            "source", "lang", "n_chars", "__toks", "__rule_keep", "__fp",
+        ),
+    )
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("sum(score_ppm) div count(*)").alias("mean_quality_ppm"),
+            F.expr(
+                "1000000 * sum(case when __rule_keep then 1 else 0 end)"
+                " div count(*)"
+            ).alias("rule_pass_ppm"),
+            F.expr(
+                "1000000 * (count(*) - count(distinct __fp)) div count(*)"
+            ).alias("exact_dup_ppm"),
+        )
+        .orderBy("source", "lang")
+    )

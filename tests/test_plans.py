@@ -372,3 +372,14 @@ def test_s06_pq_codes_mapside_and_broadcast_queries(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p13_dataset_card_single_scan(spark, sf_dir):
+    """The dataset card composes rules + classifier + fingerprint by
+    CARRYING columns through one pass (classifier_score carry_cols) —
+    never re-joining the scan; one groupBy (countDistinct adds its
+    two-phase expand) and no Python."""
+    plan = plan_of(spark, "p13_dataset_card", sf_dir)
+    assert plan.count("Scan parquet") == 2, "card must be one scan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
