@@ -389,3 +389,101 @@ def stream_modality_router(doc_stream: DataFrame) -> DataFrame:
     )
 
     return modality_router(with_mixed_payload(doc_stream))
+
+
+def _card_partials(batch_df: DataFrame) -> DataFrame:
+    """Per-batch dataset-card PARTIAL state per (source, lang): the
+    decomposable pieces of p13's card (counts/sums merge by summing)
+    plus an HLL sketch of the exact-dup fingerprint set — the q51
+    trick that makes even COUNT DISTINCT decomposable across batches.
+    Same single carried-column pass as the batch card."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+        exact_fingerprint,
+        heuristic_rules,
+    )
+
+    rules = heuristic_rules(batch_df).select(
+        "doc_id", "text", "source", "lang", "n_chars",
+        F.col("n_tokens").cast("long").alias("__toks"),
+        F.col("keep").alias("__rule_keep"),
+        exact_fingerprint("text").alias("__fp"),
+    )
+    scored = classifier_score(
+        rules,
+        carry_cols=(
+            "source", "lang", "n_chars", "__toks", "__rule_keep", "__fp",
+        ),
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("score_ppm").alias("sum_score"),
+        F.sum(F.when(F.col("__rule_keep"), 1).otherwise(0)).alias(
+            "n_rule_pass"
+        ),
+        F.hll_sketch_agg("__fp", F.lit(12)).alias("fp_sketch"),
+    )
+
+
+def _merge_card_state(parts: DataFrame) -> DataFrame:
+    return parts.groupBy("source", "lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("sum_score").alias("sum_score"),
+        F.sum("n_rule_pass").alias("n_rule_pass"),
+        F.hll_union_agg("fp_sketch").alias("fp_sketch"),
+    )
+
+
+def sink_stream_dataset_card(doc_stream: DataFrame, state_dir: str):
+    """st15: INCREMENTAL dataset-card maintenance — the q45 partial-
+    merge pattern + q51's mergeable HLL sketches applied to p13's
+    release audit. Each micro-batch contributes per-(source, lang)
+    partials (one pass over the batch); the stored card state is
+    merged with them and rewritten — history is NEVER rescanned, and
+    the distinct-fingerprint axis stays decomposable because it lives
+    in a union-mergeable sketch rather than an exact set.
+
+    The card state is |sources × langs| rows — a bounded aggregate
+    artifact, so collecting it to the driver between batches is the
+    same legitimate constant-size collect as IVF's centroids (NOT a
+    data collect), and it sidesteps read-overwrite conflicts on the
+    state path.
+    """
+    import os
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        parts = _card_partials(batch_df)
+        if os.path.isdir(state_dir):
+            prev = spark.read.parquet(state_dir)
+            rows = _merge_card_state(parts.unionByName(prev)).collect()
+        else:
+            rows = parts.collect()
+        merged = spark.createDataFrame(rows, parts.schema)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return doc_stream.writeStream.foreachBatch(process)
+
+
+def read_dataset_card(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained card, with the derived (non-decomposable)
+    columns computed at read time from the stored partials — mean
+    quality from sum/count, rule pass rate in ppm, and the approximate
+    distinct-document count from the merged sketch."""
+    s = spark.read.parquet(state_dir)
+    return s.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.expr("sum_score div n_docs").alias("mean_quality_ppm"),
+        F.expr("1000000 * n_rule_pass div n_docs").alias("rule_pass_ppm"),
+        F.round(F.hll_sketch_estimate("fp_sketch")).cast("bigint").alias(
+            "approx_unique_docs"
+        ),
+    ).orderBy("source", "lang")

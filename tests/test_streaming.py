@@ -573,3 +573,58 @@ def test_st14_stream_modality_router_matches_batch(
     assert {r[1] for r in got} == {
         "image/png", "image/jpeg", "audio/wav", "unknown"
     }
+
+
+def test_st15_incremental_dataset_card_matches_batch(spark, sf_dir, tmp_path):
+    """st15: the maintained card's decomposable fields must be
+    BIT-IDENTICAL to the one-shot p13 card over the same docs even
+    when the stream delivers them in multiple micro-batches, and the
+    sketch-based distinct estimate must sit within HLL bounds of the
+    exact distinct-fingerprint count."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_dataset_card,
+        sink_stream_dataset_card,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # force MULTIPLE micro-batches: split docs into 3 files, one per trigger
+    in_dir = str(tmp_path / "docs_in")
+    docs.withColumn("__b", F.col("doc_id") % 3).repartition("__b").drop(
+        "__b"
+    ).write.parquet(in_dir)
+    state = str(tmp_path / "card_state")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = sink_stream_dataset_card(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.source, r.lang): r for r in read_dataset_card(spark, state).collect()
+    }
+    want = {
+        (r.source, r.lang): r
+        for r in QUERIES["p13_dataset_card"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and got
+    for k, w in want.items():
+        g = got[k]
+        # decomposable fields merge bit-identically
+        assert (g.n_docs, g.total_tokens, g.total_chars) == (
+            w.n_docs, w.total_tokens, w.total_chars
+        )
+        assert (g.mean_quality_ppm, g.rule_pass_ppm) == (
+            w.mean_quality_ppm, w.rule_pass_ppm
+        )
+        # sketch estimate within 5% of the exact distinct count
+        # (p13 reports dup ppm; reconstruct exact distinct from it)
+        exact_distinct = w.n_docs - (w.exact_dup_ppm * w.n_docs) // 1000000
+        assert abs(g.approx_unique_docs - exact_distinct) <= max(
+            1, exact_distinct * 0.05
+        ), (k, g.approx_unique_docs, exact_distinct)
