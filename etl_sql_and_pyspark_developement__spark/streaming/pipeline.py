@@ -452,6 +452,13 @@ def sink_stream_dataset_card(doc_stream: DataFrame, state_dir: str):
     same legitimate constant-size collect as IVF's centroids (NOT a
     data collect), and it sidesteps read-overwrite conflicts on the
     state path.
+
+    Durability caveat: the overwrite is not atomic with the batch
+    commit — a crash between them replays the batch into state that
+    may already include it. A production deployment writes
+    epoch-versioned state keyed by `epoch_id` (idempotent re-merge)
+    alongside the stream checkpoint; the merge math here is unchanged
+    by that hardening.
     """
     import os
 
