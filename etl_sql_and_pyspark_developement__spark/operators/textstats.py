@@ -595,3 +595,53 @@ def heuristic_rules(
     for c in flags[1:]:
         keep = keep & F.col(c)
     return out.withColumn("n_failed", n_failed).withColumn("keep", keep)
+
+
+def bpe_merge_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """One iteration of BPE tokenizer training's merge counting
+    (Sennrich et al. 2016): build the word-frequency dictionary, then
+    count adjacent character pairs WEIGHTED by word frequency — the
+    top pair is the next merge a BPE trainer would apply. Training a
+    tokenizer over a 100 TB corpus is itself a distributed counting
+    job, and this is its inner loop.
+
+    Emits the top_k merge candidates as (rnk, pair, pair_count),
+    ties broken lexicographically — fully integer arithmetic, so the
+    DuckDB oracle matches bit-for-bit.
+
+    Scale: two shuffles, both on high-cardinality skew-free keys —
+    (word) for the dictionary (the standard BPE preprocessing: pair
+    counting runs over DISTINCT words × freq, not over every token
+    occurrence — a corpus of 10¹² tokens has only ~10⁷ distinct
+    words), then (pair) for the weighted rollup. The top-k is a
+    global ORDER BY LIMIT over |pairs| rows (alphabet², bounded).
+    Subsequent BPE iterations re-segment with the chosen merge and
+    recount — a deterministic driver loop over this same plan, the
+    s03-kmeans shape; one iteration is the capability surface here.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("freq").alias("pair_count")
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.col("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("rnk", "pair", "pair_count")
+    )

@@ -3144,3 +3144,28 @@ FROM scored
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+ORACLES["t13_bpe_merge_counts"] = """
+WITH words AS (
+    SELECT word, count(*) AS freq
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    WHERE length(word) >= 2
+    GROUP BY word
+),
+pairs AS (
+    SELECT substr(word, i, 2) AS pair, freq
+    FROM words, unnest(range(1, length(word))) AS t(i)
+),
+counted AS (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+        AS rnk,
+    pair, pair_count
+FROM counted
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""

@@ -3169,3 +3169,18 @@ def p13_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query("t13_bpe_merge_counts")
+def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training merge counting (Sennrich et al. 2016):
+    word-frequency dictionary → adjacent character pairs weighted by
+    word freq → top-20 merge candidates. The inner loop of training a
+    tokenizer over the corpus, as a two-shuffle counting job; integer
+    arithmetic end to end, bit-exact oracle."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_merge_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_merge_counts(docs, top_k=20).orderBy("rnk")

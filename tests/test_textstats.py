@@ -275,3 +275,24 @@ def test_heuristic_rules_flags_and_conjunction(spark):
         flags = [r.r_nwords, r.r_wordlen, r.r_stop2, r.r_unique, r.r_clean]
         assert r.n_failed == sum(not f for f in flags)
         assert r.keep == all(flags)
+
+
+def test_bpe_merge_counts_hand_computed(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_merge_counts,
+    )
+
+    # dictionary: low=2, lower=1, newest=1, widest=1  (word freq)
+    df = spark.createDataFrame(
+        [(0, "low low lower newest widest")], "doc_id long, text string"
+    )
+    out = {r.pair: (r.rnk, r.pair_count) for r in bpe_merge_counts(df).collect()}
+    # 'lo' appears in low(2) + lower(1) = 3; 'ow' likewise 3;
+    # 'es' and 'st' in newest + widest = 2 each; 'we' in lower+newest = 2
+    assert out["lo"][1] == 3 and out["ow"][1] == 3
+    assert out["es"][1] == 2 and out["st"][1] == 2 and out["we"][1] == 2
+    # top pair is the lexicographically first of the count-3 ties
+    assert out["lo"][0] == 1 and out["ow"][0] == 2
+    # single-char words contribute nothing; ranks are dense from 1
+    ranks = sorted(r for r, _ in out.values())
+    assert ranks == list(range(1, len(ranks) + 1))
