@@ -44,7 +44,7 @@ _NEEDS_DRIVER_ROW = [
     "m05_image_phash", "p10_curriculum", "s05_knn_graph",
     "p11_temperature_mix", "q50_ranked_concat", "q51_sketch_merge",
     "d13_boilerplate_scrub", "p12_density_prune", "t12_heuristic_rules",
-    "s06_pq_ann", "m06_modality_router", "p13_dataset_card", "t13_bpe_merge_counts",
+    "s06_pq_ann", "m06_modality_router", "p13_dataset_card", "t13_bpe_merge_counts", "q52_rolling_distinct",
     # modified this round (need fresh green rows)
     "q12_ltv_deciles", "q14_percentile_benchmark", "q16_roi_deciles",
     "q17_daily_growth", "d11_semantic_dedup", "m04_window_features",

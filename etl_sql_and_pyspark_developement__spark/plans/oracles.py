@@ -3169,3 +3169,22 @@ FROM counted
 ORDER BY pair_count DESC, pair
 LIMIT 20
 """
+
+ORACLES["q52_rolling_distinct"] = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+bounds AS (
+    SELECT max(CAST(ts AS DATE)) AS max_day FROM events
+),
+contrib AS (
+    SELECT user_id, day + CAST(i.i AS INTEGER) AS wday
+    FROM daily, range(0, 7) AS i(i)
+)
+SELECT strftime(c.wday, '%Y-%m-%d') AS day,
+    count(DISTINCT c.user_id) AS active_users_7d
+FROM contrib c, bounds b
+WHERE c.wday <= b.max_day
+GROUP BY c.wday
+ORDER BY day
+"""

@@ -3184,3 +3184,44 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
+
+
+@query("q52_rolling_distinct")
+def q52_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the rolling
+    distinct count SQL engines express as COUNT(DISTINCT) OVER RANGE
+    but Spark's window functions cannot (DistinctAggregate is
+    unsupported over windows). Scale-sane re-expression: dedupe to
+    (user, active_day) once, EXPLODE each active day into the ≤7
+    window days it contributes to (narrow ×7), then one
+    countDistinct per window day — two shuffles total, never a
+    per-day self-join or a window over raw facts. Window days are
+    clipped to the observed [min, max] day span.
+
+    Reference parity: R16's viral-velocity windows count rolling
+    reach; R3's churn windows count recently-active users — both are
+    this shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    bounds = ev.agg(
+        F.max(F.to_date("ts")).alias("__max_day"),
+    )
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    )
+    out = (
+        contrib.groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .join(F.broadcast(bounds), F.col("wday") <= F.col("__max_day"))
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "active_users_7d",
+        )
+    )
+    return out.orderBy("day")

@@ -256,3 +256,36 @@ def test_merge_partials_equals_full_recompute(spark):
 
     with _pytest.raises(ValueError):
         partial_aggs(df, ["k"], {"bad": ("avg", "v")})
+
+
+def test_q52_rolling_distinct_semantics(spark, sf_dir):
+    """A user active on day d contributes to the trailing window of
+    days d..d+6 (clipped at the corpus max day), counted once even if
+    active several times."""
+    import datetime as dt
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    out = {
+        r.day: r.active_users_7d
+        for r in QUERIES["q52_rolling_distinct"](spark, sf_dir).collect()
+    }
+    # independently recompute from the raw events
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.selectExpr("to_date(ts) AS d", "user_id").collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    days = sorted(by_day)
+    for i, d in enumerate(days):
+        want = set()
+        for off in range(7):
+            prev = d - dt.timedelta(days=off)
+            want |= by_day.get(prev, set())
+        key = d.strftime("%Y-%m-%d")
+        if key in out:
+            assert out[key] == len(want), (key, out[key], len(want))
+    assert out
