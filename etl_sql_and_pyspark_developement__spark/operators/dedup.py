@@ -1102,3 +1102,100 @@ def neardup_screen(
         .distinct()
     )
     return batch.join(dup_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (d14) — the crawl-pipeline dedup stage BEFORE any
+# content hashing: normalize scheme/host/port/path/params/fragment, then
+# one groupBy on the canonical form. All codegen string expressions, one
+# shuffle total. The planted-URL generator and the normalizer are built
+# from the same dialect-parameterized template so the DuckDB oracle runs
+# structurally identical SQL (bit-exact parity).
+# ---------------------------------------------------------------------------
+
+_URL_DIALECTS = {
+    "spark": {
+        "idiv": "DIV",
+        "str": "STRING",
+        "split": "split({s}, '&')",
+        "filter": "filter({l}, x -> NOT startswith(x, 'utm_'))",
+        "sort": "array_sort({l})",
+        "join": "concat_ws('&', {l})",
+    },
+    "duckdb": {
+        "idiv": "//",
+        "str": "VARCHAR",
+        "split": "string_split({s}, '&')",
+        "filter": "list_filter({l}, x -> NOT starts_with(x, 'utm_'))",
+        "sort": "list_sort({l})",
+        "join": "array_to_string({l}, '&')",
+    },
+}
+
+
+def url_planted_sql(dialect: str = "spark") -> str:
+    """Deterministic synthetic URL per doc (the documents table carries
+    no URL column; like t09's planted PII, both engines derive the SAME
+    messy URLs so the normalizer is value-verified): mixed-case scheme/
+    host, www. prefixes, :80 ports, trailing slashes, utm_* tracking
+    params, unsorted param order, fragments. doc_id DIV 7 makes runs of
+    ids share a canonical target so dedup groups actually form."""
+    d = _URL_DIALECTS[dialect]
+    return (
+        "(CASE WHEN doc_id % 3 = 0 "
+        "THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM' "
+        "ELSE 'https://' || source || '.example.com' END "
+        "|| CASE WHEN doc_id % 6 = 1 THEN ':80' ELSE '' END "
+        f"|| '/articles/' || CAST(doc_id {d['idiv']} 7 AS {d['str']}) "
+        "|| CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END "
+        "|| CASE doc_id % 4 "
+        "WHEN 0 THEN '?ref=' || lang || '&zz=2&utm_source=feed' "
+        "WHEN 1 THEN '?utm_campaign=x&zz=2&ref=' || lang "
+        "WHEN 2 THEN '?ref=' || lang "
+        "ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)"
+    )
+
+
+def url_canonical_sql(url: str, dialect: str = "spark") -> str:
+    """Canonicalize ``url`` (a SQL string expression): force https,
+    lowercase host, strip www./:80, strip trailing slash and fragment,
+    drop utm_* params, sort surviving params. Pure string codegen —
+    no UDF, no shuffle."""
+    d = _URL_DIALECTS[dialect]
+    stripped = f"regexp_replace({url}, '#.*$', '')"
+    host = (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({stripped}, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)), "
+        f"'^www[.]', ''), ':80$', '')"
+    )
+    path = (
+        f"regexp_replace("
+        f"regexp_extract({stripped}, '^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)', 1), "
+        f"'/$', '')"
+    )
+    raw_q = f"regexp_extract({stripped}, '[?]([^#]*)', 1)"
+    kept = d["filter"].format(l=d["split"].format(s=raw_q))
+    canon_q = d["join"].format(l=d["sort"].format(l=kept))
+    return (
+        f"'https://' || {host} || {path} || "
+        f"CASE WHEN {canon_q} = '' THEN '' ELSE '?' || {canon_q} END"
+    )
+
+
+def url_dedup(df: DataFrame) -> DataFrame:
+    """d14: canonical-URL dedup over planted URLs — one codegen scan to
+    canonicalize, ONE shuffle (groupBy canonical), keeper = min doc_id.
+    At 100 TB this is the cheap first dedup tier: no content reads, no
+    pairwise machinery, naturally partial-aggregated."""
+    planted = url_planted_sql("spark")
+    canon = url_canonical_sql("url", "spark")
+    return (
+        df.selectExpr("doc_id", f"{planted} AS url")
+        .selectExpr("doc_id", "url", f"{canon} AS canonical_url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

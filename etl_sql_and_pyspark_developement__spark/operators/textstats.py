@@ -645,3 +645,48 @@ def bpe_merge_counts(
         .filter(F.col("rnk") <= top_k)
         .select("rnk", "pair", "pair_count")
     )
+
+
+CHAR_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc character-diversity audit over a fixed 37-char alphabet
+    (lowercased letters, digits, space): counted chars, distinct chars
+    seen, and the Renyi-2 collision index in integer ppm
+    (1e6 * sum(cnt_c^2) / n^2 — the probability two sampled chars
+    collide; log-free, so bit-exact across engines, unlike Shannon
+    entropy). High collision = repeated-character spam; low diversity
+    is the cheap pre-filter before t06's token-level repetition pass.
+
+    Scale: ZERO shuffles — per-char counts come from the
+    length(replace(...)) trick, so the whole audit is one codegen
+    scan projecting 37 integer subexpressions; no explode, no
+    char-histogram groupBy. At 100 TB this runs at parquet-scan
+    speed. The expression is built as one selectExpr so driver-side
+    py4j cost stays flat.
+    """
+    n = len(CHAR_ALPHABET)
+    cnt_exprs = [
+        f"(length(__t) - length(replace(__t, '{c}', ''))) AS __c{i}"
+        for i, c in enumerate(CHAR_ALPHABET)
+    ]
+    base = df.selectExpr(
+        id_col, f"lower({text_col}) AS __t"
+    ).selectExpr(id_col, *cnt_exprs)
+    counted = " + ".join(f"__c{i}" for i in range(n))
+    sumsq = " + ".join(f"__c{i} * __c{i}" for i in range(n))
+    uniq = " + ".join(
+        f"(CASE WHEN __c{i} > 0 THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return base.selectExpr(
+        id_col,
+        f"CAST({counted} AS BIGINT) AS counted_chars",
+        f"CAST({uniq} AS INT) AS uniq_chars",
+        f"CAST(CASE WHEN ({counted}) > 0 THEN "
+        f"(1000000 * CAST({sumsq} AS BIGINT)) "
+        f"DIV (CAST({counted} AS BIGINT) * CAST({counted} AS BIGINT)) "
+        f"ELSE NULL END AS BIGINT) AS collision_ppm",
+    )

@@ -3188,3 +3188,111 @@ WHERE c.wday <= b.max_day
 GROUP BY c.wday
 ORDER BY day
 """
+
+ORACLES["q53_path_pattern"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR (epoch_us(ts) / 1000000.0
+                         - epoch_us(prev_ts) / 1000000.0) > 1800
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_seq,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        strftime(min(ts), '%Y-%m-%d') AS start_day
+    FROM sess GROUP BY user_id, session_seq
+),
+conv AS (
+    SELECT start_day,
+        CASE WHEN regexp_matches(path, 'view.*click.*purchase')
+             THEN 1 ELSE 0 END AS converted
+    FROM paths
+)
+SELECT start_day,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS ordered_conversions,
+       1000000 * CAST(sum(converted) AS BIGINT) // count(*) AS conversion_ppm
+FROM conv GROUP BY start_day ORDER BY start_day
+"""
+
+
+def _t14_oracle() -> str:
+    # Mirrors operators/textstats.char_stats expression-for-expression
+    # (same alphabet constant) so the integer arithmetic is bit-exact.
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        CHAR_ALPHABET,
+    )
+
+    n = len(CHAR_ALPHABET)
+    cnts = ",\n        ".join(
+        f"(length(__t) - length(replace(__t, '{c}', ''))) AS __c{i}"
+        for i, c in enumerate(CHAR_ALPHABET)
+    )
+    counted = " + ".join(f"__c{i}" for i in range(n))
+    sumsq = " + ".join(f"__c{i} * __c{i}" for i in range(n))
+    uniq = " + ".join(
+        f"(CASE WHEN __c{i} > 0 THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH lowered AS (
+    SELECT doc_id, lower(text) AS __t FROM documents
+),
+counts AS (
+    SELECT doc_id,
+        {cnts}
+    FROM lowered
+)
+SELECT doc_id,
+    CAST({counted} AS BIGINT) AS counted_chars,
+    CAST({uniq} AS INTEGER) AS uniq_chars,
+    CAST(CASE WHEN ({counted}) > 0 THEN
+        (1000000 * CAST({sumsq} AS BIGINT))
+        // (CAST({counted} AS BIGINT) * CAST({counted} AS BIGINT))
+        ELSE NULL END AS BIGINT) AS collision_ppm
+FROM counts
+ORDER BY doc_id
+"""
+
+
+ORACLES["t14_char_diversity"] = _t14_oracle()
+
+
+def _d14_oracle() -> str:
+    # Same planted-URL generator + canonicalizer templates as the Spark
+    # side (operators/dedup.url_planted_sql / url_canonical_sql), built
+    # for the duckdb dialect — structural mirroring by construction.
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_canonical_sql,
+        url_planted_sql,
+    )
+
+    planted = url_planted_sql("duckdb")
+    canon = url_canonical_sql("url", "duckdb")
+    return f"""
+WITH planted AS (
+    SELECT doc_id, {planted} AS url FROM documents
+),
+canon AS (
+    SELECT doc_id, {canon} AS canonical_url FROM planted
+)
+SELECT canonical_url,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+ORACLES["d14_url_dedup"] = _d14_oracle()

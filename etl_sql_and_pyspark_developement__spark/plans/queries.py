@@ -3186,6 +3186,90 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("d14_url_dedup")
+def d14_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the crawl-pipeline tier BEFORE content
+    dedup (normalize scheme/host/port/path/params/fragment, group on
+    the canonical form). URLs are deterministically planted (the
+    documents table has none), so the normalizer is value-verified;
+    see operators/dedup.url_dedup. One codegen scan + ONE shuffle."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return url_dedup(docs).orderBy("canonical_url")
+
+
+@query("t14_char_diversity")
+def t14_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity audit (Renyi-2 collision index, ppm) — the
+    zero-shuffle spam pre-filter; see operators/textstats.char_stats.
+    Log-free integer arithmetic makes the whole audit bit-exact
+    against the oracle."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        char_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return char_stats(docs).orderBy("doc_id")
+
+
+@query("q53_path_pattern")
+def q53_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered in-session event-SEQUENCE pattern detection — the
+    MATCH_RECOGNIZE capability (view ... click ... purchase IN THAT
+    ORDER within one session), which q19's funnel does not enforce
+    (q19 counts stage presence; a click-before-view session passes
+    q19 but not this). Re-expressed Spark-first: sessionize (one
+    shuffle on user_id), collapse each session to its ordered
+    event-type path via sort_array(struct(ts, event_id, type)) —
+    deterministic under ts ties — then a single regexp over the path
+    string. No per-pattern self-joins (the naive SQL form is a
+    3-way ordered self-join per session); pattern cost is O(path
+    length) per session regardless of pattern size.
+
+    Reference parity: R14's impression→click→conversion ordering
+    (SQL/Real-time Personalization Effectiveness.txt) and R2's
+    ordered binge detection; the path-string trick is the standard
+    distributed MATCH_RECOGNIZE fallback.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sessionize import (
+        sessionize,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak_col="event_id")
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), x -> x.event_type)"
+            ),
+        ).alias("path"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("start_day"),
+    )
+    flagged = paths.withColumn(
+        "converted",
+        F.col("path").rlike("view.*click.*purchase").cast("bigint"),
+    )
+    return (
+        flagged.groupBy("start_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("ordered_conversions"),
+        )
+        .withColumn(
+            "conversion_ppm",
+            F.expr("1000000 * ordered_conversions DIV n_sessions"),
+        )
+        .orderBy("start_day")
+    )
+
+
 @query("q52_rolling_distinct")
 def q52_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day DISTINCT active users per day — the rolling

@@ -515,3 +515,39 @@ def test_boilerplate_scrub_identity_and_monotonicity(spark):
     assert all(loose[i] >= tight[i] for i in loose)
     # at min_docs=6 exactly the shared banner goes
     assert all(v == 1 for v in tight.values())
+
+
+def test_url_canonicalization_cases(spark):
+    """The d14 canonicalizer collapses every planted mess-dimension:
+    case, www., :80, trailing slash, fragment, utm_* params, param
+    order — and does NOT collapse genuinely different URLs."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_canonical_sql,
+    )
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://a.example.com/x", "https://a.example.com/x"),
+        ("HTTP://WWW.A.EXAMPLE.COM/x", "https://a.example.com/x"),
+        ("https://a.example.com:80/x/", "https://a.example.com/x"),
+        ("https://a.example.com/x#frag", "https://a.example.com/x"),
+        ("https://a.example.com/x?utm_source=f", "https://a.example.com/x"),
+        (
+            "https://a.example.com/x?b=2&a=1&utm_campaign=c",
+            "https://a.example.com/x?a=1&b=2",
+        ),
+        # different path / param value must NOT collapse
+        ("https://a.example.com/y", "https://a.example.com/y"),
+        ("https://a.example.com/x?a=2", "https://a.example.com/x?a=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.canon
+        for r in df.selectExpr(
+            "i", url_canonical_sql("url", "spark") + " AS canon"
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
