@@ -383,3 +383,37 @@ def test_p13_dataset_card_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, "card must be one scan"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_d14_url_dedup_single_scan_one_shuffle(spark, sf_dir):
+    """URL canonicalization is pure codegen string work; the only wide
+    op is the groupBy on the canonical form (plus the final orderBy's
+    range exchange)."""
+    plan = plan_of(spark, "d14_url_dedup", sf_dir)
+    assert plan.count("Scan parquet") == 2, "must be one scan"
+    assert plan.count("hashpartitioning(canonical_url") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_t14_char_diversity_zero_shuffle_scan(spark, sf_dir):
+    """The char audit is one codegen scan (length/replace arithmetic):
+    no explode, no shuffle besides the final orderBy, no Python."""
+    plan = plan_of(spark, "t14_char_diversity", sf_dir)
+    assert plan.count("Scan parquet") == 2, "must be one scan"
+    assert "hashpartitioning(" not in plan
+    assert "Generate" not in plan, "no explode — counts via length(replace)"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q53_path_pattern_session_shuffle_reused(spark, sf_dir):
+    """Path building reuses the sessionize partitioning: the per-session
+    groupBy's (user_id, session_seq) clustering is satisfied by the
+    window's hashpartitioning(user_id), so the only hash exchanges are
+    that one + the final per-day rollup — and no self-joins (the naive
+    ordered-funnel SQL is a 3-way self-join)."""
+    plan = plan_of(spark, "q53_path_pattern", sf_dir)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("hashpartitioning(") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
