@@ -1138,20 +1138,23 @@ def url_planted_sql(dialect: str = "spark") -> str:
     no URL column; like t09's planted PII, both engines derive the SAME
     messy URLs so the normalizer is value-verified): mixed-case scheme/
     host, www. prefixes, :80 ports, trailing slashes, utm_* tracking
-    params, unsorted param order, fragments. doc_id DIV 7 makes runs of
-    ids share a canonical target so dedup groups actually form."""
+    params, unsorted param order, fragments. Host AND path derive from
+    doc_id DIV 7, so each run of 7 ids aims at one page through several
+    different messes — the normalizer must actually collapse them into
+    dedup groups (group sizes asserted in tests/test_dedup.py)."""
     d = _URL_DIALECTS[dialect]
+    host = f"'site' || CAST(doc_id {d['idiv']} 7 % 5 AS {d['str']})"
     return (
         "(CASE WHEN doc_id % 3 = 0 "
-        "THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM' "
-        "ELSE 'https://' || source || '.example.com' END "
+        f"THEN 'HTTP://WWW.' || upper({host}) || '.EXAMPLE.COM' "
+        f"ELSE 'https://' || {host} || '.example.com' END "
         "|| CASE WHEN doc_id % 6 = 1 THEN ':80' ELSE '' END "
         f"|| '/articles/' || CAST(doc_id {d['idiv']} 7 AS {d['str']}) "
         "|| CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END "
         "|| CASE doc_id % 4 "
-        "WHEN 0 THEN '?ref=' || lang || '&zz=2&utm_source=feed' "
-        "WHEN 1 THEN '?utm_campaign=x&zz=2&ref=' || lang "
-        "WHEN 2 THEN '?ref=' || lang "
+        "WHEN 0 THEN '?ref=en&zz=2&utm_source=feed' "
+        "WHEN 1 THEN '?utm_campaign=x&zz=2&ref=en' "
+        "WHEN 2 THEN '?ref=en' "
         "ELSE '' END "
         "|| CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)"
     )

@@ -3296,3 +3296,58 @@ ORDER BY canonical_url
 
 
 ORACLES["d14_url_dedup"] = _d14_oracle()
+
+
+ORACLES["q54_forward_fill"] = """
+WITH purch AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 20 = 0
+),
+daily AS (
+    SELECT user_id, day, round(max(value), 4) AS day_value
+    FROM purch GROUP BY user_id, day
+),
+spans AS (
+    SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, CAST(unnest(generate_series(mn, mx + 3, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans
+),
+grid AS (
+    SELECT s.user_id, s.day, d.day_value
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+filled AS (
+    SELECT user_id, day, day_value,
+        last_value(day_value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        first_value(day_value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+    FROM grid
+)
+SELECT user_id,
+    strftime(day, '%Y-%m-%d') AS day,
+    CASE WHEN day_value IS NOT NULL THEN day_value
+         WHEN prev_val IS NULL THEN next_val
+         WHEN next_val IS NULL THEN prev_val
+         ELSE round(prev_val + (next_val - prev_val)
+              * (date_diff('day', prev_day, day) * 1.0
+                 / date_diff('day', prev_day, next_day)), 4)
+         END AS filled_value,
+    CASE WHEN day_value IS NOT NULL THEN 'observed'
+         WHEN prev_val IS NULL THEN 'backfill'
+         WHEN next_val IS NULL THEN 'locf'
+         ELSE 'interp' END AS fill_kind
+FROM filled
+ORDER BY user_id, day
+"""

@@ -17,7 +17,7 @@ import functools
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sql_and_pyspark_developement__spark.sources.catalog import table
@@ -3184,6 +3184,82 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
+
+
+@query("q54_forward_fill")
+def q54_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse time-series repair: LOCF forward-fill AND linear
+    interpolation between observations — the imputation tier q28's
+    zero-fill spine lacks (a missing sensor day is not a zero). Per
+    user: sparse purchase-day series → per-user daily spine →
+    last(ignorenulls)/first(ignorenulls) windows carry the previous/
+    next observation and its day, then one CASE computes observed /
+    locf / backfill / interpolated values.
+
+    Reference parity: R15/R16's dense-calendar seasonality and
+    moving-average series assume gap-repaired input; LOCF via
+    last(ignorenulls) is the same construct operators/asof.py builds
+    the as-of join from.
+
+    Scale: the spine explodes only each user's own [min, max] day
+    span (bounded, data-derived); both fill windows partition by
+    user_id — one shuffle, no self-joins, no global windows. Values
+    use max() per day (order-independent) so doubles are engine-exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0)
+    )
+    daily = purch.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.max("value"), 4).alias("day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = spans.select(
+        "user_id",
+        # run 3 days past the last observation so the LOCF arm (no
+        # next neighbor) is genuinely exercised, not just declared
+        F.explode(
+            F.expr("sequence(mn, date_add(mx, 3), interval 1 day)")
+        ).alias("day"),
+    )
+    grid = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    filled = (
+        grid.withColumn("prev_val", F.last("day_value", ignorenulls=True).over(w_prev))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(w_prev))
+        .withColumn("next_val", F.first("day_value", ignorenulls=True).over(w_next))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(w_next))
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            "CASE WHEN day_value IS NOT NULL THEN day_value "
+            "WHEN prev_val IS NULL THEN next_val "
+            "WHEN next_val IS NULL THEN prev_val "
+            "ELSE round(prev_val + (next_val - prev_val) "
+            "* (datediff(day, prev_day) / datediff(next_day, prev_day)), 4) "
+            "END AS filled_value"
+        ),
+        F.expr(
+            "CASE WHEN day_value IS NOT NULL THEN 'observed' "
+            "WHEN prev_val IS NULL THEN 'backfill' "
+            "WHEN next_val IS NULL THEN 'locf' "
+            "ELSE 'interp' END AS fill_kind"
+        ),
+    ).orderBy("user_id", "day")
 
 
 @query("d14_url_dedup")

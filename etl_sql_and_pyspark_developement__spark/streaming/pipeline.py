@@ -494,3 +494,44 @@ def read_dataset_card(spark: SparkSession, state_dir: str) -> DataFrame:
             "approx_unique_docs"
         ),
     ).orderBy("source", "lang")
+
+
+def stream_url_dedup(doc_stream: DataFrame, corpus: DataFrame) -> DataFrame:
+    """st16: streaming canonical-URL admission — the crawl-frontier
+    twin of d14 and the URL-tier sibling of st08's fingerprint
+    anti-join. Each arriving doc's URL is canonicalized (stateless
+    pure-codegen string work) and the doc is dropped when the static
+    corpus already holds that canonical form. This gate runs BEFORE
+    any content fetch/decode — the cheapest refetch suppressor a
+    continuous crawl has, so it must stay stateless: no watermark, no
+    state store, per-batch cost ∝ batch size.
+
+    Same stream-static anti-join shape as st08 (broadcast LEFT OUTER
+    + IS NULL — Structured Streaming has no stream-static left_anti);
+    the corpus index is the DISTINCT canonical set, one row per known
+    page. At 100 TB of corpus the index outgrows broadcast: drop the
+    hint for a shuffled per-batch join or swap in a key-value lookup,
+    the declarative shape is unchanged.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_canonical_sql,
+        url_planted_sql,
+    )
+
+    planted = url_planted_sql("spark")
+    canon = url_canonical_sql("url", "spark")
+    known = (
+        corpus.selectExpr(f"{planted} AS url")
+        .selectExpr(f"{canon} AS canonical_url")
+        .distinct()
+        .withColumn("__known", F.lit(1))
+    )
+    arriving = doc_stream.selectExpr(
+        "*", f"{planted} AS url"
+    ).selectExpr("*", f"{canon} AS canonical_url")
+    return (
+        arriving.join(F.broadcast(known), "canonical_url", "left")
+        .filter(F.col("__known").isNull())
+        .drop("__known")
+        .select("doc_id", "url", "canonical_url", "lang", "source")
+    )

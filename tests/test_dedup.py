@@ -551,3 +551,20 @@ def test_url_canonicalization_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_groups_form(spark):
+    """The planted mess actually collapses: within one DIV-7 id run the
+    param-presence classes {%4 in 0,1}, {%4 = 2}, {%4 = 3} land on
+    exactly three canonical URLs (sizes 4/2/1), keeper is the min id,
+    and group sizes partition the input."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_dedup,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    out = {r.canonical_url: r for r in url_dedup(df).collect()}
+    assert len(out) == 3
+    by_size = sorted((r.n_dups, r.keeper_doc_id) for r in out.values())
+    assert by_size == [(1, 3), (2, 2), (4, 0)]
+    assert sum(r.n_dups for r in out.values()) == 7

@@ -417,3 +417,15 @@ def test_q53_path_pattern_session_shuffle_reused(spark, sf_dir):
     assert plan.count("hashpartitioning(") <= 2
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q54_forward_fill_windows_reuse_partitioning(spark, sf_dir):
+    """Both fill windows (prev/next) run on the spine's existing
+    hashpartitioning(user_id) — the only hash exchanges are the two
+    aggregations (spans, daily observations); the observation join
+    broadcasts; no Python, no cartesian."""
+    plan = plan_of(spark, "q54_forward_fill", sf_dir)
+    assert plan.count("hashpartitioning(user_id") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

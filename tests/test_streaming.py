@@ -628,3 +628,35 @@ def test_st15_incremental_dataset_card_matches_batch(spark, sf_dir, tmp_path):
         assert abs(g.approx_unique_docs - exact_distinct) <= max(
             1, exact_distinct * 0.05
         ), (k, g.approx_unique_docs, exact_distinct)
+
+
+def test_st16_stream_url_dedup_matches_batch(spark, sf_dir, documents_dir):
+    """The streaming URL gate must admit exactly the docs whose
+    canonical URL is absent from the static corpus — the batch
+    anti-join row set — and both admitted and suppressed docs exist."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_canonical_sql,
+        url_planted_sql,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        run_to_memory,
+        stream_url_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    stream = spark.readStream.schema(docs.schema).parquet(documents_dir)
+
+    run_to_memory(stream_url_dedup(stream, corpus), "st16_out", "append")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM st16_out").collect()}
+
+    planted = url_planted_sql("spark")
+    canon = url_canonical_sql("url", "spark")
+    canon_of = lambda df: df.selectExpr("doc_id", f"{planted} AS url").selectExpr(
+        "doc_id", f"{canon} AS c"
+    )
+    known = {r.c for r in canon_of(corpus).collect()}
+    want = {r.doc_id for r in canon_of(docs).collect() if r.c not in known}
+    assert got == want, "stream gate must match the batch anti-join row set"
+    assert want and len(want) < docs.count(), "both admitted and suppressed exist"
