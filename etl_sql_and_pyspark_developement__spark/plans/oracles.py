@@ -3351,3 +3351,66 @@ SELECT user_id,
 FROM filled
 ORDER BY user_id, day
 """
+
+
+def _d15_oracle() -> str:
+    # d06's mirrored LSH pairs + recursive components, then the t08
+    # score expression inline, then the same (score desc, doc) keeper
+    # rank — every stage bit-exact.
+    return f"""
+WITH RECURSIVE {_minhash_pairs_sql(0.5)},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM verified
+),
+walk(n, lab) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.n WHERE w.lab < u.b
+),
+comp AS (
+    SELECT n AS doc, min(lab) AS component FROM walk GROUP BY n
+),
+feats AS (
+    SELECT doc_id, n_chars,
+        length(text) AS f_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('a', 'the'))) AS n_stop
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, n_chars,
+        least(n_tokens, 100) * 3000
+        + greatest(0, 250000 - abs((n_stop * 1000000 // greatest(n_tokens, 1)) - 100000))
+        + greatest(0, 150000 - 2 * (n_punct * 1000000 // greatest(f_chars, 1)))
+        + ((n_distinct * 1000000 // greatest(n_tokens, 1)) * 3 // 10) AS score_ppm
+    FROM feats
+),
+cf AS (
+    SELECT c.component, c.doc, s.score_ppm, s.n_chars
+    FROM comp c JOIN scored s ON s.doc_id = c.doc
+),
+ranked AS (
+    SELECT *,
+        row_number() OVER (PARTITION BY component
+                           ORDER BY score_ppm DESC, doc) AS rn,
+        count(*) OVER (PARTITION BY component) AS n_docs,
+        sum(n_chars) OVER (PARTITION BY component) AS chars_total
+    FROM cf
+)
+SELECT component,
+    CAST(n_docs AS BIGINT) AS n_docs,
+    doc AS keeper_doc,
+    CAST(score_ppm AS BIGINT) AS keeper_score_ppm,
+    CAST(chars_total AS BIGINT) AS chars_total,
+    CAST(chars_total - n_chars AS BIGINT) AS chars_dropped
+FROM ranked WHERE rn = 1
+ORDER BY component
+"""
+
+
+ORACLES["d15_quality_keeper"] = _d15_oracle()

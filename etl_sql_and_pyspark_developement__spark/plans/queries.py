@@ -3186,6 +3186,58 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("d15_quality_keeper")
+def d15_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (d06's
+    LSH pairs → connected components) keep their HIGHEST-t08-score
+    member, not the lowest id — a real pipeline keeps the best copy
+    of a duplicated page, and 'which copy' changes the training set.
+    Emits per cluster the keeper, its score, member count, and chars
+    dropped.
+
+    Scale: rides d06's bucketed machinery; the selection itself is
+    ONE shuffle on component (row_number + count/sum windows share
+    the same partitioning), never a per-cluster collect. Deterministic
+    tiebreak (score desc, doc asc) keeps the oracle bit-exact.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        classifier_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    comps = dedup_components(pairs)
+    scored = classifier_score(
+        docs.select("doc_id", "text", "n_chars"), carry_cols=("n_chars",)
+    )
+    cf = comps.join(scored, F.col("doc") == F.col("doc_id")).select(
+        "component", "doc", "score_ppm", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score_ppm"), F.asc("doc")
+    )
+    wa = Window.partitionBy("component")
+    return (
+        cf.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wa))
+        .withColumn("chars_total", F.sum("n_chars").over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_docs",
+            F.col("doc").alias("keeper_doc"),
+            F.col("score_ppm").alias("keeper_score_ppm"),
+            "chars_total",
+            (F.col("chars_total") - F.col("n_chars")).alias("chars_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
 @query("q54_forward_fill")
 def q54_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse time-series repair: LOCF forward-fill AND linear

@@ -535,3 +535,44 @@ def stream_url_dedup(doc_stream: DataFrame, corpus: DataFrame) -> DataFrame:
         .drop("__known")
         .select("doc_id", "url", "canonical_url", "lang", "source")
     )
+
+
+def stream_path_alert(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """st17: streaming ordered-conversion detection — q53's
+    MATCH_RECOGNIZE fallback running live. session_window groups each
+    user's events into gap-bounded sessions; the ordered event-type
+    path is reassembled INSIDE the session aggregate
+    (sort_array(collect_list(struct(ts, event_id, type)))) and one
+    regexp flags ordered view→click→purchase, so the alert fires as
+    soon as the watermark closes the session.
+
+    State is one in-flight session per (user, window), evicted at the
+    watermark — bounded by concurrently-active users, never history.
+    The collect_list is bounded by a single session's own events (the
+    gap closes runaway sessions), the same bound q53's batch groupBy
+    relies on. Emission is append-mode (one final row per closed
+    session), which is what an alerting sink wants.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(ts, event_id, event_type))), x -> x.event_type)"
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "path",
+            F.col("path").rlike("view.*click.*purchase").alias("converted"),
+        )
+    )

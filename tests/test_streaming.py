@@ -660,3 +660,76 @@ def test_st16_stream_url_dedup_matches_batch(spark, sf_dir, documents_dir):
     want = {r.doc_id for r in canon_of(docs).collect() if r.c not in known}
     assert got == want, "stream gate must match the batch anti-join row set"
     assert want and len(want) < docs.count(), "both admitted and suppressed exist"
+
+
+def test_st17_stream_path_alert_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ordered-path detection must produce the same
+    (user, session, path, converted) rows as the equivalent batch
+    session_window aggregation — including a planted mid-stream
+    view→click→purchase session that must alert converted=True."""
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        stream_path_alert,
+    )
+
+    d = tmp_path / "ev17"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    base = table(spark, sf_dir, "events")
+    mid = base.agg(F.min("ts").alias("m")).collect()[0].m
+    planted = spark.createDataFrame(
+        [
+            (990001, mid, 999999, "view", 1.0, "{}"),
+            (990002, mid, 999999, "click", 1.0, "{}"),
+            (990003, mid, 999999, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    planted.coalesce(1).write.mode("append").parquet(str(d))
+
+    # session tz is UTC, so the ntz->ltz cast is wall-time identity —
+    # the batch frame then matches read_event_stream's normalized type
+    ev = spark.read.parquet(str(d)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream = read_event_stream(spark, str(d))
+    run_to_memory(stream_path_alert(stream), "st17_out", "append")
+    got = {
+        (r.session_start, r.user_id, r.path, r.converted)
+        for r in spark.sql("SELECT * FROM st17_out").collect()
+    }
+
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(ts, event_id, event_type))), x -> x.event_type)"
+                ),
+            ).alias("path")
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "path",
+            F.col("path").rlike("view.*click.*purchase").alias("converted"),
+        )
+    )
+    want = {
+        (r.session_start, r.user_id, r.path, r.converted)
+        for r in batch.collect()
+    }
+    # Append mode emits only watermark-CLOSED sessions: the stream's
+    # final in-flight sessions stay in state when the files run dry,
+    # so emitted ⊆ batch with near-total coverage.
+    assert got <= want, "every emitted session must match its batch twin"
+    assert len(got) / len(want) > 0.9, "nearly all sessions must be emitted"
+    flags = {c for (_, _, _, c) in got}
+    assert flags == {True, False}, "both converted and unconverted sessions"
