@@ -175,3 +175,41 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     evolved datasets, not hot paths (compact to a uniform schema when
     the evolution settles)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSONL ingest with corrupt-record QUARANTINE —
+    the crawl-ingest contract: never fail the job on a bad line, never
+    silently null it away. PERMISSIVE parsing routes every malformed
+    or schema-violating line's RAW TEXT into `_corrupt_record`;
+    returns (clean, quarantine) where clean rows parsed fully (the
+    marker column dropped) and quarantine rows carry the raw line for
+    replay/debugging alongside whatever fields did parse.
+
+    The marker column must be part of the declared read schema (Spark
+    only populates `columnNameOfCorruptRecord` if the schema contains
+    it); both returned frames also project regular fields, which keeps
+    the scan legal (Spark disallows queries referencing ONLY the
+    internal corrupt column). One scan serves both sides at 100 TB —
+    the split is two filters over the same file source.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    marker = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(marker, StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", marker)
+        .json(path)
+    )
+    clean = df.filter(F.col(marker).isNull()).drop(marker)
+    quarantine = df.filter(F.col(marker).isNotNull()).withColumnRenamed(
+        marker, "raw_line"
+    )
+    return clean, quarantine

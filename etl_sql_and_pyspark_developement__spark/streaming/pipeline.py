@@ -576,3 +576,77 @@ def stream_path_alert(
             F.col("path").rlike("view.*click.*purchase").alias("converted"),
         )
     )
+
+
+def _latest_scd2_version(state_dir: str) -> str:
+    import os
+
+    versions = sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    return os.path.join(state_dir, versions[-1])
+
+
+def sink_stream_scd2(
+    update_stream: DataFrame,
+    dim_init: DataFrame,
+    state_dir: str,
+    key: str,
+    attr_cols: list[str],
+    date_col: str = "update_date",
+):
+    """st18: streaming SCD2 dimension maintenance — q29's CDC apply
+    running incrementally. Each micro-batch is compacted to its latest
+    row per business key (standard CDC compaction: row_number by
+    date desc), applied to the current dimension state with
+    operators/scd2.scd2_apply (effective date = the batch's max
+    update date), and the new state is written as an immutable
+    versioned snapshot (state_dir/v{n}) — the plain-parquet stand-in
+    for a lake-format MERGE INTO, with time-travel for free.
+
+    Scale: per-batch cost is one key-shuffle join of batch × open
+    rows; history rows pass through untouched. The versioned-snapshot
+    write IS the cost of no lake format — swap the state read/write
+    for Delta/Iceberg MERGE when those jars exist (sources/io.py
+    gates them) and the per-batch apply logic is unchanged.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    os.makedirs(state_dir, exist_ok=True)
+    dim_init.write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        eff = batch_df.agg(F.max(date_col).alias("m")).collect()[0].m
+        latest = (
+            batch_df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.desc(date_col))
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", date_col)
+        )
+        from etl_sql_and_pyspark_developement__spark.operators.scd2 import (
+            scd2_apply,
+        )
+
+        dim = spark.read.parquet(_latest_scd2_version(state_dir))
+        new_dim = scd2_apply(dim, latest, key, attr_cols, str(eff))
+        new_dim.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{int(epoch_id) + 1}")
+        )
+
+    return update_stream.writeStream.foreachBatch(process).outputMode("update")
+
+
+def read_scd2_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current dimension state written by sink_stream_scd2 (the
+    highest version snapshot)."""
+    return spark.read.parquet(_latest_scd2_version(state_dir))

@@ -194,3 +194,44 @@ def test_merge_schema_read_unions_evolved_columns(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_read_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
+    """Malformed JSON and schema-violating lines land in the
+    quarantine frame with their raw text; clean lines parse fully;
+    nothing is dropped or nulled silently."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "ingest.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',          # clean
+        '{"doc_id": 2, "text": "beta"}',           # clean
+        '{"doc_id": "not-a-number", "text": "x"}', # schema violation
+        '{broken json',                            # malformed
+        '{"doc_id": 5, "text": "gamma"}',          # clean
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    clean, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+    got = {(r.doc_id, r.text) for r in clean.collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+    assert "_corrupt_record" not in clean.columns
+    bad = quarantine.collect()
+    assert len(bad) == 2
+    raws = {r.raw_line for r in bad}
+    assert '{broken json' in raws
+    assert any('not-a-number' in r for r in raws)

@@ -733,3 +733,84 @@ def test_st17_stream_path_alert_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) / len(want) > 0.9, "nearly all sessions must be emitted"
     flags = {c for (_, _, _, c) in got}
     assert flags == {True, False}, "both converted and unconverted sessions"
+
+
+def test_st18_stream_scd2_matches_sequential_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC apply must land on exactly the dimension state the
+    sequential batch scd2_apply chain produces: two update files
+    processed in order (maxFilesPerTrigger=1) == two batch applies."""
+    from etl_sql_and_pyspark_developement__spark.operators.scd2 import scd2_apply
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_scd2_state,
+        sink_stream_scd2,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd1 = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("PROMOTED").alias("segment"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+        F.lit("2000-01-01").alias("update_date"),
+    )
+    # second wave: some keys change AGAIN (version chains of length 3),
+    # some change for the first time
+    upd2 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("CHURNED").alias("segment"),
+        F.round(F.col("c_acctbal") - 50, 2).alias("acctbal"),
+        F.lit("2001-06-01").alias("update_date"),
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    upd1.coalesce(1).write.parquet(str(src / "batch_a"))
+    upd2.coalesce(1).write.parquet(str(src / "batch_b"))
+    state_dir = str(tmp_path / "scd2_state")
+
+    stream = (
+        spark.readStream.schema(upd1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = sink_stream_scd2(
+        stream, dim, state_dir, key="custkey",
+        attr_cols=["segment", "acctbal"],
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in read_scd2_state(spark, state_dir)
+        .select("custkey", "segment", "acctbal", "valid_from", "valid_to")
+        .collect()
+    }
+    want_df = scd2_apply(
+        scd2_apply(
+            dim, upd1.drop("update_date"), "custkey",
+            ["segment", "acctbal"], "2000-01-01",
+        ),
+        upd2.drop("update_date"), "custkey",
+        ["segment", "acctbal"], "2001-06-01",
+    )
+    want = {
+        tuple(r)
+        for r in want_df.select(
+            "custkey", "segment", "acctbal", "valid_from", "valid_to"
+        ).collect()
+    }
+    assert got == want, "streaming CDC state must equal sequential batch applies"
+    # a %10 key went PROMOTED then CHURNED: three versions exist
+    keys10 = {r[0] for r in got if r[0] % 10 == 0}
+    assert any(
+        sum(1 for r in got if r[0] == k) == 3 for k in keys10
+    ), "some key must carry a 3-version history"
