@@ -3414,3 +3414,43 @@ ORDER BY component
 
 
 ORACLES["d15_quality_keeper"] = _d15_oracle()
+
+
+ORACLES["q55_snapshot_diff"] = """
+WITH old AS (
+    SELECT c_custkey AS key,
+        md5(concat_ws('|', c_name, c_mktsegment, round(c_acctbal, 2))) AS h_old
+    FROM customer
+),
+new_base AS (
+    SELECT c_custkey AS key, c_name,
+        CASE WHEN c_custkey % 7 = 0 THEN 'RESEGMENTED'
+             ELSE c_mktsegment END AS c_mktsegment,
+        round(c_acctbal, 2) AS c_acctbal
+    FROM customer WHERE c_custkey % 11 <> 0
+),
+added AS (
+    SELECT 9000000 + i AS key,
+        'Customer#new' || i AS c_name,
+        'NEWSEG' AS c_mktsegment,
+        0.0 AS c_acctbal
+    FROM range(0, 3) t(i)
+),
+newt AS (
+    SELECT key, md5(concat_ws('|', c_name, c_mktsegment, c_acctbal)) AS h_new
+    FROM (SELECT * FROM new_base UNION ALL SELECT * FROM added)
+),
+diff AS (
+    SELECT COALESCE(o.key, n.key) AS key,
+        CASE WHEN o.h_old IS NULL THEN 'added'
+             WHEN n.h_new IS NULL THEN 'removed'
+             WHEN o.h_old <> n.h_new THEN 'changed'
+             ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN newt n ON o.key = n.key
+)
+SELECT status,
+    count(*) AS n_keys,
+    min(key) AS min_key,
+    max(key) AS max_key
+FROM diff GROUP BY status ORDER BY status
+"""

@@ -3186,6 +3186,70 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q55_snapshot_diff")
+def q55_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the ETL regression tool: compare two versions
+    of a table and classify every business key as added / removed /
+    changed / unchanged, with a per-row attribute hash so 'changed'
+    detection is one comparison, not N column equality checks. The
+    new snapshot is derived deterministically (every custkey % 7 == 0
+    re-segmented, % 11 == 0 dropped, 3 synthetic keys added) so the
+    diff itself is value-verified.
+
+    Scale: ONE full-outer join on the business key (both sides
+    pre-projected to key + md5(attrs)), then a codegen CASE; the
+    summary rollup is a tiny groupBy. No window, no collect. This is
+    how you regression-test a 100 TB nightly rebuild against
+    yesterday's: hash-project both sides, join on key, count the
+    classes.
+    """
+    cust = table(spark, sf_dir, "customer")
+    old = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.md5(
+            F.concat_ws("|", "c_name", "c_mktsegment", F.round("c_acctbal", 2))
+        ).alias("h_old"),
+    )
+    new_base = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("key"),
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("RESEGMENTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    added = spark.range(3).select(
+        (F.col("id") + 9_000_000).alias("key"),
+        F.concat(F.lit("Customer#new"), F.col("id")).alias("c_name"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    new = new_base.unionByName(added).select(
+        "key",
+        F.md5(
+            F.concat_ws("|", "c_name", "c_mktsegment", "c_acctbal")
+        ).alias("h_new"),
+    )
+    diff = old.join(new, "key", "full_outer").select(
+        "key",
+        F.expr(
+            "CASE WHEN h_old IS NULL THEN 'added' "
+            "WHEN h_new IS NULL THEN 'removed' "
+            "WHEN h_old <> h_new THEN 'changed' "
+            "ELSE 'unchanged' END AS status"
+        ),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
 @query("d15_quality_keeper")
 def d15_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: near-dup clusters (d06's

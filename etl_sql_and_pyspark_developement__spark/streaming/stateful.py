@@ -156,3 +156,66 @@ def streaming_token_budget(docs: DataFrame, budget: int = 500) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LOCF_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, filled_value double, "
+    "was_filled int"
+)
+LOCF_STATE_SCHEMA = "last_val double"
+
+
+def _locf_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user,) = key
+    last_val = state.get[0] if state.exists else None
+    out = {k: [] for k in ("event_id", "ts", "filled_value", "was_filled")}
+    for pdf in pdfs:
+        # Event-time order within the batch (arrival order is not
+        # contractual); cross-batch order is the file/source order.
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+            missing = pd.isna(val)
+            if missing:
+                filled = last_val
+                was = 1 if last_val is not None else 0
+            else:
+                filled = float(val)
+                last_val = filled
+                was = 0
+            out["event_id"].append(int(eid))
+            out["ts"].append(ts)
+            out["filled_value"].append(filled)
+            out["was_filled"].append(was)
+    if last_val is not None:
+        state.update((last_val,))
+    n = len(out["event_id"])
+    yield pd.DataFrame({**out, "user_id": [user] * n})
+
+
+def streaming_locf(events: DataFrame) -> DataFrame:
+    """st19: streaming LOCF (last-observation-carried-forward)
+    enrichment — q54's forward-fill semantics running live: every
+    arriving event with a NULL value is emitted carrying its user's
+    last observed value instead. The broken-sensor repair a live
+    metrics pipeline applies at ingest.
+
+    State is ONE double per user (the last observed value) — bounded
+    by the active-user population, independent of history length, so
+    the stream runs indefinitely. In-batch processing is event-time
+    ordered (deterministic); late events across batches take the
+    carry as of their processing batch — the standard streaming-LOCF
+    contract (exactly event-time LOCF would require holding history).
+    """
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _locf_update,
+            LOCF_OUTPUT_SCHEMA,
+            LOCF_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -568,3 +568,22 @@ def test_url_dedup_groups_form(spark):
     by_size = sorted((r.n_dups, r.keeper_doc_id) for r in out.values())
     assert by_size == [(1, 3), (2, 2), (4, 0)]
     assert sum(r.n_dups for r in out.values()) == 7
+
+
+def test_url_canonicalization_idempotent(spark):
+    """Canonicalizing an already-canonical URL is the identity — the
+    normalizer is a projection (running the crawl gate twice can't
+    change the dedup key)."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        url_canonical_sql,
+        url_planted_sql,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    once = df.selectExpr(
+        "doc_id", url_planted_sql("spark") + " AS url"
+    ).selectExpr("doc_id", url_canonical_sql("url", "spark") + " AS c1")
+    twice = once.selectExpr(
+        "doc_id", "c1", url_canonical_sql("c1", "spark") + " AS c2"
+    )
+    assert twice.filter("c1 <> c2").count() == 0

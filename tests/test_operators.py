@@ -289,3 +289,30 @@ def test_q52_rolling_distinct_semantics(spark, sf_dir):
         if key in out:
             assert out[key] == len(want), (key, out[key], len(want))
     assert out
+
+
+def test_q54_fill_invariants(spark, sf_dir):
+    """Forward-fill invariants: observed rows keep their value;
+    interpolated values lie between their neighbors; every user's
+    spine is dense daily with exactly 3 trailing locf days."""
+    import datetime
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    rows = QUERIES["q54_forward_fill"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, rs in by_user.items():
+        days = [datetime.date.fromisoformat(r.day) for r in rs]
+        assert days == sorted(days)
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), f"user {uid} spine not dense"
+        assert [r.fill_kind for r in rs[-3:]] == ["locf"] * 3
+        obs = [r.filled_value for r in rs if r.fill_kind == "observed"]
+        lo, hi = min(obs), max(obs)
+        for r in rs:
+            if r.fill_kind == "interp":
+                assert lo - 1e-9 <= r.filled_value <= hi + 1e-9

@@ -429,3 +429,13 @@ def test_q54_forward_fill_windows_reuse_partitioning(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q55_snapshot_diff_hash_projected_join(spark, sf_dir):
+    """The diff joins two hash-PROJECTED sides (key + one md5) — the
+    scans must not read untouched wide columns (address/phone/comment),
+    and the classifier is a codegen CASE, no Python."""
+    plan = plan_of(spark, "q55_snapshot_diff", sf_dir)
+    assert "c_address" not in plan and "c_comment" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

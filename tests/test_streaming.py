@@ -814,3 +814,61 @@ def test_st18_stream_scd2_matches_sequential_batch(spark, sf_dir, tmp_path):
     assert any(
         sum(1 for r in got if r[0] == k) == 3 for k in keys10
     ), "some key must carry a 3-version history"
+
+
+def test_st19_streaming_locf_matches_batch_window(spark, sf_dir, tmp_path):
+    """Streaming LOCF (one double of state per user) must equal the
+    batch last(ignorenulls) window over (ts, event_id) order when the
+    whole stream arrives in order — nulls planted every 10th event."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_locf,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 10 == 3, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    d = tmp_path / "locf_src"
+    ev.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(ev.schema).parquet(str(d))
+    q = (
+        streaming_locf(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st19_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_id: (r.filled_value, r.was_filled)
+        for r in spark.sql("SELECT * FROM st19_out").collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = ev.select(
+        "event_id",
+        F.last("value", ignorenulls=True).over(w).alias("filled_value"),
+        (
+            F.col("value").isNull()
+            & F.last("value", ignorenulls=True).over(w).isNotNull()
+        )
+        .cast("int")
+        .alias("was_filled"),
+    )
+    want = {
+        r.event_id: (r.filled_value, r.was_filled) for r in batch.collect()
+    }
+    assert got == want, "streaming LOCF must equal the batch window fill"
+    assert any(v[1] == 1 for v in got.values()), "filled rows must exist"

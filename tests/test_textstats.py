@@ -296,3 +296,31 @@ def test_bpe_merge_counts_hand_computed(spark):
     # single-char words contribute nothing; ranks are dense from 1
     ranks = sorted(r for r, _ in out.values())
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_char_stats_bounds_and_extremes(spark):
+    """t14 invariants: collision_ppm in (0, 1e6]; uniq bounded by the
+    alphabet; a single-char doc hits exactly 1e6 (maximal spam); a
+    perfectly diverse doc hits the uniform lower bound 1e6/n; chars
+    outside the alphabet don't count."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        CHAR_ALPHABET,
+        char_stats,
+    )
+
+    rows = [
+        (1, "aaaaaaaa"),                 # one char repeated
+        (2, "abcdefgh"),                 # 8 distinct chars, uniform
+        (3, "@@@###$$$"),                # nothing in alphabet
+        (4, "The quick brown fox 42!"),  # mixed case + punct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_stats(df).collect()}
+    assert out[1].collision_ppm == 1_000_000 and out[1].uniq_chars == 1
+    assert out[2].collision_ppm == 1_000_000 // 8 and out[2].uniq_chars == 8
+    assert out[3].counted_chars == 0 and out[3].collision_ppm is None
+    r4 = out[4]
+    assert 0 < r4.collision_ppm <= 1_000_000
+    assert r4.uniq_chars <= len(CHAR_ALPHABET)
+    # '!' excluded, alphabetics+digits+spaces counted (lowercased)
+    assert r4.counted_chars == len("the quick brown fox 42")
