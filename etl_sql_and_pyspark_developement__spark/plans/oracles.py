@@ -3312,7 +3312,7 @@ spans AS (
     SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id
 ),
 spine AS (
-    SELECT user_id, CAST(unnest(generate_series(mn, mx + 3, INTERVAL 1 DAY)) AS DATE) AS day
+    SELECT user_id, CAST(unnest(generate_series(mn - 2, mx + 3, INTERVAL 1 DAY)) AS DATE) AS day
     FROM spans
 ),
 grid AS (

@@ -3334,10 +3334,13 @@ def q54_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = spans.select(
         "user_id",
-        # run 3 days past the last observation so the LOCF arm (no
-        # next neighbor) is genuinely exercised, not just declared
+        # run 2 days before the first observation and 3 past the last
+        # so the backfill (no prev neighbor) and LOCF (no next) arms
+        # are genuinely exercised, not just declared
         F.explode(
-            F.expr("sequence(mn, date_add(mx, 3), interval 1 day)")
+            F.expr(
+                "sequence(date_sub(mn, 2), date_add(mx, 3), interval 1 day)"
+            )
         ).alias("day"),
     )
     grid = spine.join(daily, ["user_id", "day"], "left")

@@ -311,6 +311,7 @@ def test_q54_fill_invariants(spark, sf_dir):
             (b - a).days == 1 for a, b in zip(days, days[1:])
         ), f"user {uid} spine not dense"
         assert [r.fill_kind for r in rs[-3:]] == ["locf"] * 3
+        assert [r.fill_kind for r in rs[:2]] == ["backfill"] * 2
         obs = [r.filled_value for r in rs if r.fill_kind == "observed"]
         lo, hi = min(obs), max(obs)
         for r in rs:
