@@ -3454,3 +3454,59 @@ SELECT status,
     max(key) AS max_key
 FROM diff GROUP BY status ORDER BY status
 """
+
+
+ORACLES["q56_trend_regression"] = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+        round(sum(value), 2) AS day_value
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT min(day) AS d0 FROM daily),
+series AS (
+    SELECT event_type,
+        CAST(date_diff('day', b.d0, day) AS DOUBLE) AS x,
+        day_value AS y
+    FROM daily, bounds b
+)
+SELECT event_type,
+    round(regr_slope(y, x), 4) AS slope,
+    round(regr_intercept(y, x), 4) AS intercept,
+    round(regr_r2(y, x), 4) AS r2,
+    CAST(regr_count(y, x) AS BIGINT) AS n_days,
+    CASE WHEN round(regr_slope(y, x), 4) > 1.0 THEN 'rising'
+         WHEN round(regr_slope(y, x), 4) < -1.0 THEN 'falling'
+         ELSE 'flat' END AS trend
+FROM series GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLES["q57_sql_cohort"] = """
+WITH first_touch AS (
+    SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month
+    FROM events
+),
+joined AS (
+    SELECT f.cohort_month,
+        CAST(date_diff('month', f.cohort_month, a.act_month) AS INTEGER)
+            AS month_offset,
+        a.user_id
+    FROM activity a JOIN first_touch f USING (user_id)
+),
+sizes AS (
+    SELECT cohort_month, count(*) AS cohort_size
+    FROM first_touch GROUP BY cohort_month
+)
+SELECT strftime(j.cohort_month, '%Y-%m') AS cohort_month,
+    j.month_offset,
+    count(DISTINCT j.user_id) AS n_active,
+    CAST(s.cohort_size AS BIGINT) AS cohort_size,
+    1000000 * count(DISTINCT j.user_id) // s.cohort_size AS retention_ppm
+FROM joined j JOIN sizes s ON j.cohort_month = s.cohort_month
+GROUP BY j.cohort_month, j.month_offset, s.cohort_size
+ORDER BY cohort_month, month_offset
+"""

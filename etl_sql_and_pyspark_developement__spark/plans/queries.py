@@ -3186,6 +3186,107 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q57_sql_cohort")
+def q57_sql_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface, cohort workload (R7): first-activity cohort +
+    month-offset retention as runnable spark.sql text over registered
+    views — the EVENTS-side cohort (first-seen month per user,
+    retention of users active k months later), distinct from q05's
+    orders-side DataFrame matrix so both API surfaces and both fact
+    tables exercise the construct. Reference parity: SQL/Content
+    Performance with Cohort Analysis.txt's cohort CTE chain.
+
+    Scale: first-touch is one user-keyed aggregation; the activity
+    join is user-keyed (broadcast-eligible cohort side at small
+    cohort counts, shuffle join at scale); months_between on truncs
+    keeps the offset arithmetic in codegen.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH first_touch AS (
+            SELECT user_id,
+                   date_trunc('month', min(ts)) AS cohort_month
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month
+            FROM events
+        ),
+        joined AS (
+            SELECT f.cohort_month,
+                   CAST(months_between(a.act_month, f.cohort_month) AS INT)
+                       AS month_offset,
+                   a.user_id
+            FROM activity a JOIN first_touch f USING (user_id)
+        ),
+        sizes AS (
+            SELECT cohort_month, count(*) AS cohort_size
+            FROM first_touch GROUP BY cohort_month
+        )
+        SELECT date_format(j.cohort_month, 'yyyy-MM') AS cohort_month,
+               j.month_offset,
+               count(DISTINCT j.user_id) AS n_active,
+               s.cohort_size,
+               1000000 * count(DISTINCT j.user_id) DIV s.cohort_size
+                   AS retention_ppm
+        FROM joined j JOIN sizes s ON j.cohort_month = s.cohort_month
+        GROUP BY j.cohort_month, j.month_offset, s.cohort_size
+        ORDER BY cohort_month, month_offset
+        """
+    )
+
+
+@query("q56_trend_regression")
+def q56_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares TREND detection with the built-in REGR_* aggregate
+    family (regr_slope/intercept/r2/count — JVM-side, partial-agg
+    decomposable): per event type, fit value-per-day against day index
+    and classify the trend. The reference's virality/performance
+    modeling fits exactly this shape (R13's feature modeling, R16's
+    growth trajectories).
+
+    Scale: facts collapse to one row per (type, day) FIRST (one
+    shuffle, partial-aggregated); the regression then aggregates the
+    tiny series per type — REGR_* decompose like sum/count, so the
+    same query runs unchanged on 10⁹ rows/day. Slope/intercept are
+    rounded at 4dp over day-indexed integer x, keeping both engines'
+    float sums representable and hash-stable.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    bounds = daily.agg(F.min("day").alias("d0"))
+    series = daily.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("double").alias("x"),
+        F.col("day_value").alias("y"),
+    )
+    return (
+        series.groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+            F.expr("regr_count(y, x)").alias("n_days"),
+        )
+        .withColumn(
+            "trend",
+            F.expr(
+                "CASE WHEN slope > 1.0 THEN 'rising' "
+                "WHEN slope < -1.0 THEN 'falling' "
+                "ELSE 'flat' END"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("q55_snapshot_diff")
 def q55_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot DIFF — the ETL regression tool: compare two versions

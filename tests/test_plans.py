@@ -439,3 +439,21 @@ def test_q55_snapshot_diff_hash_projected_join(spark, sf_dir):
     assert "c_address" not in plan and "c_comment" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q56_regression_partial_agg_two_shuffles(spark, sf_dir):
+    """REGR_* decompose: one exchange for the per-(type,day) collapse,
+    one for the per-type regression; bounds row broadcasts; no Python."""
+    plan = plan_of(spark, "q56_trend_regression", sf_dir)
+    assert plan.count("hashpartitioning(") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q57_sql_cohort_user_keyed_joins(spark, sf_dir):
+    """The SQL-text cohort plans like its DataFrame twin: user-keyed
+    aggregation + join (no cartesian), all codegen."""
+    plan = plan_of(spark, "q57_sql_cohort", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
