@@ -690,3 +690,51 @@ def char_stats(
         f"DIV (CAST({counted} AS BIGINT) * CAST({counted} AS BIGINT)) "
         f"ELSE NULL END AS BIGINT) AS collision_ppm",
     )
+
+
+def oov_rates(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-N
+    vocabulary (count desc, term asc tiebreak — deterministic): the
+    domain-shift / noise axis a tokenizer-aware filter thresholds
+    (docs full of tokens the tokenizer has no merges for blow up
+    sequence lengths). Integer ppm, bit-exact.
+
+    Scale: one token explode → (term) count shuffle → top-N rank
+    (vocab_size rows) → BROADCAST the vocabulary into the per-doc
+    token pass → one per-doc groupBy. The vocabulary is the only
+    global artifact and it is bounded by construction.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    # top-N merged on the driver, never a single-task global sort of
+    # the whole vocabulary (a row_number window here would be one)
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "oov_tokens",
+            F.expr("1000000 * oov_tokens DIV n_tokens").alias("oov_ppm"),
+        )
+    )

@@ -3510,3 +3510,72 @@ FROM joined j JOIN sizes s ON j.cohort_month = s.cohort_month
 GROUP BY j.cohort_month, j.month_offset, s.cohort_size
 ORDER BY cohort_month, month_offset
 """
+
+
+ORACLES["t15_oov_rate"] = """
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+vocab AS (SELECT term FROM counts ORDER BY cnt DESC, term LIMIT 20),
+flagged AS (
+    SELECT t.doc, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+    FROM toks t LEFT JOIN vocab v USING (term)
+)
+SELECT doc AS doc_id,
+    count(*) AS n_tokens,
+    CAST(sum(oov) AS BIGINT) AS oov_tokens,
+    1000000 * CAST(sum(oov) AS BIGINT) // count(*) AS oov_ppm
+FROM flagged GROUP BY doc ORDER BY doc_id
+"""
+
+
+ORACLES["p14_label_vote"] = """
+WITH h AS (
+    SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#base'), 1, 8))
+             AS BIGINT) % 3 AS b,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#a0'), 1, 8))
+             AS BIGINT) AS h0,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#a1'), 1, 8))
+             AS BIGINT) AS h1,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#a2'), 1, 8))
+             AS BIGINT) AS h2
+    FROM documents
+),
+idx AS (
+    SELECT doc_id,
+        CASE WHEN h0 % 5 = 0 THEN (b + 1 + (h0 // 5) % 2) % 3 ELSE b END AS i0,
+        CASE WHEN h1 % 5 = 0 THEN (b + 1 + (h1 // 5) % 2) % 3 ELSE b END AS i1,
+        CASE WHEN h2 % 5 = 0 THEN (b + 1 + (h2 // 5) % 2) % 3 ELSE b END AS i2
+    FROM h
+),
+lab AS (
+    SELECT doc_id,
+        (['good', 'mid', 'spam'])[CAST(i0 + 1 AS INTEGER)] AS label_0,
+        (['good', 'mid', 'spam'])[CAST(i1 + 1 AS INTEGER)] AS label_1,
+        (['good', 'mid', 'spam'])[CAST(i2 + 1 AS INTEGER)] AS label_2
+    FROM idx
+),
+votes AS (
+    SELECT *,
+        (CASE WHEN label_0 = 'good' THEN 1 ELSE 0 END
+         + CASE WHEN label_1 = 'good' THEN 1 ELSE 0 END
+         + CASE WHEN label_2 = 'good' THEN 1 ELSE 0 END) AS v_good,
+        (CASE WHEN label_0 = 'mid' THEN 1 ELSE 0 END
+         + CASE WHEN label_1 = 'mid' THEN 1 ELSE 0 END
+         + CASE WHEN label_2 = 'mid' THEN 1 ELSE 0 END) AS v_mid,
+        (CASE WHEN label_0 = 'spam' THEN 1 ELSE 0 END
+         + CASE WHEN label_1 = 'spam' THEN 1 ELSE 0 END
+         + CASE WHEN label_2 = 'spam' THEN 1 ELSE 0 END) AS v_spam
+    FROM lab
+)
+SELECT doc_id, label_0, label_1, label_2,
+    CASE WHEN v_good >= v_mid AND v_good >= v_spam THEN 'good'
+         WHEN v_mid >= v_spam THEN 'mid' ELSE 'spam' END AS consensus,
+    CAST(greatest(v_good, v_mid, v_spam) AS INTEGER) AS consensus_votes,
+    1000000 * CAST(greatest(v_good, v_mid, v_spam) AS BIGINT) // 3
+        AS agreement_ppm
+FROM votes ORDER BY doc_id
+"""

@@ -3186,6 +3186,96 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("p14_label_vote")
+def p14_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver-label aggregation: majority vote across 3 synthetic
+    annotators (weak supervision / LLM-judge ensembles produce exactly
+    this shape — N noisy labels per doc, one consensus label out).
+    Annotator labels derive deterministically from md5(doc_id, k):
+    each annotator flips the base class ~20% of the time, so
+    unanimous / 2-1 / 1-1-1 outcomes all occur and the vote logic is
+    value-verified.
+
+    Scale: annotations-per-doc is BOUNDED, so the whole vote is
+    per-row codegen — vote counts and the tie-broken argmax are CASE
+    arithmetic over three columns, ZERO shuffles (a groupBy(doc,
+    label) + rank formulation would shuffle twice for nothing).
+    """
+    docs = table(spark, sf_dir, "documents")
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#" + salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    base_idx = h("base") % 3
+    lab = docs.select("doc_id", base_idx.alias("__b"))
+    for k in range(3):
+        hk = h(f"a{k}")
+        idx = F.when(
+            hk % 5 == 0, (F.col("__b") + 1 + (hk / 5).cast("long") % 2) % 3
+        ).otherwise(F.col("__b"))
+        lab = lab.withColumn(
+            f"label_{k}",
+            F.element_at(F.array(F.lit("good"), F.lit("mid"), F.lit("spam")), (idx + 1).cast("int")),
+        )
+    votes = lab
+    for c in ("good", "mid", "spam"):
+        votes = votes.withColumn(
+            f"__v_{c}",
+            sum(
+                (F.col(f"label_{k}") == c).cast("int") for k in range(3)
+            ),
+        )
+    return (
+        votes.select(
+            "doc_id",
+            "label_0",
+            "label_1",
+            "label_2",
+            F.expr(
+                "CASE WHEN __v_good >= __v_mid AND __v_good >= __v_spam "
+                "THEN 'good' WHEN __v_mid >= __v_spam THEN 'mid' "
+                "ELSE 'spam' END AS consensus"
+            ),
+            F.greatest("__v_good", "__v_mid", "__v_spam").alias(
+                "consensus_votes"
+            ),
+            F.expr(
+                "1000000 * CAST(greatest(__v_good, __v_mid, __v_spam) "
+                "AS BIGINT) DIV 3 AS agreement_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("t15_oov_rate")
+def t15_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc vs the corpus top-20 vocab —
+    the tokenizer-shift filter axis; see operators/textstats.oov_rates
+    (broadcast vocabulary, TakeOrdered top-N, integer ppm). The
+    synthetic corpus has ~31 distinct words, so top-20 leaves the
+    rare tail genuinely out-of-vocabulary at every sf (a real corpus
+    would use 10⁴–10⁵ with the same plan)."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        oov_rates,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return oov_rates(docs, vocab_size=20).orderBy("doc_id")
+
+
 @query("q57_sql_cohort")
 def q57_sql_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text surface, cohort workload (R7): first-activity cohort +

@@ -457,3 +457,21 @@ def test_q57_sql_cohort_user_keyed_joins(spark, sf_dir):
     plan = plan_of(spark, "q57_sql_cohort", sf_dir)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t15_oov_takeordered_vocab_broadcast(spark, sf_dir):
+    """The vocabulary must come from TakeOrderedAndProject (never a
+    single-task global sort window) and join back by broadcast."""
+    plan = plan_of(spark, "t15_oov_rate", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_p14_label_vote_zero_shuffle(spark, sf_dir):
+    """The vote is per-row codegen over bounded annotations — no hash
+    exchange, no join, no Python."""
+    plan = plan_of(spark, "p14_label_vote", sf_dir)
+    assert "hashpartitioning(" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
