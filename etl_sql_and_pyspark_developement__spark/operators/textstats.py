@@ -738,3 +738,59 @@ def oov_rates(
             F.expr("1000000 * oov_tokens DIV n_tokens").alias("oov_ppm"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick document embeddings (feature hashing, Weinberger
+    et al. 2009): each token maps to a bucket and a ±1 sign by md5,
+    bucket sums are L2-normalized — a real, trainable-model-free
+    featurizer that bridges the text lane into the vector lane
+    (s01/s02/d08 run unchanged on its output). Deterministic md5
+    arithmetic end-to-end, so the whole embedding is engine-exact
+    (unlike a learned encoder, which would be a stub in this
+    container).
+
+    Scale: one token explode → ONE per-doc groupBy whose `dim`
+    conditional sums are partial-agg decomposable — the embedding of
+    a 10⁹-doc corpus is a single shuffle. No Python, no pivot.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit("#b"))), 1, 8), 16, 10)
+        .cast("long")
+        % dim
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit("#s"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hashed = toks.select("doc", bucket.alias("b"), sign.alias("s"))
+    sums = hashed.groupBy("doc").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(0))
+            .cast("double")
+            .alias(f"__r{i}")
+            for i in range(dim)
+        ]
+    )
+    norm = F.sqrt(
+        sum(F.col(f"__r{i}") * F.col(f"__r{i}") for i in range(dim))
+    )
+    out_cols = [
+        F.when(norm > 0, F.round(F.col(f"__r{i}") / norm, 4))
+        .otherwise(F.lit(0.0))
+        .alias(f"d{i:02d}")
+        for i in range(dim)
+    ]
+    return sums.select(F.col("doc").alias(id_col), *out_cols)

@@ -3579,3 +3579,42 @@ SELECT doc_id, label_0, label_1, label_2,
         AS agreement_ppm
 FROM votes ORDER BY doc_id
 """
+
+
+def _t16_oracle(dim: int = 16) -> str:
+    # Mirrors operators/textstats.hash_embed: same md5 bucket/sign
+    # derivation, same fixed-order norm expression, same 4dp round.
+    sums = ",\n        ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN s ELSE 0 END) AS DOUBLE) AS r{i}"
+        for i in range(dim)
+    )
+    norm = "sqrt(" + " + ".join(f"r{i} * r{i}" for i in range(dim)) + ")"
+    outs = ",\n    ".join(
+        f"CASE WHEN {norm} > 0 THEN round(r{i} / {norm}, 4) "
+        f"ELSE 0.0 END AS d{i:02d}"
+        for i in range(dim)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+hashed AS (
+    SELECT doc,
+        CAST(('0x' || substr(md5(term || '#b'), 1, 8)) AS BIGINT) % {dim} AS b,
+        CASE WHEN CAST(('0x' || substr(md5(term || '#s'), 1, 8)) AS BIGINT)
+                  % 2 = 0 THEN 1 ELSE -1 END AS s
+    FROM toks
+),
+sums AS (
+    SELECT doc,
+        {sums}
+    FROM hashed GROUP BY doc
+)
+SELECT doc AS doc_id,
+    {outs}
+FROM sums ORDER BY doc_id
+"""
+
+
+ORACLES["t16_hash_embed"] = _t16_oracle()

@@ -3186,6 +3186,19 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("t16_hash_embed")
+def t16_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (dim 16, L2-normalized) —
+    see operators/textstats.hash_embed; one explode + one
+    partial-agg-decomposable groupBy, engine-exact md5 arithmetic."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        hash_embed,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return hash_embed(docs, dim=16).orderBy("doc_id")
+
+
 @query("p14_label_vote")
 def p14_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver-label aggregation: majority vote across 3 synthetic

@@ -475,3 +475,11 @@ def test_p14_label_vote_zero_shuffle(spark, sf_dir):
     assert "hashpartitioning(" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t16_hash_embed_single_groupby_no_python(spark, sf_dir):
+    """The embedding is one explode + one partial-agg groupBy: exactly
+    one hash exchange, no pivot second shuffle, no Python."""
+    plan = plan_of(spark, "t16_hash_embed", sf_dir)
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
