@@ -104,3 +104,34 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     return spark
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_threshold: str = "10GB",
+    application_side_threshold: str = "10GB",
+) -> SparkSession:
+    """Arm Catalyst's runtime bloom-filter join pruning: for a
+    shuffle join with a selective build side, the optimizer inserts a
+    bloom_filter_agg subquery on the build keys and a might_contain
+    filter on the probe side — probe rows that cannot match are
+    dropped AT THE SCAN, before paying the shuffle. At 100 TB this is
+    the difference between shuffling the whole fact table and
+    shuffling the ~1% that survives a selective dimension filter —
+    semijoin pushdown without bucketing or manual broadcast.
+
+    Thresholds govern when the filter is worth building (build-side
+    size) and worth applying (probe-side scan size); the defaults
+    here arm it for warehouse-scale joins. Injection is asserted in
+    tests/test_plans.py (might_contain on the probe scan).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
+    return spark

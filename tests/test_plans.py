@@ -483,3 +483,56 @@ def test_t16_hash_embed_single_groupby_no_python(spark, sf_dir):
     plan = plan_of(spark, "t16_hash_embed", sf_dir)
     assert plan.count("hashpartitioning(") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_scan(spark, sf_dir):
+    """enable_runtime_bloom_filters makes Catalyst build a
+    bloom_filter_agg on the selective build side and inject
+    might_contain on the probe side — fact rows that cannot match die
+    at the scan instead of riding the shuffle. (Broadcast disabled so
+    the shuffle join actually needs the filter; confs restored.)"""
+    from etl_sql_and_pyspark_developement__spark.session import (
+        enable_runtime_bloom_filters,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        enable_runtime_bloom_filters(
+            spark, application_side_threshold="0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, "probe side must carry the bloom filter"
+        assert "bloom_filter_agg" in plan, "build side must aggregate the filter"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

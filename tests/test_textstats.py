@@ -324,3 +324,29 @@ def test_char_stats_bounds_and_extremes(spark):
     assert r4.uniq_chars <= len(CHAR_ALPHABET)
     # '!' excluded, alphabetics+digits+spaces counted (lowercased)
     assert r4.counted_chars == len("the quick brown fox 42")
+
+
+def test_hash_embed_properties(spark):
+    """t16 invariants: identical texts → identical embeddings (the
+    semantic-dedup bridge), unit L2 norm (±rounding), determinism
+    across runs, and token-order invariance (bag-of-words by
+    construction)."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        hash_embed,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),   # exact duplicate
+        (3, "delta gamma beta alpha"),   # same bag, different order
+        (4, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: [r[f"d{i:02d}"] for i in range(16)] for r in hash_embed(df).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[1] != out[4]
+    for vec in out.values():
+        norm2 = sum(v * v for v in vec)
+        assert abs(norm2 - 1.0) < 1e-3, norm2
+    out2 = {r.doc_id: [r[f"d{i:02d}"] for i in range(16)] for r in hash_embed(df).collect()}
+    assert out == out2
