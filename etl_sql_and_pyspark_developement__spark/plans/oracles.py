@@ -3618,3 +3618,27 @@ FROM sums ORDER BY doc_id
 
 
 ORACLES["t16_hash_embed"] = _t16_oracle()
+
+
+ORACLES["t17_sentiment"] = """
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+scored AS (
+    SELECT doc,
+        CASE term WHEN 'fast' THEN 2 WHEN 'small' THEN 1
+                  WHEN 'big' THEN -1 WHEN 'slow' THEN -2 ELSE 0 END AS v
+    FROM toks
+)
+SELECT doc AS doc_id,
+    count(*) AS n_tokens,
+    CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+    CAST(sum(v) AS BIGINT) AS net_valence,
+    1000000 * CAST(sum(v) AS BIGINT) // count(*) AS sentiment_ppm,
+    CASE WHEN sum(v) > 0 THEN 'positive'
+         WHEN sum(v) < 0 THEN 'negative'
+         ELSE 'neutral' END AS polarity
+FROM scored GROUP BY doc ORDER BY doc_id
+"""

@@ -3186,6 +3186,62 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("t17_sentiment")
+def t17_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFINN-style lexicon sentiment scoring (the classic large-scale
+    Spark text workload — cf. 'Large Scale Sentiment Analysis on
+    Twitter with Spark', EDBT 2016): per doc, signed valence sums
+    over a term→score lexicon, net-polarity ppm, and a polarity
+    class. The demo lexicon maps the corpus's own adjectives
+    (fast +2, small +1, big -1, slow -2); a production run swaps in
+    AFINN/VADER terms with the identical plan.
+
+    Scale: the lexicon is a CASE map inside the explode projection
+    (no join at all — a broadcast join would also work for 10⁵-term
+    lexicons); ONE per-doc groupBy of decomposable sums. Integer
+    arithmetic end-to-end, bit-exact oracle.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    valence = F.expr(
+        "CASE term WHEN 'fast' THEN 2 WHEN 'small' THEN 1 "
+        "WHEN 'big' THEN -1 WHEN 'slow' THEN -2 ELSE 0 END"
+    )
+    scored = toks.select("doc", valence.alias("v"))
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("v") > 0, 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(F.col("v") < 0, 1).otherwise(0)).alias("n_neg"),
+            F.sum("v").alias("net_valence"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            "n_pos",
+            "n_neg",
+            "net_valence",
+            F.expr(
+                "1000000 * net_valence DIV n_tokens AS sentiment_ppm"
+            ),
+            F.expr(
+                "CASE WHEN net_valence > 0 THEN 'positive' "
+                "WHEN net_valence < 0 THEN 'negative' "
+                "ELSE 'neutral' END AS polarity"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("t16_hash_embed")
 def t16_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embeddings (dim 16, L2-normalized) —
