@@ -536,3 +536,25 @@ def test_runtime_bloom_filter_prunes_probe_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plan_profile_counters(spark, sf_dir):
+    """plan_profile must report the shape contracts the audit pins:
+    q01 = single pruned scan + one hash exchange, no joins/Python;
+    q09 = broadcast dims, no cartesian; t14 = zero shuffles."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.plans.inspect import (
+        plan_profile,
+    )
+
+    p01 = plan_profile(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    assert p01["n_scans"] == 1 and p01["joins"] == {} and p01["n_python"] == 0
+    assert p01["n_hash_exchanges"] == 1
+    assert all("l_comment" not in cols for cols in p01["scan_columns"])
+
+    p09 = plan_profile(QUERIES["q09_geo_topk"](spark, sf_dir))
+    assert p09["joins"].get("BroadcastHashJoin", 0) >= 3
+    assert not p09["has_cartesian"]
+
+    p14 = plan_profile(QUERIES["t14_char_diversity"](spark, sf_dir))
+    assert p14["n_hash_exchanges"] == 0 and p14["n_python"] == 0
