@@ -3642,3 +3642,44 @@ SELECT doc AS doc_id,
          ELSE 'neutral' END AS polarity
 FROM scored GROUP BY doc ORDER BY doc_id
 """
+
+
+ORACLES["q58_multitouch_attribution"] = """
+WITH purch AS (
+    SELECT user_id, event_id AS p_eid, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, event_id AS v_eid, ts AS v_ts
+    FROM events WHERE event_type = 'view'
+),
+j AS (
+    SELECT v.user_id, v.v_eid, v.v_ts, p.p_eid
+    FROM views v JOIN purch p USING (user_id)
+    WHERE v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 7 DAY
+),
+touched AS (
+    SELECT *,
+        count(*) OVER (PARTITION BY user_id, p_eid) AS n_touches,
+        row_number() OVER (PARTITION BY user_id, p_eid
+                           ORDER BY v_ts, v_eid) AS rn
+    FROM j
+),
+credited AS (
+    SELECT *,
+        1000000 // n_touches
+        + CASE WHEN rn = n_touches THEN 1000000 % n_touches
+               ELSE 0 END AS credit_ppm
+    FROM touched
+)
+SELECT strftime(CAST(v_ts AS DATE), '%Y-%m-%d') AS view_day,
+    count(*) AS n_touches,
+    CAST(sum(credit_ppm) AS BIGINT) AS credited_ppm,
+    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS first_touches,
+    CAST(sum(CASE WHEN rn = n_touches THEN 1 ELSE 0 END) AS BIGINT)
+        AS last_touches
+FROM credited
+GROUP BY CAST(v_ts AS DATE)
+ORDER BY view_day
+"""

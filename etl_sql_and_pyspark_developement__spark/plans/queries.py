@@ -3186,6 +3186,75 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q58_multitouch_attribution")
+def q58_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-touch attribution — the marketing-science upgrade of
+    q25's last-touch as-of join: every view in the 7 days before a
+    purchase shares the conversion credit linearly (credit_ppm =
+    1e6/n, remainder to the last touch so each purchase's credit sums
+    to EXACTLY 1e6 — integer conservation makes the whole model
+    engine-exact), with first-/last-touch position counts per day.
+
+    Reference parity: R14/R20 measure personalization/recommendation
+    effectiveness per touchpoint; linear attribution is the standard
+    multi-touch baseline.
+
+    Scale: the touch join is USER-keyed with a residual time-range
+    predicate — one shuffle on user_id, never a time-only cross
+    join; the per-purchase windows ride the same user partitioning.
+    """
+    ev = table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_eid"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_eid"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = views.join(purch, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 7 days"))
+    )
+    wp = Window.partitionBy("user_id", "p_eid")
+    wo = wp.orderBy("v_ts", "v_eid")
+    touched = (
+        j.withColumn("n_touches", F.count(F.lit(1)).over(wp))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "credit_ppm",
+            F.expr(
+                "1000000 DIV n_touches "
+                "+ CASE WHEN rn = n_touches THEN 1000000 % n_touches "
+                "ELSE 0 END"
+            ),
+        )
+    )
+    return (
+        touched.groupBy(F.to_date("v_ts").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").alias("credited_ppm"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+                "first_touches"
+            ),
+            F.sum(
+                F.when(F.col("rn") == F.col("n_touches"), 1).otherwise(0)
+            ).alias("last_touches"),
+        )
+        .select(
+            F.date_format("view_day", "yyyy-MM-dd").alias("view_day"),
+            "n_touches",
+            "credited_ppm",
+            "first_touches",
+            "last_touches",
+        )
+        .orderBy("view_day")
+    )
+
+
 @query("t17_sentiment")
 def t17_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AFINN-style lexicon sentiment scoring (the classic large-scale

@@ -558,3 +558,12 @@ def test_plan_profile_counters(spark, sf_dir):
 
     p14 = plan_profile(QUERIES["t14_char_diversity"](spark, sf_dir))
     assert p14["n_hash_exchanges"] == 0 and p14["n_python"] == 0
+
+
+def test_q58_user_keyed_touch_join(spark, sf_dir):
+    """The touch join must key on user_id (one shuffle family) with
+    the time range as residual — never a time-only cross join; the
+    per-purchase windows reuse the user partitioning."""
+    plan = plan_of(spark, "q58_multitouch_attribution", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
