@@ -3683,3 +3683,27 @@ FROM credited
 GROUP BY CAST(v_ts AS DATE)
 ORDER BY view_day
 """
+
+
+ORACLES["q59_histogram"] = """
+WITH bounds AS (
+    SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+bucketed AS (
+    -- DuckDB has no width_bucket; replay Spark's exact formula
+    -- (bucket width computed FIRST, then one divide + floor) so the
+    -- IEEE arithmetic — and any boundary-value bucketing — is
+    -- bit-identical to Spark's WidthBucket expression
+    SELECT CASE WHEN o_totalprice >= hi THEN 11
+                WHEN o_totalprice < lo THEN 0
+                ELSE CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+                          AS BIGINT) + 1 END AS bucket,
+           o_totalprice
+    FROM orders, bounds
+)
+SELECT bucket,
+    count(*) AS n_orders,
+    round(min(o_totalprice), 2) AS bucket_min,
+    round(max(o_totalprice), 2) AS bucket_max
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""

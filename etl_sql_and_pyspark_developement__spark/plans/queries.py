@@ -3186,6 +3186,40 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q59_histogram")
+def q59_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profiling via width_bucket — the
+    distribution-shape diagnostic alongside q44's skew profile and
+    q18's summary stats (a data engineer's first look at a new 100 TB
+    column). Bounds come from one tiny min/max aggregate broadcast
+    into the bucketing scan; counts are ONE decomposable groupBy over
+    ≤ n_buckets+2 keys. Bucket edges are data-derived, so the same
+    query profiles any scale.
+
+    Reference parity: R8/R19's value-band segmentation (CASE ladders
+    over revenue bands) is this, generalized to data-driven bands.
+    """
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucketed = orders.join(F.broadcast(bounds)).select(
+        F.expr(
+            "width_bucket(o_totalprice, lo, hi, 10) AS bucket"
+        ),
+        "o_totalprice",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @query("q58_multitouch_attribution")
 def q58_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-touch attribution — the marketing-science upgrade of
