@@ -3707,3 +3707,35 @@ SELECT bucket,
     round(max(o_totalprice), 2) AS bucket_max
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """
+
+
+ORACLES["q60_pareto_abc"] = """
+WITH rev AS (
+    SELECT l_partkey,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, rev_e4,
+        row_number() OVER (ORDER BY rev_e4 DESC, l_partkey) AS rnk,
+        sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev
+    FROM rev
+),
+total AS (SELECT sum(rev_e4) AS tot FROM rev),
+classed AS (
+    SELECT r.*,
+        CAST((CAST(r.cum_rev AS HUGEINT) * 1000000) // t.tot AS BIGINT)
+            AS cum_share_ppm
+    FROM ranked r, total t
+)
+SELECT CASE WHEN cum_share_ppm <= 700000 THEN 'A'
+            WHEN cum_share_ppm <= 900000 THEN 'B' ELSE 'C' END AS abc_class,
+    count(*) AS n_parts,
+    CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4,
+    CAST(min(rnk) AS BIGINT) AS min_rank,
+    CAST(max(rnk) AS BIGINT) AS max_rank
+FROM classed
+GROUP BY 1 ORDER BY abc_class
+"""

@@ -3186,6 +3186,74 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q60_pareto_abc")
+def q60_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification (the 80-20 revenue-concentration
+    analysis): parts ranked by revenue, EXACT ordered cumulative
+    share, classes A (≤70% cumulative), B (≤90%), C (rest). The
+    running sum goes through quantiles.grouped_prefix_stats — the
+    distributed exact-rank machinery q12/p06/p07 use — NOT a global
+    ordered window, so 10⁸ parts never serialize through one task.
+    Revenue is integer ten-thousandths (round(price·(1-disc)·1e4)),
+    so the distributed partial sums are order-independent and the
+    cumulative shares are bit-identical to the oracle's sequential
+    window.
+
+    Reference parity: R8's ROI banding and R19's value deciles are
+    fixed-band forms of this; ABC is the data-driven band version.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 10000) "
+                "AS BIGINT)"
+            )
+        ).alias("rev_e4")
+    )
+    pre = grouped_prefix_stats(
+        rev.withColumn("__g", F.lit(1)),
+        "__g",
+        "rev_e4",
+        ["rev_e4"],
+        "l_partkey",
+        rank_out="rnk",
+        cum_out="cum_rev",
+    )
+    total = rev.agg(F.sum("rev_e4").alias("tot"))
+    classed = pre.join(F.broadcast(total)).select(
+        "l_partkey",
+        "rnk",
+        "rev_e4",
+        F.expr(
+            # widen to decimal: 1e6 * cum_rev overflows BIGINT at
+            # warehouse revenue scales
+            "CAST(CAST(cum_rev AS DECIMAL(38, 0)) * 1000000 DIV tot "
+            "AS BIGINT) AS cum_share_ppm"
+        ),
+    ).withColumn(
+        "abc_class",
+        F.expr(
+            "CASE WHEN cum_share_ppm <= 700000 THEN 'A' "
+            "WHEN cum_share_ppm <= 900000 THEN 'B' ELSE 'C' END"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_e4").alias("class_rev_e4"),
+            F.min("rnk").alias("min_rank"),
+            F.max("rnk").alias("max_rank"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 @query("q59_histogram")
 def q59_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram profiling via width_bucket — the

@@ -567,3 +567,15 @@ def test_q58_user_keyed_touch_join(spark, sf_dir):
     plan = plan_of(spark, "q58_multitouch_attribution", sf_dir)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q60_pareto_distributed_prefix_sum(spark, sf_dir):
+    """The cumulative share must ride grouped_prefix_stats' bucketed
+    machinery — windows keyed (__g, __rb), never a single global
+    ordered window over all parts — and the total broadcasts."""
+    import re
+
+    plan = plan_of(spark, "q60_pareto_abc", sf_dir)
+    assert re.search(r"hashpartitioning\(__g#\d+, __rb#\d+", plan), plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
