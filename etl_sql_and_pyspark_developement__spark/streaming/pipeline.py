@@ -650,3 +650,58 @@ def read_scd2_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current dimension state written by sink_stream_scd2 (the
     highest version snapshot)."""
     return spark.read.parquet(_latest_scd2_version(state_dir))
+
+
+def sink_stream_trending(
+    events: DataFrame, out_dir: str, k: int = 3, window: str = "1 hour"
+):
+    """st20: streaming TRENDING top-k — per time window, the k most
+    frequent event types, maintained live. Structured Streaming
+    cannot rank over its own windowed aggregates (window functions on
+    a streaming aggregation are unsupported), so this uses the
+    standard two-stage pattern: update-mode windowed counts feed a
+    per-batch row_number rank in foreachBatch, and each batch
+    IDEMPOTENTLY overwrites exactly the window partitions it touched
+    (sources/io.overwrite_partitions' dynamic mode) — re-emission of
+    a window replaces that window's top-k, siblings untouched, so
+    the sink converges to the batch answer as counts accumulate.
+
+    Scale: state is the windowed count aggregate (bounded by
+    |windows in watermark| × |types|); each batch ranks only its
+    UPDATED windows' rows, and the partition overwrite rewrites only
+    those windows' files.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        overwrite_partitions,
+    )
+
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("window").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        ranked = (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(
+                F.date_format(F.col("window.start"), "yyyyMMddHH").alias(
+                    "wpart"
+                ),
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "rnk",
+            )
+        )
+        overwrite_partitions(ranked, out_dir, ["wpart"])
+
+    return counts.writeStream.foreachBatch(process).outputMode("update")

@@ -872,3 +872,54 @@ def test_st19_streaming_locf_matches_batch_window(spark, sf_dir, tmp_path):
     }
     assert got == want, "streaming LOCF must equal the batch window fill"
     assert any(v[1] == 1 for v in got.values()), "filled rows must exist"
+
+
+def test_st20_stream_trending_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """The trending sink must converge to the batch per-window top-3
+    after all files process — idempotent partition upserts make late
+    re-emissions of a window replace, not duplicate."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        sink_stream_trending,
+    )
+
+    out = str(tmp_path / "trending")
+    q = sink_stream_trending(
+        read_event_stream(spark, events_dir), out
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.rnk): (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "trending sink wrote nothing"
+
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("window").orderBy(
+                    F.desc("n_events"), F.asc("event_type")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )
+    want = {
+        (r.window_start, r.rnk): (r.event_type, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want, "final trending state must equal the batch top-k"
