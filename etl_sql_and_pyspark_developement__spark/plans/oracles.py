@@ -3739,3 +3739,103 @@ SELECT CASE WHEN cum_share_ppm <= 700000 THEN 'A'
 FROM classed
 GROUP BY 1 ORDER BY abc_class
 """
+
+
+ORACLES["d16_entity_resolution"] = """
+WITH variants AS (
+    SELECT c_custkey + 10000000 AS d_key,
+        upper(c_name) AS d_name,
+        c_nationkey AS d_nation,
+        round(c_acctbal + 0.01, 2) AS d_acctbal,
+        lower(c_mktsegment) AS d_segment
+    FROM customer WHERE c_custkey % 9 = 0
+),
+fresh AS (
+    SELECT c_custkey + 20000000 AS d_key,
+        'Customer#NEW' || CAST(c_custkey AS VARCHAR) AS d_name,
+        c_nationkey AS d_nation,
+        round(c_acctbal, 2) AS d_acctbal,
+        lower(c_mktsegment) AS d_segment
+    FROM customer WHERE c_custkey % 9 = 5
+),
+dirty AS (SELECT * FROM variants UNION ALL SELECT * FROM fresh),
+master AS (
+    SELECT c_custkey, c_name, c_nationkey,
+        round(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+        regexp_replace(c_name, '[^0-9]', '', 'g') AS blk
+    FROM customer
+),
+cand AS (
+    SELECT d.*, m.c_name, m.c_acctbal, m.c_mktsegment
+    FROM (SELECT *, regexp_replace(d_name, '[^0-9]', '', 'g') AS blk
+          FROM dirty) d
+    JOIN master m ON d.d_nation = m.c_nationkey AND d.blk = m.blk
+),
+scored AS (
+    SELECT d_nation,
+        CASE WHEN lower(d_name) = lower(c_name)
+              AND abs(d_acctbal - c_acctbal) <= 0.02
+              AND lower(d_segment) = lower(c_mktsegment)
+             THEN 1 ELSE 0 END AS matched
+    FROM cand
+),
+per_nation AS (
+    SELECT d_nation AS nationkey,
+        count(*) AS n_candidates,
+        CAST(sum(matched) AS BIGINT) AS n_matched
+    FROM scored GROUP BY d_nation
+),
+dirty_counts AS (
+    SELECT d_nation AS nationkey, count(*) AS n_dirty
+    FROM dirty GROUP BY d_nation
+)
+SELECT dc.nationkey, dc.n_dirty,
+    COALESCE(pn.n_candidates, 0) AS n_candidates,
+    COALESCE(pn.n_matched, 0) AS n_matched
+FROM dirty_counts dc LEFT JOIN per_nation pn USING (nationkey)
+ORDER BY nationkey
+"""
+
+
+ORACLES["t18_langid_eval"] = """
+WITH scored AS (
+    SELECT lang,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','of')))  AS score_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','et')))  AS score_fr,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','la','de')))  AS score_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS score_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('的','是','了')))   AS score_zh
+    FROM documents
+),
+best AS (
+    SELECT lang AS true_lang,
+        CASE WHEN greatest(score_en, score_fr, score_es, score_de, score_zh) = 0 THEN 'und'
+             WHEN score_en = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'en'
+             WHEN score_fr = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'fr'
+             WHEN score_es = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'es'
+             WHEN score_de = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'de'
+             ELSE 'zh' END AS predicted_lang
+    FROM scored
+),
+per_true AS (
+    SELECT true_lang AS cls, count(*) AS n_true,
+        CAST(sum(CASE WHEN predicted_lang = true_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+    FROM best GROUP BY true_lang
+),
+per_pred AS (
+    SELECT predicted_lang AS cls, count(*) AS n_pred
+    FROM best GROUP BY predicted_lang
+)
+SELECT COALESCE(t.cls, p.cls) AS cls,
+    COALESCE(t.n_true, 0) AS n_true,
+    COALESCE(p.n_pred, 0) AS n_pred,
+    COALESCE(t.n_correct, 0) AS n_correct,
+    CASE WHEN COALESCE(t.n_true, 0) > 0
+         THEN 1000000 * COALESCE(t.n_correct, 0) // t.n_true END AS recall_ppm,
+    CASE WHEN COALESCE(p.n_pred, 0) > 0
+         THEN 1000000 * COALESCE(t.n_correct, 0) // p.n_pred END
+        AS precision_ppm
+FROM per_true t FULL OUTER JOIN per_pred p ON t.cls = p.cls
+ORDER BY cls
+"""

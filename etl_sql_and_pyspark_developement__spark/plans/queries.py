@@ -3186,6 +3186,136 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("t18_langid_eval")
+def t18_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION metrics — per-class precision/recall for
+    t02's language-ID against the corpus's ground-truth lang column
+    (t02 emits the confusion counts; this is the metric layer every
+    shipped gate needs before it filters 100 TB). Integer ppm from
+    decomposable counts; classes are the union of true and predicted
+    labels (so a predicted-only class like 'und' still gets a
+    precision row).
+
+    Scale: one scan scores+predicts (codegen), two tiny groupBys on
+    the ≤|langs|+1 label space, one label-keyed outer join.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        predict_lang,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pred = predict_lang(docs).select(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    )
+    per_true = pred.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.col("predicted_lang") == F.col("true_lang")).cast("bigint")
+        ).alias("n_correct"),
+    )
+    per_pred = pred.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    return (
+        per_true.join(per_pred, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+            F.expr(
+                "CASE WHEN coalesce(n_true, 0) > 0 THEN "
+                "1000000 * coalesce(n_correct, 0) DIV n_true END AS recall_ppm"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_pred, 0) > 0 THEN "
+                "1000000 * coalesce(n_correct, 0) DIV n_pred END "
+                "AS precision_ppm"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+@query("d16_entity_resolution")
+def d16_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over RELATIONAL records — the dedup family's
+    structured-data sibling (doc dedup matches text; ER matches dirty
+    feed rows to master records). A dirty feed is planted from the
+    customer dim (every custkey % 9 == 0 re-keyed with case-mangled
+    name, ±0.01 balance drift, case-mangled segment; % 9 == 5 spawns
+    genuinely NEW entities that must NOT match). Resolution =
+    BLOCKING on (nation, digits-of-name) — a normalization-stable
+    key, so case mangling can't escape the block — then field
+    scoring (normalized name equality + balance proximity + segment
+    equality) on candidates only. Never an all-pairs compare: the
+    block join is an equi-join, the classic ER scale pattern.
+
+    Planted ground truth makes precision/recall exact: every variant
+    must match, no new entity may (asserted in tests/test_dedup.py).
+    """
+    cust = table(spark, sf_dir, "customer")
+    variants = cust.filter(F.col("c_custkey") % 9 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("d_key"),
+        F.upper("c_name").alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.round(F.col("c_acctbal") + 0.01, 2).alias("d_acctbal"),
+        F.lower("c_mktsegment").alias("d_segment"),
+    )
+    fresh = cust.filter(F.col("c_custkey") % 9 == 5).select(
+        (F.col("c_custkey") + 20_000_000).alias("d_key"),
+        F.concat(F.lit("Customer#NEW"), F.col("c_custkey").cast("string")).alias(
+            "d_name"
+        ),
+        F.col("c_nationkey").alias("d_nation"),
+        F.round(F.col("c_acctbal"), 2).alias("d_acctbal"),
+        F.lower("c_mktsegment").alias("d_segment"),
+    )
+    dirty = variants.unionByName(fresh)
+    block = lambda c: F.regexp_replace(c, "[^0-9]", "")
+    master = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        block("c_name").alias("blk"),
+    )
+    dirty_b = dirty.withColumn("d_blk", block(F.col("d_name")))
+    cand = dirty_b.join(
+        master,
+        (F.col("d_nation") == F.col("c_nationkey"))
+        & (F.col("d_blk") == F.col("blk")),
+    )
+    scored = cand.withColumn(
+        "matched",
+        (
+            (F.lower("d_name") == F.lower("c_name"))
+            & (F.abs(F.col("d_acctbal") - F.col("c_acctbal")) <= 0.02)
+            & (F.lower("d_segment") == F.lower("c_mktsegment"))
+        ).cast("int"),
+    )
+    per_nation = scored.groupBy(
+        F.col("d_nation").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("matched").alias("n_matched"),
+    )
+    dirty_counts = dirty.groupBy(
+        F.col("d_nation").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_dirty"))
+    return (
+        dirty_counts.join(per_nation, "nationkey", "left")
+        .select(
+            "nationkey",
+            "n_dirty",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 @query("q60_pareto_abc")
 def q60_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification (the 80-20 revenue-concentration

@@ -587,3 +587,20 @@ def test_url_canonicalization_idempotent(spark):
         "doc_id", "c1", url_canonical_sql("c1", "spark") + " AS c2"
     )
     assert twice.filter("c1 <> c2").count() == 0
+
+
+def test_entity_resolution_planted_truth(spark, sf_dir):
+    """d16 ground truth: every planted case-mangled variant resolves
+    to its master record; no genuinely-new entity matches anything;
+    blocking never admits cross-entity candidates (n_candidates ==
+    n_variants exactly)."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    rows = QUERIES["d16_entity_resolution"](spark, sf_dir).collect()
+    cust = table(spark, sf_dir, "customer")
+    n_variants = cust.filter(F.col("c_custkey") % 9 == 0).count()
+    n_fresh = cust.filter(F.col("c_custkey") % 9 == 5).count()
+    assert sum(r.n_dirty for r in rows) == n_variants + n_fresh
+    assert sum(r.n_candidates for r in rows) == n_variants
+    assert sum(r.n_matched for r in rows) == n_variants
