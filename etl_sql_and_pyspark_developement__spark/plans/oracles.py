@@ -3839,3 +3839,33 @@ SELECT COALESCE(t.cls, p.cls) AS cls,
 FROM per_true t FULL OUTER JOIN per_pred p ON t.cls = p.cls
 ORDER BY cls
 """
+
+
+ORACLES["q61_capped_running_total"] = """
+WITH RECURSIVE p AS (
+    SELECT user_id, value,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+sizes AS (SELECT user_id, max(rn) AS n_purchases FROM p GROUP BY user_id),
+walk(user_id, rn, bal, n_capped) AS (
+    SELECT user_id, rn,
+        CASE WHEN value > 500.0 THEN 500.0 ELSE value END,
+        CASE WHEN value > 500.0 THEN 1 ELSE 0 END
+    FROM p WHERE rn = 1
+    UNION ALL
+    SELECT p.user_id, p.rn,
+        CASE WHEN w.bal + p.value > 500.0 THEN 500.0
+             ELSE w.bal + p.value END,
+        w.n_capped + CASE WHEN w.bal + p.value > 500.0 THEN 1 ELSE 0 END
+    FROM walk w JOIN p ON p.user_id = w.user_id AND p.rn = w.rn + 1
+)
+SELECT s.user_id,
+    CAST(s.n_purchases AS BIGINT) AS n_purchases,
+    CAST(w.n_capped AS BIGINT) AS n_capped,
+    round(w.bal, 2) AS final_balance
+FROM sizes s JOIN walk w ON w.user_id = s.user_id AND w.rn = s.n_purchases
+ORDER BY s.user_id
+"""

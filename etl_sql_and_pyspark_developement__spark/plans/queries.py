@@ -3186,6 +3186,62 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q61_capped_running_total")
+def q61_capped_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPPED running total per user (loyalty-balance semantics:
+    bal = min(cap, bal + value) per purchase, in time order) — the
+    canonical PREFIX-DEPENDENT scan that no window frame can express
+    (each step's input depends on the previous step's clamped
+    output), so this is the engine's one legitimate batch
+    applyInPandas: Arrow-batched per-user groups, a tight Python
+    fold per group, rows-per-user bounded. The DuckDB oracle walks
+    the same fold as a recursive CTE — identical IEEE add/clamp
+    sequence, so even the float balances are engine-exact.
+
+    Reference parity: R19's lifetime-value accumulation with
+    promotion caps is exactly this shape.
+
+    Scale: ONE shuffle (groupBy user); each task folds its own
+    users' few rows. The Python lane is the point here — everything
+    window-expressible stays codegen elsewhere in this engine.
+    """
+    import pandas as pd
+
+    cap = 500.0
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0.0
+        ncap = 0
+        for v in pdf["value"]:
+            s = bal + float(v)
+            if s > cap:
+                ncap += 1
+                bal = cap
+            else:
+                bal = s
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_purchases": [len(pdf)],
+                "n_capped": [ncap],
+                "final_balance": [round(bal, 2)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, n_purchases bigint, n_capped bigint, "
+        "final_balance double",
+    )
+    return out.orderBy("user_id")
+
+
 @query("t18_langid_eval")
 def t18_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier EVALUATION metrics — per-class precision/recall for

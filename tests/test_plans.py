@@ -579,3 +579,15 @@ def test_q60_pareto_distributed_prefix_sum(spark, sf_dir):
     assert re.search(r"hashpartitioning\(__g#\d+, __rb#\d+", plan), plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q61_applyinpandas_single_shuffle(spark, sf_dir):
+    """q61 is the engine's ONE batch applyInPandas: exactly one
+    Arrow-grouped Python stage over one user shuffle — and the
+    purchase filter is pushed to the scan."""
+    plan = plan_of(spark, "q61_capped_running_total", sf_dir)
+    # formatted mode prints each node in the tree AND the detail
+    # section, so one physical node counts twice
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "purchase" in plan, "event_type filter must reach the scan"
