@@ -3869,3 +3869,43 @@ SELECT s.user_id,
 FROM sizes s JOIN walk w ON w.user_id = s.user_id AND w.rn = s.n_purchases
 ORDER BY s.user_id
 """
+
+
+ORACLES["q62_temporal_join"] = """
+WITH dim AS (
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        round(c_acctbal, 2) AS acctbal,
+        '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM customer
+),
+changed AS (SELECT custkey FROM dim WHERE custkey % 10 = 0),
+versions AS (
+    -- closed old version for changed keys
+    SELECT d.custkey, d.segment, d.acctbal, d.valid_from,
+           '1996-01-01' AS valid_to
+    FROM dim d JOIN changed c USING (custkey)
+    UNION ALL
+    -- opened new version for changed keys
+    SELECT d.custkey, 'PROMOTED', round(d.acctbal + 100, 2),
+           '1996-01-01', CAST(NULL AS VARCHAR)
+    FROM dim d JOIN changed c USING (custkey)
+    UNION ALL
+    -- unchanged keys pass through open
+    SELECT d.custkey, d.segment, d.acctbal, d.valid_from, d.valid_to
+    FROM dim d WHERE d.custkey % 10 <> 0
+),
+j AS (
+    SELECT o.o_custkey, o.o_totalprice, v.segment, v.valid_from
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.custkey
+     AND o.o_orderdate >= CAST(v.valid_from AS DATE)
+     AND o.o_orderdate < COALESCE(CAST(v.valid_to AS DATE),
+                                  DATE '9999-12-31')
+)
+SELECT segment, valid_from,
+    count(*) AS n_orders,
+    count(DISTINCT o_custkey) AS n_customers,
+    round(sum(o_totalprice), 2) AS total_spend
+FROM j GROUP BY segment, valid_from
+ORDER BY segment, valid_from
+"""

@@ -3186,6 +3186,63 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("q62_temporal_join")
+def q62_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL dimension lookup — the consumption side of q29's SCD2
+    build: each fact joins the dimension version VALID AT ITS OWN
+    time (valid_from ≤ o_orderdate < valid_to), so a customer
+    promoted mid-history books pre-promotion orders under the old
+    segment and post-promotion orders under the new one. The
+    point-in-time-correct join every warehouse needs and naive
+    current-state joins silently get wrong.
+
+    Scale: equi-join on the business key with the validity interval
+    as a RESIDUAL predicate — versions per key are bounded (SCD2
+    chains), so no range explosion; the rollup is a tiny groupBy.
+    Each fact matches exactly one version (asserted in
+    tests/test_operators.py).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.scd2 import scd2_apply
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("PROMOTED").alias("segment"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+    )
+    # effective mid-history so facts genuinely split across versions
+    versions = scd2_apply(
+        dim, updates, key="custkey", attr_cols=["segment", "acctbal"],
+        effective_date="1996-01-01",
+    )
+    j = orders.join(
+        versions,
+        (F.col("o_custkey") == F.col("custkey"))
+        & (F.col("o_orderdate") >= F.to_date("valid_from"))
+        & (
+            F.col("o_orderdate")
+            < F.coalesce(F.to_date("valid_to"), F.lit("9999-12-31").cast("date"))
+        ),
+    )
+    return (
+        j.groupBy("segment", "valid_from")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy("segment", "valid_from")
+    )
+
+
 @query("q61_capped_running_total")
 def q61_capped_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPPED running total per user (loyalty-balance semantics:

@@ -24,6 +24,7 @@ from collections.abc import Iterable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -218,4 +219,62 @@ def streaming_locf(events: DataFrame) -> DataFrame:
             "update",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+CAPPED_OUTPUT_SCHEMA = (
+    "user_id bigint, n_purchases bigint, n_capped bigint, balance double"
+)
+CAPPED_STATE_SCHEMA = "bal double, n bigint, ncap bigint"
+
+
+def _make_capped_fn(cap: float):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        bal, n, ncap = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                if pd.isna(v):
+                    continue
+                n += 1
+                s = bal + float(v)
+                if s > cap:
+                    ncap += 1
+                    bal = cap
+                else:
+                    bal = s
+        state.update((bal, n, ncap))
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_purchases": [n],
+                "n_capped": [ncap],
+                "balance": [round(bal, 2)],
+            }
+        )
+
+    return update
+
+
+def streaming_capped_total(events: DataFrame, cap: float = 500.0) -> DataFrame:
+    """st21: streaming CAPPED accumulator — q61's prefix-dependent
+    fold (bal = min(cap, bal+value)) carried across micro-batches as
+    keyed state (applyInPandasWithState). The loyalty-balance /
+    quota-meter that must survive a stream restart: state is three
+    scalars per user, and because the fold is the SAME IEEE add/clamp
+    sequence as the batch op, the final emitted balance equals q61's
+    answer exactly when events arrive in order (parity tested).
+    """
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return purch.groupBy("user_id").applyInPandasWithState(
+        _make_capped_fn(cap),
+        CAPPED_OUTPUT_SCHEMA,
+        CAPPED_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

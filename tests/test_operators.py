@@ -317,3 +317,17 @@ def test_q54_fill_invariants(spark, sf_dir):
         for r in rs:
             if r.fill_kind == "interp":
                 assert lo - 1e-9 <= r.filled_value <= hi + 1e-9
+
+
+def test_q62_each_fact_matches_one_version(spark, sf_dir):
+    """The temporal join is lossless and unambiguous: every order
+    matches exactly one dimension version (total matched rows ==
+    order count), and both eras genuinely receive facts."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    rows = QUERIES["q62_temporal_join"](spark, sf_dir).collect()
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    eras = {r.valid_from for r in rows}
+    assert eras == {"1990-01-01", "1996-01-01"}, eras

@@ -923,3 +923,39 @@ def test_st20_stream_trending_matches_batch(spark, sf_dir, events_dir, tmp_path)
         for r in batch.collect()
     }
     assert got == want, "final trending state must equal the batch top-k"
+
+
+def test_st21_streaming_capped_total_matches_q61(spark, sf_dir, events_dir):
+    """The streaming capped accumulator's final per-user state must
+    equal the batch q61 fold exactly — same IEEE add/clamp sequence,
+    state carried across micro-batches."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_capped_total,
+    )
+
+    stream = streaming_capped_total(read_event_stream(spark, events_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st21_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_purchases, r.n_capped, r.balance)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_purchases DESC) AS rn "
+            "FROM st21_out) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_purchases, r.n_capped, r.final_balance)
+        for r in QUERIES["q61_capped_running_total"](spark, sf_dir).collect()
+    }
+    assert got == want, "streaming fold must equal the batch fold"
