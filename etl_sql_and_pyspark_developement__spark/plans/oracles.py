@@ -3909,3 +3909,60 @@ SELECT segment, valid_from,
 FROM j GROUP BY segment, valid_from
 ORDER BY segment, valid_from
 """
+
+
+def _d17_oracle() -> str:
+    # Identical polynomial-window arithmetic as the Spark SQL text
+    # (same modulus, same unrolled power constants).
+    M = 1_000_000_007
+    pows = [pow(256, 7 - j, M) for j in range(8)]
+    hash_expr = "(" + " + ".join(
+        f"(CAST(ascii(substr(t, i + {j}, 1)) AS BIGINT) * {pows[j]}) % {M}"
+        for j in range(8)
+    ) + f") % {M}"
+    return f"""
+WITH base AS (
+    SELECT doc_id, substr(text, 1, 512) AS t,
+           length(substr(text, 1, 512)) AS L
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+),
+pos AS (
+    SELECT doc_id, t, L, CAST(u.i AS INTEGER) AS i
+    FROM base, unnest(range(1, L - 6)) AS u(i)
+    WHERE L >= 8
+),
+bounds AS (
+    SELECT doc_id, t, L, i AS start
+    FROM pos WHERE {hash_expr} % 64 = 0 AND i > 1
+),
+starts AS (
+    SELECT doc_id, t, L, 1 AS start FROM base
+    UNION ALL
+    SELECT doc_id, t, L, start FROM bounds
+),
+chunks AS (
+    SELECT doc_id,
+        md5(substr(t, start,
+            COALESCE(lead(start) OVER (PARTITION BY doc_id
+                                       ORDER BY start) - start,
+                     L - start + 1))) AS fp
+    FROM starts
+),
+fp_docs AS (
+    SELECT fp, count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY fp
+)
+SELECT c.doc_id,
+    count(*) AS n_chunks,
+    CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_chunks,
+    1000000 * CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) // count(*) AS dup_ppm
+FROM chunks c JOIN fp_docs f USING (fp)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+ORACLES["d17_cdc_chunk_dedup"] = _d17_oracle()

