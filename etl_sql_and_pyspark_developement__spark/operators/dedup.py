@@ -567,12 +567,20 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     graph. Turns pairwise dedup output into dedup GROUPS, from which a
     pipeline keeps one canonical doc per component.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label in its neighborhood; rounds double the reachable
-    radius, so it converges in O(log(diameter)) iterations — near-dup
-    clusters are tiny (stars/cliques), so 2-3 rounds in practice. The
+    Iterative min-label propagation PLUS pointer jumping: each round
+    (1) every node adopts the smallest label in its neighborhood
+    (moves labels ONE hop — alone this would be O(diameter) rounds),
+    then (2) every node re-points its label to its label's label
+    (component := label(component)), which doubles the distance a
+    label has travelled — together O(log(diameter)) rounds, the
+    Hash-to-Min-style guarantee. Near-dup clusters are tiny
+    (stars/cliques, diameter ≤ 3), so 2 rounds in practice, but long
+    chains (e.g. pairwise-similar doc series) stay cheap too. The
     loop is driver-side control flow over fully distributed steps
-    (joins + min aggregations), the standard Spark CC pattern.
+    (joins + min aggregations). If the loop exhausts
+    ``max_iterations`` without converging it RAISES — a silently
+    wrong component assignment is the worst failure mode a dedup
+    pipeline can have (it deletes the wrong docs).
 
     Iteration frames are localCheckpoint-ed, not persisted: each round
     would otherwise re-analyze a lineage that grows by two joins per
@@ -603,32 +611,55 @@ def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("component", F.col("doc"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        updated = labels.join(
+            neighbor_min, labels.doc == neighbor_min.src, "left"
+        ).select(
+            "doc",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jump: component := label(component). Every label is
+        # itself a doc id present in `updated`, so a self-lookup
+        # doubles how far a small label has propagated — this is what
+        # buys O(log d) instead of O(d) rounds on chains.
+        lk = updated.select(
+            F.col("doc").alias("__c"), F.col("component").alias("__cc")
+        )
         # Carry old + new label in ONE materialized frame so the
         # convergence check is a filter over it, not a second join.
-        updated = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+        jumped = (
+            updated.join(lk, updated.component == lk.__c, "left")
             .select(
                 "doc",
-                F.col("component").alias("__old"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                "__old",
+                F.coalesce(F.col("__cc"), F.col("component")).alias("component"),
             )
             .localCheckpoint()
         )
         changed = (
-            updated.filter(F.col("component") != F.col("__old")).limit(1).count()
+            jumped.filter(F.col("component") != F.col("__old")).limit(1).count()
         )
-        labels = updated.select("doc", "component")
+        labels = jumped.select("doc", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iterations} "
+            "iterations — refusing to return a partially-propagated "
+            "labeling (it would assign wrong dedup groups). Raise "
+            "max_iterations; O(log(graph diameter)) rounds suffice."
+        )
     return labels.select("doc", "component")
 
 

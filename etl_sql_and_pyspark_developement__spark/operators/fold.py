@@ -1,0 +1,102 @@
+"""Prefix-dependent folds expressed scale-first.
+
+The marquee case is the CAPPED running total (loyalty-balance
+semantics: ``bal = min(cap, bal + v)`` per event in time order).
+Naively that is a sequential fold — each step's input depends on the
+previous step's *clamped* output — which tempts a per-group Python
+loop. But the fold has structure:
+
+* **Non-negative inputs** (the common ledger shape: purchases,
+  token counts, byte sizes): once the balance hits the cap, a
+  non-negative add keeps it capped, and *before* the first cap the
+  balance IS the plain running prefix sum. So the whole fold
+  collapses to ``least(cap, sum(v) OVER (... ROWS UNBOUNDED
+  PRECEDING))`` — pure window codegen, one shuffle, zero Python.
+  The per-row capped flag is likewise windowable:
+  ``least(cap, lag(S)) + v > cap`` replays the exact IEEE double
+  add/compare the sequential fold performs (Spark's running-frame
+  window sum accumulates rows one at a time in sort order, so the
+  pre-cap prefix sums are bit-identical to the fold's balances).
+
+* **Mixed-sign inputs** (refunds, chargebacks): the clamp no longer
+  simplifies, so we fall back to an Arrow-batched ``applyInPandas``
+  fold per key — the documented general-sign path.  (The map
+  ``x ↦ min(cap, x + a)`` composes associatively, so a two-scalar
+  tree aggregate exists in principle; the Arrow fold is the honest
+  implementation until a JVM UDAF is warranted.)
+
+Reference parity: R19's lifetime-value accumulation with promotion
+caps (`pyspark/User Lifetime Value Prediction.py`) is this shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["capped_running_total"]
+
+
+def capped_running_total(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value_col: str,
+    cap: float,
+    assume_nonnegative: bool = True,
+) -> DataFrame:
+    """Per-key summary of the capped fold: (key, n_events, n_capped,
+    final_balance).
+
+    ``assume_nonnegative=True`` (default) runs the pure-window plan —
+    codegen end-to-end, ONE hash shuffle on ``key``, exact to the
+    sequential fold bit-for-bit.  ``False`` runs the general-sign
+    Arrow fold (one shuffle, per-key Python loop).
+    """
+    if assume_nonnegative:
+        w = Window.partitionBy(key).orderBy(*order)
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        v = F.col(value_col)
+        prefix = F.sum(v).over(run)
+        prev_bal = F.least(F.lit(cap), F.coalesce(F.lag(prefix).over(w), F.lit(0.0)))
+        stepped = df.select(
+            F.col(key),
+            v.alias("__v"),
+            prefix.alias("__s"),
+            ((prev_bal + v) > F.lit(cap)).cast("bigint").alias("__capped"),
+        )
+        return stepped.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__capped").alias("n_capped"),
+            # S is non-decreasing for non-negative v, so max(S) is the
+            # final prefix sum; least() pins it at cap post-cap.
+            F.round(F.least(F.lit(cap), F.max("__s")), 2).alias("final_balance"),
+        )
+
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order)
+        bal, ncap = 0.0, 0
+        for val in pdf[value_col]:
+            s = bal + float(val)
+            if s > cap:
+                ncap += 1
+                bal = cap
+            else:
+                bal = s
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_capped": [ncap],
+                "final_balance": [round(bal, 2)],
+            }
+        )
+
+    key_type = dict(df.dtypes)[key]
+    return df.groupBy(key).applyInPandas(
+        fold,
+        f"{key} {key_type}, n_events bigint, n_capped bigint, "
+        "final_balance double",
+    )

@@ -30,8 +30,13 @@ def plan_profile(df: DataFrame) -> dict:
 
     - n_scans: parquet/file scans (re-reads of the same table count —
       each is a full pass at 100 TB)
-    - n_exchanges / n_hash_exchanges / n_range_exchanges: total
-      shuffles and their kinds (range = global sort)
+    - n_exchanges / n_hash_exchanges / n_range_exchanges /
+      n_single_exchanges: SHUFFLE exchanges only (BroadcastExchange
+      and ReusedExchange are excluded — broadcast is counted under
+      n_broadcast) and their kinds (hash; range = global sort;
+      SinglePartition = collapse to one task). All four are counted
+      over the same plan text, so
+      n_exchanges == n_hash + n_range + n_single always holds.
     - n_broadcast: broadcast exchanges (small-side joins)
     - joins: join strategy name → count (SortMergeJoin showing up
       where a broadcast was expected is the classic 10× regression)
@@ -55,12 +60,22 @@ def plan_profile(df: DataFrame) -> dict:
         sorted(re.findall(r"(\w+):", m.group(1)))
         for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
     ]
+    # Shuffle-kind counters come from the detail section's Exchange
+    # Arguments lines (formatted mode prints the partitioning there,
+    # not in the tree); the total is their sum, which by construction
+    # excludes BroadcastExchange/ReusedExchange — a plain substring
+    # count of "Exchange" would overstate shuffles on any
+    # broadcast-join plan.
+    n_hash = len(re.findall(r"Arguments: hashpartitioning\(", plan))
+    n_range = len(re.findall(r"Arguments: rangepartitioning\(", plan))
+    n_single = len(re.findall(r"Arguments: SinglePartition", plan))
     return {
         "n_scans": len(re.findall(r"Scan parquet|Scan orc|Scan csv|Scan json", tree)),
-        "n_exchanges": tree.count("Exchange"),
-        "n_hash_exchanges": plan.count("hashpartitioning("),
-        "n_range_exchanges": plan.count("rangepartitioning("),
-        "n_broadcast": tree.count("BroadcastExchange"),
+        "n_exchanges": n_hash + n_range + n_single,
+        "n_hash_exchanges": n_hash,
+        "n_range_exchanges": n_range,
+        "n_single_exchanges": n_single,
+        "n_broadcast": len(re.findall(r"\bBroadcastExchange\b", tree)),
         "joins": joins,
         "n_python": len(
             re.findall(

@@ -190,10 +190,15 @@ def read_jsonl_quarantine(
 
     The marker column must be part of the declared read schema (Spark
     only populates `columnNameOfCorruptRecord` if the schema contains
-    it); both returned frames also project regular fields, which keeps
-    the scan legal (Spark disallows queries referencing ONLY the
-    internal corrupt column). One scan serves both sides at 100 TB —
-    the split is two filters over the same file source.
+    it). Spark REFUSES any query over the raw files whose column
+    pruning leaves only the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and
+    `quarantine.count()` is exactly such a query — so the parsed
+    frame is cache()'d before the split, the workaround Spark's own
+    error message prescribes. The cache also means ONE parse serves
+    both sides; at 100 TB ingest is chunked per batch, so the cached
+    unit is a batch, not the corpus (callers can `unpersist()` the
+    clean frame's source after sinking both sides).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField
@@ -207,6 +212,7 @@ def read_jsonl_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", marker)
         .json(path)
+        .cache()
     )
     clean = df.filter(F.col(marker).isNull()).drop(marker)
     quarantine = df.filter(F.col(marker).isNotNull()).withColumnRenamed(

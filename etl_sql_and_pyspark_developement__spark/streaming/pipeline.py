@@ -578,14 +578,26 @@ def stream_path_alert(
     )
 
 
+def _scd2_versions(state_dir: str) -> list[int]:
+    """COMMITTED snapshot versions, ascending. A version counts only
+    if its `_SUCCESS` marker exists — a crash mid-write leaves either
+    a temp dir (ignored: no `v` prefix) or a marker-less partial that
+    must never be adopted as current state."""
+    import os
+
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d[1:].isdigit() and os.path.exists(
+            os.path.join(state_dir, d, "_SUCCESS")
+        ):
+            out.append(int(d[1:]))
+    return sorted(out)
+
+
 def _latest_scd2_version(state_dir: str) -> str:
     import os
 
-    versions = sorted(
-        (d for d in os.listdir(state_dir) if d.startswith("v")),
-        key=lambda d: int(d[1:]),
-    )
-    return os.path.join(state_dir, versions[-1])
+    return os.path.join(state_dir, f"v{_scd2_versions(state_dir)[-1]}")
 
 
 def sink_stream_scd2(
@@ -603,7 +615,14 @@ def sink_stream_scd2(
     operators/scd2.scd2_apply (effective date = the batch's max
     update date), and the new state is written as an immutable
     versioned snapshot (state_dir/v{n}) — the plain-parquet stand-in
-    for a lake-format MERGE INTO, with time-travel for free.
+    for a lake-format MERGE INTO, with time-travel for free. Commit
+    protocol: each snapshot is written to a temp directory and
+    renamed into v{n} only on success (atomic repoint, no
+    read-while-overwrite); version resolution requires the _SUCCESS
+    marker, so a crash mid-write can never be adopted as current
+    state; and n is derived from the max COMMITTED version on disk —
+    not epoch_id — so a checkpoint-less restart extends history
+    rather than overwriting it.
 
     Scale: per-batch cost is one key-shuffle join of batch × open
     rows; history rows pass through untouched. The versioned-snapshot
@@ -612,11 +631,22 @@ def sink_stream_scd2(
     gates them) and the per-batch apply logic is unchanged.
     """
     import os
+    import shutil
 
     from pyspark.sql import Window
 
+    def commit_snapshot(df: DataFrame, version: int) -> None:
+        tmp = os.path.join(state_dir, f".tmp-v{version}")
+        final = os.path.join(state_dir, f"v{version}")
+        df.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"scd2 snapshot write of v{version} incomplete")
+        if os.path.exists(final):
+            shutil.rmtree(final)  # marker-less partial from a crash
+        os.rename(tmp, final)
+
     os.makedirs(state_dir, exist_ok=True)
-    dim_init.write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+    commit_snapshot(dim_init, 0)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -637,11 +667,10 @@ def sink_stream_scd2(
             scd2_apply,
         )
 
-        dim = spark.read.parquet(_latest_scd2_version(state_dir))
+        current = _scd2_versions(state_dir)[-1]
+        dim = spark.read.parquet(os.path.join(state_dir, f"v{current}"))
         new_dim = scd2_apply(dim, latest, key, attr_cols, str(eff))
-        new_dim.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{int(epoch_id) + 1}")
-        )
+        commit_snapshot(new_dim, current + 1)
 
     return update_stream.writeStream.foreachBatch(process).outputMode("update")
 

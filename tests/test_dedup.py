@@ -604,3 +604,63 @@ def test_entity_resolution_planted_truth(spark, sf_dir):
     assert sum(r.n_dirty for r in rows) == n_variants + n_fresh
     assert sum(r.n_candidates for r in rows) == n_variants
     assert sum(r.n_matched for r in rows) == n_variants
+
+
+def test_d17_short_doc_boundary_regression(spark, sf_dir, tmp_path):
+    """Regression (round-3 ADVICE): a doc whose 512-char prefix is
+    exactly 8 chars used to hit sequence(2, L-7) = sequence(2, 1),
+    which Spark generates DESCENDING as [2, 1] — the boundary lambda
+    then read element_at(bs, 9) past the 8-byte array and the whole
+    query died with ArrayIndexOutOfBoundsException. L=8 docs must
+    route through the single-chunk arm (they have no valid interior
+    boundary: i >= 2 and i <= L-7 is empty)."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    synth = tmp_path / "sf_synth"
+    synth.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", synth / f"{t}.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "12345678", "en", "web"),          # exactly 8 chars
+            (2, "1234567", "en", "web"),           # 7 chars
+            (3, "abcdefgh" * 40, "en", "web"),     # long, has boundaries
+            (4, "abcdefgh" * 40 + "tail", "en", "web"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    docs.write.parquet(str(synth / "documents.parquet"))
+    out = {r["doc_id"]: r["n_chunks"]
+           for r in QUERIES["d17_cdc_chunk_dedup"](spark, str(synth)).collect()}
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] >= 1 and out[4] >= 1
+
+
+def test_components_long_chain_converges_or_raises(spark):
+    """Round-3 VERDICT fix: plain one-hop min propagation needed
+    O(diameter) rounds, so a >20-hop chain silently returned wrong
+    components when max_iterations=20 ran out. With pointer jumping
+    the same chain converges in O(log d) rounds — and when the budget
+    really is too small the operator now RAISES instead of returning
+    a wrong labeling."""
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+    )
+
+    # a 200-node path: diameter 199 >> 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a bigint, doc_b bigint"
+    )
+    labels = {
+        r["doc"]: r["component"]
+        for r in dedup_components(pairs, max_iterations=20).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 200
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iterations=2)

@@ -235,3 +235,26 @@ def test_read_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
     raws = {r.raw_line for r in bad}
     assert '{broken json' in raws
     assert any('not-a-number' in r for r in raws)
+
+
+def test_read_jsonl_quarantine_count_is_legal(spark, tmp_path):
+    """Regression (round-3 ADVICE): .count() on either returned frame
+    used to throw UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    when column pruning left only the corrupt column — the most common
+    first use of a quarantine frame is counting it. The parsed frame
+    is now cached before the split, so both counts are legal."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "ingest2.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n{nope\n')
+    schema = StructType(
+        [StructField("doc_id", LongType(), True),
+         StructField("text", StringType(), True)]
+    )
+    clean, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+    assert quarantine.count() == 1
+    assert clean.count() == 1

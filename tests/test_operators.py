@@ -331,3 +331,60 @@ def test_q62_each_fact_matches_one_version(spark, sf_dir):
     assert sum(r.n_orders for r in rows) == n_orders
     eras = {r.valid_from for r in rows}
     assert eras == {"1990-01-01", "1996-01-01"}, eras
+
+
+def test_capped_fold_window_matches_arrow_path(spark, sf_dir):
+    """The pure-window capped fold (default) and the general-sign
+    applyInPandas fold agree bit-for-bit on the shipped non-negative
+    purchase data — the window form is an exact rewrite, not an
+    approximation."""
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        capped_running_total,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    fast = capped_running_total(
+        ev, "user_id", ["ts", "event_id"], "value", 500.0,
+        assume_nonnegative=True,
+    )
+    slow = capped_running_total(
+        ev, "user_id", ["ts", "event_id"], "value", 500.0,
+        assume_nonnegative=False,
+    )
+    a = {r["user_id"]: (r["n_events"], r["n_capped"], r["final_balance"])
+         for r in fast.collect()}
+    b = {r["user_id"]: (r["n_events"], r["n_capped"], r["final_balance"])
+         for r in slow.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_capped_fold_mixed_sign_general_path(spark):
+    """Mixed-sign inputs (refunds) go through the Arrow fold; verify
+    against a hand-walked sequence where the clamp genuinely differs
+    from least(cap, prefix_sum)."""
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        capped_running_total,
+    )
+
+    rows = [
+        # user 1: 400, +300 (caps at 500), -200 (300), +300 (caps: 500+?
+        # wait: 300+300=600>500 -> caps), final 500, n_capped=2
+        (1, 1, 1, 400.0), (1, 2, 2, 300.0), (1, 3, 3, -200.0), (1, 4, 4, 300.0),
+        # user 2: -50 (bal -50), 600 (caps 500), -600 (-100), 50 (-50)
+        (2, 1, 1, -50.0), (2, 2, 2, 600.0), (2, 3, 3, -600.0), (2, 4, 4, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_id int, value double")
+    out = {r["user_id"]: (r["n_events"], r["n_capped"], r["final_balance"])
+           for r in capped_running_total(
+               df, "user_id", ["ts", "event_id"], "value", 500.0,
+               assume_nonnegative=False).collect()}
+    assert out[1] == (4, 2, 500.0)
+    assert out[2] == (4, 1, -50.0)
+    # and here least(cap, prefix) would be WRONG for user 2's final
+    # (prefix total = 0.0, clamped fold ends at -50): the fast path is
+    # only claimed for non-negative inputs.

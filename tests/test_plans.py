@@ -581,16 +581,18 @@ def test_q60_pareto_distributed_prefix_sum(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_q61_applyinpandas_single_shuffle(spark, sf_dir):
-    """q61 is the engine's ONE batch applyInPandas: exactly one
-    Arrow-grouped Python stage over one user shuffle — and the
-    purchase filter is pushed to the scan."""
+def test_q61_pure_window_no_python(spark, sf_dir):
+    """q61's default plan is the least(cap, running_sum) window form:
+    codegen end-to-end, ONE user-keyed hash shuffle, no Python stage
+    — and the purchase filter is pushed to the scan. (The general
+    mixed-sign applyInPandas path lives in operators/fold.py and is
+    parity-tested separately.)"""
     plan = plan_of(spark, "q61_capped_running_total", sf_dir)
-    # formatted mode prints each node in the tree AND the detail
-    # section, so one physical node counts twice
-    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
     assert "purchase" in plan, "event_type filter must reach the scan"
+    assert "Window" in plan
 
 
 def test_d17_cdc_codegen_no_python(spark, sf_dir):
@@ -601,3 +603,34 @@ def test_d17_cdc_codegen_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan, "position explode expected"
+
+
+def test_q58_touch_join_keyed_on_user_and_bin(spark, sf_dir):
+    """q58's touch join must carry the 7-day time BIN in the equi-join
+    key alongside user_id (round-3 VERDICT): a hot user's pre-filter
+    pair fan-out is then bounded by one week's activity per task
+    instead of their whole history. The exact BETWEEN stays as the
+    residual condition."""
+    import re
+
+    plan = plan_of(spark, "q58_multitouch_attribution", sf_dir)
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    binned = [k for k in keys if "__bin#" in k and "user_id#" in k]
+    assert len(binned) >= 2, f"expected (bin, user) join keys, got {keys}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q62_asof_no_pair_materialization(spark, sf_dir):
+    """q62's temporal lookup must be the AS-OF form (round-3 VERDICT):
+    a key-partitioned last(ignorenulls) window over the fact∪version
+    union — NOT an equi-join with the validity interval as residual,
+    which materializes facts × versions pairs per key before
+    filtering. The residual form's signature is a join condition on
+    o_orderdate; the as-of form has none."""
+    plan = plan_of(spark, "q62_temporal_join", sf_dir)
+    assert "last(__p_segment" in plan, "as-of window lane expected"
+    import re
+
+    for m in re.finditer(r"Join condition: (.*)", plan):
+        assert "orderdate" not in m.group(1), m.group(0)

@@ -959,3 +959,29 @@ def test_st21_streaming_capped_total_matches_q61(spark, sf_dir, events_dir):
         for r in QUERIES["q61_capped_running_total"](spark, sf_dir).collect()
     }
     assert got == want, "streaming fold must equal the batch fold"
+
+
+def test_scd2_state_ignores_uncommitted_partial(spark, tmp_path):
+    """Regression (round-3 ADVICE): a crash mid-write used to leave a
+    marker-less partial v{n} that max-version resolution adopted as
+    current state. Committed versions now require _SUCCESS; partials
+    and temp dirs are invisible to readers and get replaced by the
+    next commit."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        _latest_scd2_version,
+        _scd2_versions,
+    )
+
+    state = tmp_path / "state"
+    state.mkdir()
+    good = spark.createDataFrame([(1, "A")], "k int, v string")
+    good.write.parquet(str(state / "v0"))
+    # simulate a crash: v1 exists but has no _SUCCESS marker
+    (state / "v1").mkdir()
+    (state / "v1" / "part-00000.parquet").write_bytes(b"partial")
+    # and a temp dir from an in-flight write
+    (state / ".tmp-v2").mkdir()
+    assert _scd2_versions(str(state)) == [0]
+    assert _latest_scd2_version(str(state)).endswith("v0")
