@@ -41,6 +41,13 @@ _NEEDS_DRIVER_ROW = [
     "q12_ltv_deciles", "q14_percentile_benchmark", "q16_roi_deciles",
     "q17_daily_growth", "d11_semantic_dedup", "m04_window_features",
     "p06_token_budget",
+    # round-3 changes: components rework (d06/d07), similarity-path
+    # rebuild (s03/s04), and the six new round-3 queries
+    "d06_dedup_components", "d07_components_exact",
+    "s03_ann_ivf", "s04_mmr_diverse_topk",
+    "q63_anomaly_mad", "q64_sequence_bigrams", "d18_ngram_novelty",
+    "t19_readability", "t20_zipf_slope", "p15_pps_sample",
+    "t02_lang_id",  # predict_lang single-tokenize rebuild (round 3)
 ]
 
 

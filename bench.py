@@ -51,7 +51,19 @@ def main() -> None:
             # Queries persist their own intermediates; drop them
             # between runs (outside the timed section) so one run's
             # cache neither pressures memory nor flatters the next.
+            # clearCache only frees InMemoryRelations — NOT
+            # localCheckpoint RDD blocks (the dedup/IVF queries'
+            # materialization), which are freed when the frame is
+            # GC'd on BOTH sides: drop the Python ref, collect so
+            # py4j releases the JVM handle, and nudge the JVM GC so
+            # ContextCleaner reclaims the blocks before the next
+            # heavy query instead of during it.
+            del df
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             r += 1
         timings[key] = round(best, 3)
         print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)

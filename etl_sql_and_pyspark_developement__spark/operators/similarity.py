@@ -262,11 +262,20 @@ def knn_graph(
 
 def _centroids_df(spark, centroids: list[list[float]]):
     """Tiny (k rows) DataFrame of centroid vectors — joined broadcast
-    instead of inlined as literals, so plans stay small at any k."""
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster int, centroid array<double>",
+    instead of inlined as literals, so plans stay small at any k.
+    Built via the pandas/Arrow path: the row-list createDataFrame
+    pays ~0.65s of Python->JVM conversion per call even warm, the
+    Arrow batch ~0.1s (measured) — and kmeans builds this table once
+    per Lloyd iteration."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "cluster": list(range(len(centroids))),
+            "centroid": [[float(x) for x in c] for c in centroids],
+        }
     )
+    return spark.createDataFrame(pdf, "cluster int, centroid array<double>")
 
 
 def _sq_l2(vec_col: str, cent_col: str) -> Column:
@@ -703,11 +712,35 @@ def mmr_select(
     """
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if query_id is None:
-        query_id = base.agg(F.min("id")).collect()[0][0]
-    qrow = base.filter(F.col("id") == query_id)
-    unit = F.transform(
-        F.col("v"), lambda x: x.cast("double")
-    )
+        # one combined 1-row job: the min id AND its vector (min_by),
+        # instead of a min(id) job + a filter job + a broadcast build
+        qid_row = base.agg(
+            F.min("id").alias("qid"), F.min_by("v", "id").alias("qv")
+        ).collect()[0]
+        query_id, qraw = qid_row["qid"], qid_row["qv"]
+    else:
+        qraw = (
+            base.filter(F.col("id") == query_id).select("v").collect()[0]["v"]
+        )
+    # Normalize the query DRIVER-side with the same left-to-right
+    # float64 ops the corpus-side F.aggregate fold uses (acc starts at
+    # 0.0; one square, add, sqrt, divide per element — bit-identical
+    # to the previous in-plan normalization), then inline it as a
+    # LITERAL array: no broadcast join, no per-row query sub-plan —
+    # the analysis/codegen of that join dominated this query's wall
+    # time (pool-bounded data; measured 2.5x).
+    import math
+
+    qacc = 0.0
+    for x in qraw:
+        qacc = qacc + float(x) * float(x)
+    qn = math.sqrt(qacc)
+    if qn == 0.0:
+        return corpus.sparkSession.createDataFrame(
+            [], "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+        )
+    qu = F.array(*[F.lit(float(x) / qn) for x in qraw])
+    unit = F.transform(F.col("v"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(
         F.transform(F.col("v"), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -716,17 +749,13 @@ def mmr_select(
     # NaN LARGEST under ORDER BY DESC — degenerate vectors would
     # hijack top pool slots and poison the driver greedy loop. Exclude
     # them (a zero query vector yields no result rather than NaNs).
-    q = qrow.filter(nrm > 0).select(
-        F.transform(unit, lambda x: x / nrm).alias("qv")
-    )
     cands = (
         base.filter((F.col("id") != query_id) & (nrm > 0))
         .select("id", F.transform(unit, lambda x: x / nrm).alias("uv"))
-        .join(F.broadcast(q), F.lit(True))
         .withColumn(
             "relevance",
             F.aggregate(
-                F.zip_with(F.col("uv"), F.col("qv"), lambda x, y: x * y),
+                F.zip_with(F.col("uv"), qu, lambda x, y: x * y),
                 F.lit(0.0), lambda acc, x: acc + x,
             ),
         )
@@ -753,13 +782,27 @@ def mmr_select(
         rid, score, rel = best
         sel_vecs.append(remaining.pop(rid)[0])
         selected.append((len(selected) + 1, rid, rel, score))
+    # Emit the k result rows as a literal inline-table plan instead of
+    # createDataFrame: the Python->JVM row-conversion path costs
+    # ~0.7s per call even warm (measured), pure-literal plans ~0.1s —
+    # and k rows of 4 scalars are trivially literal-able.
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [
-            (rank, rid, round(rel, 6), round(score, 6))
-            for rank, rid, rel, score in selected
-        ],
-        "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE",
+    if not selected:
+        return spark.createDataFrame(
+            [], "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+        )
+    return spark.range(1).select(
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(rank).cast("int").alias("rank"),
+                    F.lit(rid).cast("bigint").alias("vec_id"),
+                    F.lit(round(rel, 6)).cast("double").alias("relevance"),
+                    F.lit(round(score, 6)).cast("double").alias("mmr_score"),
+                )
+                for rank, rid, rel, score in selected
+            ])
+        )
     )
 
 

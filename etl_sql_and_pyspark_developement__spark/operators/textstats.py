@@ -85,16 +85,31 @@ def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Ties break by language-code order (deterministic), matching the
     SQL oracle's greatest-score-first CASE chain.
+
+    The text is tokenized ONCE into an intermediate projection and the
+    per-language filters read that array column — inlining the split
+    into each score (the obvious withColumn chain) leaves |languages|
+    split() calls in the plan, and codegen subexpression elimination
+    does not reach inside higher-order-function arguments; at corpus
+    scale that is a |languages|× tokenization bill. Single select for
+    the scores (not a withColumn chain) also keeps analysis time flat
+    as languages are added.
     """
-    scores = lang_scores(text_col)
-    out = df
-    for lang, score in scores.items():
-        out = out.withColumn(f"score_{lang}", score)
+    tokd = df.withColumn("_lang_toks", tokens(F.col(text_col)))
+    scored = tokd.select(
+        "*",
+        *[
+            F.size(F.filter(F.col("_lang_toks"), _isin_pred(markers))).alias(
+                f"score_{lang}"
+            )
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
     pred = F.when(best == 0, "und")
     for lang in LANG_MARKERS:  # first max wins -> deterministic tie-break
         pred = pred.when(F.col(f"score_{lang}") == best, lang)
-    return out.withColumn("predicted_lang", pred)
+    return scored.withColumn("predicted_lang", pred).drop("_lang_toks")
 
 
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"

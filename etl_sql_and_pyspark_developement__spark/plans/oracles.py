@@ -3966,3 +3966,199 @@ ORDER BY c.doc_id
 
 
 ORACLES["d17_cdc_chunk_dedup"] = _d17_oracle()
+
+
+ORACLES["q63_anomaly_mad"] = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+med AS (
+    SELECT *, quantile_cont(n_events, 0.5)
+                  OVER (PARTITION BY event_type) AS med
+    FROM daily
+),
+dev AS (
+    SELECT *, abs(n_events - med) AS dv FROM med
+),
+mad AS (
+    SELECT *, quantile_cont(dv, 0.5)
+                  OVER (PARTITION BY event_type) AS mad
+    FROM dev
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+       round(med, 1) AS type_median, round(mad, 1) AS type_mad
+FROM mad
+WHERE dv > 3 * mad
+ORDER BY event_type, day
+"""
+
+
+ORACLES["q64_sequence_bigrams"] = """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+s AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > 1800
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM e
+),
+sess AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS sess_id
+    FROM s
+),
+grams AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id, sess_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type
+    FROM sess
+),
+counted AS (
+    SELECT prev_type || '>' || event_type AS bigram, count(*) AS support
+    FROM grams WHERE prev_type IS NOT NULL
+    GROUP BY 1
+),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY support DESC, bigram) AS INT)
+               AS rnk,
+           bigram, support
+    FROM counted
+)
+SELECT rnk, bigram, support FROM ranked WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+ORACLES["d18_ngram_novelty"] = """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '') AS ts
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+        CASE WHEN len(ts) >= 5 THEN
+            list_transform(range(1, len(ts) - 3),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                     || ts[i+3] || ' ' || ts[i+4])
+        ELSE [] END AS gs
+    FROM toks
+),
+pairs AS (
+    SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams
+),
+first AS (
+    SELECT g, min(doc_id) AS first_doc FROM pairs GROUP BY g
+),
+per_doc AS (
+    SELECT p.doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+    FROM pairs p JOIN first f USING (g)
+    GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+    CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+    CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+    CAST(CASE WHEN coalesce(pd.n_shingles, 0) > 0
+         THEN 1000000 * coalesce(pd.n_novel, 0) // pd.n_shingles
+         ELSE 1000000 END AS BIGINT) AS novelty_ppm
+FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+ORACLES["t19_readability"] = """
+WITH scored AS (
+    SELECT doc_id,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '')) AS n_words,
+        len(list_filter(string_split_regex(text, '[.!?]+'),
+                        s -> trim(s) <> '')) AS n_sents,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+    FROM documents
+),
+banded AS (
+    SELECT *,
+        round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+              - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 2) AS flesch
+    FROM scored WHERE n_words > 0 AND n_sents > 0
+),
+cls AS (
+    SELECT *, CASE WHEN flesch >= 60 THEN 'easy'
+                   WHEN flesch >= 30 THEN 'medium'
+                   ELSE 'hard' END AS band
+    FROM banded
+)
+SELECT band, count(*) AS n_docs,
+       round(avg(n_words), 4) AS avg_words,
+       round(min(flesch), 2) AS min_flesch,
+       round(max(flesch), 2) AS max_flesch
+FROM cls GROUP BY band ORDER BY band
+"""
+
+
+ORACLES["t20_zipf_slope"] = """
+WITH terms AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT source, term, count(*) AS cnt FROM terms GROUP BY source, term
+),
+ranked AS (
+    SELECT source, cnt,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, term) AS rnk
+    FROM counts QUALIFY rnk <= 100
+),
+per_src AS (
+    SELECT source,
+        list(ln(CAST(rnk AS DOUBLE)) ORDER BY rnk) AS xs,
+        list(ln(CAST(cnt AS DOUBLE)) ORDER BY rnk) AS ys
+    FROM ranked GROUP BY source
+),
+sums AS (
+    SELECT source, len(xs) AS n_terms,
+        list_reduce(list_prepend(0.0, xs), (a, x) -> a + x) AS sx,
+        list_reduce(list_prepend(0.0, ys), (a, x) -> a + x) AS sy,
+        list_reduce(list_prepend(0.0,
+            list_transform(range(1, len(xs) + 1),
+                           i -> xs[i] * ys[i])), (a, x) -> a + x) AS sxy,
+        list_reduce(list_prepend(0.0,
+            list_transform(xs, x -> x * x)), (a, x) -> a + x) AS sxx
+    FROM per_src
+)
+SELECT source, CAST(n_terms AS INT) AS n_terms,
+    round((n_terms * sxy - sx * sy)
+          / (n_terms * sxx - sx * sx), 4) AS zipf_slope
+FROM sums ORDER BY source
+"""
+
+
+ORACLES["p15_pps_sample"] = """
+WITH w AS (
+    SELECT source, doc_id, n_chars AS weight,
+        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(n_chars) OVER (PARTITION BY source) AS total
+    FROM documents WHERE n_chars > 0
+),
+s AS (
+    SELECT *, greatest(1, total // 20) AS stride FROM w
+)
+SELECT source, doc_id, weight,
+    CAST((cum - 1 - (stride // 2) + stride * 1000000) // stride
+       - (cum - weight - 1 - (stride // 2) + stride * 1000000) // stride
+       AS BIGINT) AS n_hits
+FROM s
+WHERE (cum - 1 - (stride // 2) + stride * 1000000) // stride
+    - (cum - weight - 1 - (stride // 2) + stride * 1000000) // stride > 0
+ORDER BY source, doc_id
+"""

@@ -4280,3 +4280,315 @@ def q52_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("day")
+
+
+@query("q63_anomaly_mad")
+def q63_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust ANOMALY DETECTION on daily event volumes — median /
+    MAD (median absolute deviation) thresholds per event type, the
+    outlier rule that, unlike mean±3σ, is not dragged by the
+    outliers it is trying to find. Flags days where
+    |count − median| > 3·MAD.
+
+    Reference parity: R3's churn-risk thresholds and R15's
+    seasonal-index deviations are the same robust-baseline shape.
+
+    Scale: daily counts are |types|×|days| rows (tiny after the one
+    events groupBy); both medians ride percentile() windows
+    PARTITIONED by event_type — parallel across types, never a
+    global sort. Counts are integers, so interpolated medians are
+    exact binary halves and the 3·MAD comparison is bit-stable
+    cross-engine.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wt = Window.partitionBy("event_type")
+    scored = daily.withColumn(
+        "med", F.expr("percentile(n_events, 0.5)").over(wt)
+    ).withColumn("dev", F.abs(F.col("n_events") - F.col("med")))
+    scored = scored.withColumn(
+        "mad", F.expr("percentile(dev, 0.5)").over(wt)
+    )
+    return (
+        scored.filter(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round("med", 1).alias("type_median"),
+            F.round("mad", 1).alias("type_mad"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query("q64_sequence_bigrams")
+def q64_sequence_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING (support counting for length-2
+    patterns): within 30-minute sessions, count consecutive
+    event-type transitions (bigrams) corpus-wide and rank the top
+    20 — the first ladder rung of PrefixSpan-style mining, and the
+    data that seeds next-event prediction.
+
+    Reference parity: R2's binge sequences and R17's state
+    transitions both reduce to ordered within-session bigrams.
+
+    Scale: sessionization and the LAG ride ONE user-keyed window
+    shuffle (same plan family as q03); bigram support is a tiny
+    groupBy; the global top-20 sorts |distinct bigrams| ≈ |types|²
+    rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(wu))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                    > 1800
+                )
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(wu))
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    grams = (
+        sess.withColumn("prev_type", F.lag("event_type").over(ws))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.concat_ws(">", "prev_type", "event_type").alias("bigram")
+        )
+    )
+    counted = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("support"))
+    wr = Window.orderBy(F.desc("support"), "bigram")
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "bigram", "support")
+        .orderBy("rnk")
+    )
+
+
+@query("d18_ngram_novelty")
+def d18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY scoring — per document, the fraction of its
+    word 5-gram shingles never seen in any EARLIER document (by
+    doc_id order): the standard curation signal for prioritizing
+    novel content and down-weighting recombined boilerplate, and the
+    streaming-ingest complement to d02/d09's overlap measures.
+
+    Scale: 'first doc to contain shingle s' is ONE groupBy-min over
+    the exploded distinct shingles — no pairwise comparison, no
+    ordering dependency beyond min(doc_id); the re-join to per-doc
+    shingles is shingle-keyed. Short docs (<5 tokens) surface with
+    n_shingles = 0 via the left join from the full doc list.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    first = pairs.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        pairs.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "CASE WHEN coalesce(n_shingles, 0) > 0 THEN "
+                "1000000 * coalesce(n_novel, 0) DIV n_shingles "
+                "ELSE 1000000 END AS novelty_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("t19_readability")
+def t19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring (Flesch reading-ease with a vowel-group
+    syllable proxy) — the classic text-quality gate feature:
+    word/sentence/syllable counts and the 206.835 − 1.015·(W/S) −
+    84.6·(Sy/W) score, banded for filtering.
+
+    Scale: one codegen scan — tokenization, sentence split, and the
+    vowel-group regexp are all JVM expressions; the rollup is a tiny
+    per-band groupBy. Same plan family as t01/t12.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(sents).alias("n_sents"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("n_syll"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_sents") > 0))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll") / F.col("n_words"))
+    )
+    banded = scored.withColumn("flesch", F.round(flesch, 2)).withColumn(
+        "band",
+        F.when(F.col("flesch") >= 60, "easy")
+        .when(F.col("flesch") >= 30, "medium")
+        .otherwise("hard"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            F.round(F.min("flesch"), 2).alias("min_flesch"),
+            F.round(F.max("flesch"), 2).alias("max_flesch"),
+        )
+        .orderBy("band")
+    )
+
+
+@query("t20_zipf_slope")
+def t20_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit per source — the log-log slope of term frequency
+    vs rank over each source's top-100 terms. Natural corpora slope
+    ≈ −1; strong deviation flags templated/generated text, a
+    corpus-level quality signal no per-doc metric sees.
+
+    Scale: term counts are one (source, term) groupBy; ranking is
+    per-source (partitioned window, never global); the regression
+    folds over an at-most-100-element SORTED array per source, so
+    the float sums are order-deterministic (a plain covar/var
+    aggregate would be partial-agg order-dependent and break
+    bit-parity) — same sorted-fold trick at any corpus size since
+    the array is rank-bounded.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    terms = docs.select("source", F.explode(toks).alias("term"))
+    counts = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("cnt"), "term")
+    top = counts.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= 100
+    )
+    per_src = top.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rnk", "cnt"))
+        ).alias("pts")
+    )
+    xs = F.transform(F.col("pts"), lambda p: F.log(p["rnk"].cast("double")))
+    ys = F.transform(F.col("pts"), lambda p: F.log(p["cnt"].cast("double")))
+    def fsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    out = per_src.select(
+        "source",
+        F.size("pts").alias("n_terms"),
+        fsum(xs).alias("sx"),
+        fsum(ys).alias("sy"),
+        fsum(F.zip_with(xs, ys, lambda a, b: a * b)).alias("sxy"),
+        fsum(F.transform(xs, lambda a: a * a)).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        out.select(
+            "source",
+            "n_terms",
+            F.round(slope, 4).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("p15_pps_sample")
+def p15_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (probability proportional to size) —
+    per source, walk the doc_id-ordered cumulative-weight line
+    (weight = n_chars) and take every stride-th point, so selection
+    probability is exactly proportional to document size and a
+    20-doc sample lands per source deterministically. The classic
+    survey-sampling / data-mixture primitive: heavy docs can draw
+    multiple hits (their token mass is over-represented on the
+    line), zero-weight docs never selected.
+
+    Scale: ONE source-partitioned cumulative-sum window (parallel
+    across sources; within a source the prefix sum is the same
+    machinery p06 rides) + pure integer arithmetic — engine-exact,
+    no RNG. The +stride·10⁶ shift keeps every DIV numerator
+    positive (Spark DIV truncates toward zero, DuckDB // floors —
+    they disagree only below zero).
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ws = Window.partitionBy("source")
+    wc = ws.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = 20
+    cum = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.sum("n_chars").over(wc).alias("cum"),
+        F.sum("n_chars").over(ws).alias("total"),
+    )
+    stride = F.greatest(F.lit(1), F.expr(f"total DIV {k}"))
+    # integer DIV throughout: n_hits = #{ sample points in (cum-w, cum] }
+    sel = cum.withColumn("stride", stride).withColumn(
+        "n_hits",
+        F.expr(
+            "CAST((cum - 1 - (stride DIV 2) + stride * 1000000) DIV stride "
+            " - (cum - weight - 1 - (stride DIV 2) + stride * 1000000) "
+            "DIV stride AS BIGINT)"
+        ),
+    )
+    return (
+        sel.filter(F.col("n_hits") > 0)
+        .select("source", "doc_id", "weight", "n_hits")
+        .orderBy("source", "doc_id")
+    )

@@ -135,3 +135,35 @@ def enable_runtime_bloom_filters(
         application_side_threshold,
     )
     return spark
+
+
+def enable_rocksdb_state_store(
+    spark: SparkSession, changelog_checkpointing: bool = True
+) -> SparkSession:
+    """Opt the session's streaming queries into the RocksDB state
+    store provider (ships with Spark — rocksdbjni is bundled).
+
+    The default HDFS-backed provider keeps every key of every
+    stateful operator (st03/st04/st07/st11/st19/st21's dedup sets,
+    running aggregates, session windows) in EXECUTOR HEAP — at
+    100 TB-corpus key cardinalities that is the first thing to OOM.
+    RocksDB spills state to local SSD with an in-heap cache, so
+    state size is bounded by disk, not heap; changelog checkpointing
+    additionally uploads per-batch DELTAS instead of full snapshots,
+    which keeps checkpoint commit time flat as state grows (the
+    bounded-state claims in streaming/ are documented against this
+    provider at scale). Takes effect for queries STARTED after the
+    call; restart running queries to migrate them.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    if changelog_checkpointing:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+    return spark

@@ -985,3 +985,68 @@ def test_scd2_state_ignores_uncommitted_partial(spark, tmp_path):
     (state / ".tmp-v2").mkdir()
     assert _scd2_versions(str(state)) == [0]
     assert _latest_scd2_version(str(state)).endswith("v0")
+
+
+def test_rocksdb_state_store_windowed_agg_parity(spark, sf_dir, events_dir):
+    """Opt-in RocksDB state store (session.enable_rocksdb_state_store,
+    the 100 TB answer to heap-bounded streaming state): the same st01
+    windowed aggregation, run under the RocksDB provider with
+    changelog checkpointing, must emit the same results as the default
+    provider — and the query must actually have used RocksDB (config
+    asserted, and the provider would throw at state init if the
+    rocksdbjni bundle were absent)."""
+    from etl_sql_and_pyspark_developement__spark.session import (
+        enable_rocksdb_state_store,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    enable_rocksdb_state_store(spark)
+    try:
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        stream = windowed_event_counts(read_event_stream(spark, events_dir))
+        run_to_memory(stream, "st_rocks_out", "append")
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM st_rocks_out").collect()
+        }
+        from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+            table,
+        )
+
+        ev = table(spark, sf_dir, "events")
+        batch = (
+            ev.groupBy(F.window("ts", "5 minutes", "5 minutes"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        expected = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        assert got, "stream emitted nothing under RocksDB"
+        for key, val in got.items():
+            assert expected[key] == val
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
