@@ -48,6 +48,8 @@ _NEEDS_DRIVER_ROW = [
     "q63_anomaly_mad", "q64_sequence_bigrams", "d18_ngram_novelty",
     "t19_readability", "t20_zipf_slope", "p15_pps_sample",
     "t02_lang_id",  # predict_lang single-tokenize rebuild (round 3)
+    "q65_weighted_median", "q66_hierarchy_rollup", "q67_rfm_segments",
+    "s07_rrf_fusion",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Hierarchy resolution — the WITH RECURSIVE capability Spark lacks.
+
+``resolve_hierarchy`` computes, for every node of a parent-pointer
+forest, its ROOT and DEPTH via pointer doubling: each round joins the
+(node → known-ancestor, distance) frame with itself so every node's
+known ancestor jumps to *its ancestor's* known ancestor, doubling the
+distance covered. O(log(depth)) driver-side rounds of fully
+distributed hash joins — the Spark-native answer to a recursive CTE
+(which walks ONE level per recursion step and cannot be expressed in
+DataFrame/SQL on Spark ≤ 4.x anyway).
+
+At 10⁹-node hierarchies each round is one equi-join on the node key;
+no single task ever holds a chain, and total work is O(n log d)
+versus the CTE's O(n · d) row materializations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_hierarchy(
+    nodes: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, root, depth) for every node of a parent-pointer forest.
+
+    A node is a ROOT iff ``parent == node``. The input must be a
+    forest (every chain reaches a root; no cycles) — on a cycle the
+    loop cannot converge and RAISES after ``max_iterations`` rather
+    than returning a partial labeling, mirroring
+    dedup.dedup_components' convergence contract.
+
+    Iteration frames are localCheckpoint-ed: the self-join doubles
+    lineage depth per round, and an unmaterialized loop re-executes
+    the whole prefix each round (see dedup_components for the same
+    pattern and the preemptible-executor caveat).
+    """
+    cur = nodes.select(
+        F.col(id_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.when(F.col(parent_col) == F.col(id_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("depth"),
+    ).localCheckpoint()
+    # Convergence = every known ancestor IS a root. ("Did any pointer
+    # move" is NOT a valid test: inside a parent CYCLE the doubled
+    # pointers reach a bogus fixpoint — e.g. a 2-cycle lands each node
+    # on itself after one round — and a moved-based check would return
+    # garbage depths instead of detecting the non-forest input.)
+    roots = (
+        cur.filter(F.col("depth") == 0).select(F.col("node").alias("__r"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        pending = (
+            cur.join(roots, cur.anc == roots.__r, "left_anti")
+            .limit(1)
+            .count()
+        )
+        if pending == 0:
+            return cur.select("node", F.col("anc").alias("root"), "depth")
+        # Every node jumps: anc := anc(anc), depth += depth(anc).
+        # Root rows (anc == node, depth 0) are fixpoints.
+        hop = cur.select(
+            F.col("node").alias("__n"),
+            F.col("anc").alias("__a"),
+            F.col("depth").alias("__d"),
+        )
+        cur = (
+            cur.join(hop, cur.anc == hop.__n)
+            .select(
+                "node",
+                F.col("__a").alias("anc"),
+                (F.col("depth") + F.col("__d")).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"resolve_hierarchy did not converge in {max_iterations} "
+        "pointer-doubling rounds — either the hierarchy has a cycle "
+        "(not a forest) or its depth exceeds 2^max_iterations; "
+        "refusing to return a partially-resolved labeling."
+    )

@@ -4162,3 +4162,168 @@ WHERE (cum - 1 - (stride // 2) + stride * 1000000) // stride
     - (cum - weight - 1 - (stride // 2) + stride * 1000000) // stride > 0
 ORDER BY source, doc_id
 """
+
+# q65: lower weighted quantiles — the crossing row per quantile is
+# unique because the cumulative weight is strictly increasing in the
+# (price, tb) order (weights >= 1); all crossing tests are integer.
+ORACLES["q65_weighted_median"] = """
+WITH base AS (
+    SELECT l_returnflag AS grp,
+           l_extendedprice AS price,
+           CAST(l_quantity AS BIGINT) AS w,
+           l_orderkey * 8 + l_linenumber AS tb
+    FROM lineitem
+),
+tot AS (
+    SELECT grp, CAST(sum(w) AS BIGINT) AS wtot FROM base GROUP BY grp
+),
+cum AS (
+    SELECT grp, price, w, tb,
+           CAST(sum(w) OVER (PARTITION BY grp ORDER BY price, tb
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+    FROM base
+)
+SELECT c.grp AS l_returnflag,
+       count(*) AS n_lines,
+       CAST(max(t.wtot) AS BIGINT) AS total_units,
+       round(min(CASE WHEN 4 * c.cw >= 1 * t.wtot
+                       AND 4 * (c.cw - c.w) < 1 * t.wtot THEN c.price END), 2)
+           AS w_p25,
+       round(min(CASE WHEN 2 * c.cw >= 1 * t.wtot
+                       AND 2 * (c.cw - c.w) < 1 * t.wtot THEN c.price END), 2)
+           AS w_median,
+       round(min(CASE WHEN 4 * c.cw >= 3 * t.wtot
+                       AND 4 * (c.cw - c.w) < 3 * t.wtot THEN c.price END), 2)
+           AS w_p75
+FROM cum c JOIN tot t ON c.grp = t.grp
+GROUP BY c.grp
+ORDER BY l_returnflag
+"""
+
+# q66: a GENUINE recursive CTE — the capability the Spark side
+# re-expresses with pointer doubling (operators/hierarchy.py).
+ORACLES["q66_hierarchy_rollup"] = """
+WITH RECURSIVE walk AS (
+    SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT) AS depth
+    FROM customer
+    WHERE c_custkey // 7 = c_custkey
+    UNION ALL
+    SELECT c.c_custkey, w.root, w.depth + 1
+    FROM customer c JOIN walk w ON c.c_custkey // 7 = w.node
+    WHERE c.c_custkey // 7 <> c.c_custkey
+)
+SELECT w.depth,
+       count(*) AS n_nodes,
+       round(sum(c.c_acctbal), 2) AS total_acctbal,
+       min(w.node) AS min_key,
+       max(w.node) AS max_key
+FROM walk w JOIN customer c ON c.c_custkey = w.node
+GROUP BY w.depth
+ORDER BY w.depth
+"""
+
+# q67: monetary rides as EXACT integer cents so the quintile sort key
+# and the segment average are order-independent (see the Spark twin).
+ORACLES["q67_rfm_segments"] = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_day,
+           count(*) AS frequency,
+           CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+base AS (
+    SELECT o_custkey,
+           date_diff('day', last_day, ref_day) AS recency_days,
+           frequency, monetary_cents
+    FROM per_cust CROSS JOIN anchor
+),
+scored AS (
+    SELECT *,
+        ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)     AS r_q,
+        ntile(5) OVER (ORDER BY frequency DESC, o_custkey)       AS f_q,
+        ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)  AS m_q
+    FROM base
+)
+SELECT CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-' ||
+       CAST(m_q AS VARCHAR) AS segment,
+       count(*) AS n_customers,
+       round(avg(recency_days), 4) AS avg_recency,
+       round(avg(frequency), 4) AS avg_frequency,
+       CAST(sum(monetary_cents) // count(*) AS BIGINT)
+           AS avg_monetary_cents
+FROM scored
+GROUP BY segment
+ORDER BY segment
+"""
+
+# s07: only lane RANKS cross the fusion boundary — the cosine mirrors
+# s01's float recipe (proven bit-exact), tf/idf and RRF are integer.
+ORACLES["s07_rrf_fusion"] = """
+WITH q AS (
+    SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+),
+vpairs AS (
+    SELECT e.vec_id AS id,
+        round(
+            list_dot_product(
+                list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+            / (sqrt(list_dot_product(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                                     list_transform(q.q_vec, x -> CAST(x AS DOUBLE))))
+               * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+            6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+),
+vranked AS (
+    SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS v_rank
+    FROM vpairs
+),
+vlane AS (SELECT id, v_rank FROM vranked WHERE v_rank <= 20),
+toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM toks WHERE term IN ('window', 'hash', 'stream')
+    GROUP BY doc_id, term
+),
+idf AS (
+    SELECT term,
+           (1000000 * ((SELECT count(*) FROM documents) - count(*)))
+               // (count(*) + 1) AS idf6
+    FROM tf GROUP BY term
+),
+lex_scored AS (
+    SELECT t.doc_id, CAST(sum(t.tf * i.idf6) AS BIGINT) AS lex_score
+    FROM tf t JOIN idf i ON t.term = i.term
+    GROUP BY t.doc_id
+),
+lranked AS (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY lex_score DESC, doc_id) AS l_rank
+    FROM lex_scored
+),
+llane AS (SELECT id, l_rank FROM lranked WHERE l_rank <= 20),
+fused AS (
+    SELECT COALESCE(v.id, l.id) AS id,
+           CAST(v.v_rank AS INTEGER) AS v_rank,
+           CAST(l.l_rank AS INTEGER) AS l_rank,
+           COALESCE(1000000000 // (60 + v.v_rank), 0)
+             + COALESCE(1000000000 // (60 + l.l_rank), 0) AS rrf_score
+    FROM vlane v FULL OUTER JOIN llane l ON v.id = l.id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, id) AS INTEGER)
+           AS fused_rank,
+       id, v_rank, l_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused
+QUALIFY fused_rank <= 10
+ORDER BY fused_rank
+"""

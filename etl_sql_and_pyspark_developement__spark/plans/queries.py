@@ -4592,3 +4592,281 @@ def p15_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "weight", "n_hits")
         .orderBy("source", "doc_id")
     )
+
+
+@query("q65_weighted_median")
+def q65_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles (p25 / median / p75) per return flag:
+    quantity-weighted price points — "the price at which half the
+    UNITS (not half the line items) trade", the aggregate plain
+    percentile() cannot express and Spark has no builtin for.
+
+    Lower weighted median: in (price ASC, tiebreak) order, the first
+    price whose inclusive cumulative weight reaches half the group's
+    total; p25/p75 likewise at the quarter marks. Integer weights
+    make every crossing test exact arithmetic.
+
+    Scale: the per-group running weight rides
+    quantiles.grouped_prefix_stats — the distributed prefix-sum
+    machinery (per-group range bucketing + per-bucket windows +
+    broadcast offsets), NOT one serial window task per return flag
+    (3 giant partitions at 100 TB). The crossing row is then a pure
+    filter (2·cum ≥ W and 2·(cum−w) < W picks exactly one row), and
+    the final groupBy is decomposable.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
+    )
+    cum = grouped_prefix_stats(
+        base,
+        group_col="grp",
+        sum_col="w",
+        priority_cols=["price"],
+        tiebreak_col="tb",
+        rank_out="rnk",
+        cum_out="cw",
+        descending=False,
+    )
+    # NB: alias must not be "W" — Spark resolves column names
+    # case-insensitively, so it would collide with weight col "w".
+    tot = base.groupBy("grp").agg(F.sum("w").alias("wtot"))
+    j = cum.join(F.broadcast(tot), "grp")
+
+    def crossing(num: int, den: int):
+        # first row where cum weight reaches num/den of the total
+        return F.min(
+            F.when(
+                (F.lit(den) * F.col("cw") >= F.lit(num) * F.col("wtot"))
+                & (
+                    F.lit(den) * (F.col("cw") - F.col("w"))
+                    < F.lit(num) * F.col("wtot")
+                ),
+                F.col("price"),
+            )
+        )
+
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("wtot").alias("total_units"),
+            F.round(crossing(1, 4), 2).alias("w_p25"),
+            F.round(crossing(1, 2), 2).alias("w_median"),
+            F.round(crossing(3, 4), 2).alias("w_p75"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n_lines",
+            "total_units",
+            "w_p25",
+            "w_median",
+            "w_p75",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q66_hierarchy_rollup")
+def q66_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE hierarchy traversal (the WITH RECURSIVE family —
+    org charts, BOM explosions, category trees): every customer's
+    parent is c_custkey DIV 7 (custkey 0 is the root), and each
+    node's root + depth are resolved by operators/hierarchy's
+    pointer doubling — O(log depth) distributed hash-join rounds,
+    Spark's scale answer to the recursive CTE it lacks (the CTE
+    walks one level per step: O(depth) passes, and a 10⁹-node chain
+    never fits one recursion's working set anyway). Rollup: per
+    depth level, node count, account-balance mass, and key range.
+
+    Oracle: a genuine DuckDB WITH RECURSIVE walking the same
+    parent pointers — engine-exact on counts and 2dp sums.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        resolve_hierarchy,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey DIV 7").alias("parent"),
+        "c_acctbal",
+    )
+    resolved = resolve_hierarchy(nodes, "node", "parent")
+    return (
+        resolved.join(nodes.select("node", "c_acctbal"), "node")
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.min("node").alias("min_key"),
+            F.max("node").alias("max_key"),
+        )
+        .orderBy("depth")
+    )
+
+
+@query("q67_rfm_segments")
+def q67_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles → 'R-F-M' segment cells): the classic churn/LTV
+    marketing rollup sitting between R3's churn risk and R19's LTV
+    deciles — three independent axes scored 1–5, concatenated, then
+    rolled up per segment.
+
+    Scale: all three quintile assignments ride
+    quantiles.scalable_ntile (distributed exact NTILE — sketch cuts,
+    per-bucket windows, broadcast offsets), so no axis ever funnels
+    10⁹ customers through one window task; the recency anchor is the
+    corpus max order date (single-row aggregate, broadcast join, no
+    driver collect in the data path).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        scalable_ntile,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    # Monetary is carried as EXACT integer cents (the true per-customer
+    # sum is an integer cent count, and float summation error is far
+    # below half a cent) — a rounded double here would make both the
+    # quintile sort key and the segment average depend on partial-agg
+    # order at the last ulp.
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    base = per_cust.join(F.broadcast(anchor), F.lit(True)).select(
+        "o_custkey",
+        F.datediff("ref_day", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = scalable_ntile(
+        base, "recency_days", 5, "o_custkey", out_col="r_q", descending=False
+    )
+    scored = scalable_ntile(
+        scored, "frequency", 5, "o_custkey", out_col="f_q", descending=True
+    )
+    scored = scalable_ntile(
+        scored, "monetary_cents", 5, "o_custkey", out_col="m_q", descending=True
+    )
+    return (
+        scored.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            F.concat_ws(
+                "-",
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency"),
+            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+            # integer cents DIV n — float-free (a /100.0 average lands
+            # on half-cent .xx5 boundaries where engine round() rules
+            # disagree; the floor-average in cents is engine-exact)
+            F.expr("sum(monetary_cents) DIV count(1)").alias(
+                "avg_monetary_cents"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+@query("s07_rrf_fusion")
+def s07_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with Reciprocal-Rank Fusion (Cormack et al.
+    2009): a vector lane (exact cosine top-20 for query vec_id 0)
+    and a lexical lane (integer BM25-core tf·idf top-20 for a fixed
+    3-term query) fused by RRF_60 — score(d) = Σ 1e9 DIV (60 +
+    rank_lane(d)) — the standard RAG-retrieval merge that needs no
+    score calibration between lanes. Integer fusion arithmetic is
+    engine-exact; only lane RANKS cross engines, never floats.
+
+    Scale: the vector lane is s01's broadcast-query scan; the
+    lexical lane explodes tokens, keeps only query terms, and its
+    top-20 plans as TakeOrderedAndProject (per-partition heads — no
+    global sort); the fusion join is 20×20 rows.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    TERMS = ("window", "hash", "stream")
+    emb = table(spark, sf_dir, "embeddings")
+    vec_lane = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("cand_id").alias("id"), F.col("rnk").alias("v_rank"))
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isin(*TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.expr(f"(1000000 * ({n_docs} - df)) DIV (df + 1)").alias("idf6"),
+    )
+    lex_scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf6")).alias("lex_score"))
+    )
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # heads merged) — then the rank window runs over only 20 rows.
+    lex_top = lex_scored.orderBy(F.desc("lex_score"), "doc_id").limit(20)
+    lex_lane = lex_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
+        .alias("l_rank"),
+    )
+
+    fused = (
+        vec_lane.join(lex_lane, "id", "full_outer")
+        .select(
+            "id",
+            "v_rank",
+            "l_rank",
+            (
+                F.coalesce(
+                    F.expr("1000000000 DIV (60 + v_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000 DIV (60 + l_rank)"), F.lit(0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), "id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 10)
+        .select("fused_rank", "id", "v_rank", "l_rank", "rrf_score")
+        .orderBy("fused_rank")
+    )

@@ -388,3 +388,56 @@ def test_capped_fold_mixed_sign_general_path(spark):
     # and here least(cap, prefix) would be WRONG for user 2's final
     # (prefix total = 0.0, clamped fold ends at -50): the fast path is
     # only claimed for non-negative inputs.
+
+
+def test_resolve_hierarchy_chain_and_forest(spark):
+    """A 40-deep chain resolves in O(log d) pointer-doubling rounds
+    (well under max_iterations=30 ≈ 2^30 depth), and a second root's
+    subtree keeps its own root label."""
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        resolve_hierarchy,
+    )
+
+    rows = [(0, 0)] + [(i, i - 1) for i in range(1, 41)]  # chain 0..40
+    rows += [(100, 100), (101, 100), (102, 101)]  # second tree
+    df = spark.createDataFrame(rows, "node bigint, parent bigint")
+    got = {
+        r.node: (r.root, r.depth) for r in resolve_hierarchy(df).collect()
+    }
+    assert got[0] == (0, 0)
+    assert got[40] == (0, 40)
+    assert got[17] == (0, 17)
+    assert got[100] == (100, 0)
+    assert got[102] == (100, 2)
+
+
+def test_resolve_hierarchy_raises_on_cycle(spark):
+    """A parent cycle can never converge — the operator must refuse
+    rather than return a partial labeling."""
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        resolve_hierarchy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1)], "node bigint, parent bigint"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        resolve_hierarchy(df, max_iterations=5)
+
+
+def test_weighted_median_crossing_is_unique(spark):
+    """q65's crossing predicate picks exactly one row per quantile per
+    group, including when one heavy row covers several quantile marks."""
+    from etl_sql_and_pyspark_developement__spark.plans.queries import (
+        q65_weighted_median,
+    )
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = q65_weighted_median(spark, sf_dir).collect()
+    assert len(out) == 3  # A/N/R
+    for r in out:
+        assert r.w_p25 <= r.w_median <= r.w_p75
+        assert r.total_units > 0
