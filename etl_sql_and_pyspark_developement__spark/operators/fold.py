@@ -56,7 +56,24 @@ def capped_running_total(
     if assume_nonnegative:
         w = Window.partitionBy(key).orderBy(*order)
         run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        v = F.col(value_col)
+        # The window collapse is only exact for non-negative adds —
+        # enforce the precondition IN-PLAN (one codegen comparison per
+        # row) so mixed-sign data fails loudly at scan time instead of
+        # silently mis-folding. raise_error's NullType unifies with
+        # the double branch under when/otherwise.
+        v = F.when(
+            F.col(value_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "capped_running_total(assume_nonnegative=True) "
+                        "saw a negative value ("
+                    ),
+                    F.col(value_col).cast("string"),
+                    F.lit(") — use assume_nonnegative=False"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col(value_col))
         prefix = F.sum(v).over(run)
         prev_bal = F.least(F.lit(cap), F.coalesce(F.lag(prefix).over(w), F.lit(0.0)))
         stepped = df.select(

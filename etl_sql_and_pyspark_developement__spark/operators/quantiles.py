@@ -55,14 +55,57 @@ def approx_ntile(
     return df.withColumn(out_col, bucket_expr(F.col(value_col), list(cuts)))
 
 
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Pairwise-reduce a term list so the Add tree has O(log n) depth —
+    a left-deep 1000-term chain overflows the JVM analyzer stack."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+_UNROLL_MAX = 128
+
+
 def bucket_expr(value: Column, cuts: list[float]) -> Column:
-    """1 + (number of cut points strictly below value) as a codegen
-    expression over a literal array — no join, no UDF."""
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    return (
-        F.lit(1)
-        + F.size(F.filter(arr, lambda c: c < value))
-    ).cast("int")
+    """1 + (number of cut points strictly below value), unrolled as a
+    balanced sum of comparisons — no join, no UDF. (An equivalent
+    size(filter(array, c -> c < value)) higher-order function costs
+    ~1.6x per pass: HOF lambdas evaluate interpreted per element,
+    outside whole-stage codegen.) Beyond _UNROLL_MAX cuts the unrolled
+    tree blows past codegen/analyzer limits (StackOverflow at ~1000
+    terms), so large cut counts keep the HOF form — with that many
+    buckets the per-bucket work is small anyway."""
+    if len(cuts) > _UNROLL_MAX:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        return (
+            F.lit(1) + F.size(F.filter(arr, lambda c: c < value))
+        ).cast("int")
+    terms = [
+        F.when(F.lit(float(c)) < value, 1).otherwise(0) for c in cuts
+    ]
+    return _balanced_sum([F.lit(1), *terms]).cast("int")
+
+
+def _bucket_from_cuts_col(n_cuts: int) -> Column:
+    """1 + (count of __cuts elements strictly below __rkey) with the
+    fixed-length cut array unrolled into element_at comparisons —
+    same ~1.6x-per-pass win over the HOF form as bucket_expr, applied
+    to the per-group joined cuts column."""
+    if n_cuts > _UNROLL_MAX:
+        return (
+            F.lit(1)
+            + F.size(F.filter("__cuts", lambda c: c < F.col("__rkey")))
+        ).cast("int")
+    terms = [
+        F.when(
+            F.element_at(F.col("__cuts"), i) < F.col("__rkey"), 1
+        ).otherwise(0)
+        for i in range(1, n_cuts + 1)
+    ]
+    return _balanced_sum([F.lit(1), *terms]).cast("int")
 
 
 def range_bucket(
@@ -196,11 +239,7 @@ def grouped_prefix_stats(
         F.percentile_approx("__rkey", probs, accuracy).alias("__cuts")
     )
     bucketed = tagged.join(F.broadcast(cuts), group_col).withColumn(
-        "__rb",
-        (
-            F.lit(1)
-            + F.size(F.filter("__cuts", lambda c: c < F.col("__rkey")))
-        ).cast("int"),
+        "__rb", _bucket_from_cuts_col(range_partitions - 1)
     ).drop("__cuts")
     per_bucket = bucketed.groupBy(group_col, "__rb").agg(
         F.count("*").alias("__cnt"), F.sum(sum_col).alias("__bsum")
@@ -230,4 +269,134 @@ def grouped_prefix_stats(
             ),
         )
         .drop("__rb", "__rkey", "__cnt_off", "__sum_off")
+    )
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str,
+    quantiles: list[tuple[int, int]],
+    range_partitions: int = 32,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """EXACT lower weighted quantiles per group: for each (num, den)
+    fraction, the first value (in (value, tiebreak) order) whose
+    inclusive cumulative weight reaches num/den of the group's total.
+    Returns (group, num, den, q_value, total_w, total_n) — one row
+    per group × quantile. Integer weights make every crossing test exact.
+
+    Scale shape — crucially CHEAPER than materializing per-row ranks
+    (grouped_prefix_stats) when only the quantile POINTS are needed:
+    1. monotone range-bucket by value (deterministic sketch cuts —
+       balance only, exactness never depends on them);
+    2. ONE (group, bucket) aggregation of counts + weight sums;
+    3. locate each quantile's crossing BUCKET on that tiny aggregate
+       (first bucket whose end-of-bucket cumulative weight reaches
+       the mark — unique, because ties in value never straddle a
+       bucket);
+    4. re-join ONLY the crossing buckets (≤ |quantiles| per group,
+       ~1/range_partitions of the data) and run the in-bucket running
+       sum there — the full table is never windowed.
+    Input is NOT checkpointed: it is scanned three times (cuts,
+    per-bucket agg, crossing-bucket join), which beats materialization
+    whenever the upstream is a plain column projection of a scan —
+    callers with an expensive upstream should persist it themselves.
+    """
+    tagged = df.withColumn("__rkey", F.col(value_col).cast("double"))
+    probs = [i / range_partitions for i in range(1, range_partitions)]
+    # The cuts frame is |groups| rows but its sketch job is a full
+    # scan — it feeds BOTH the per-bucket aggregate and the
+    # crossing-bucket join side, and unmaterialized it would re-run
+    # once per consumer inside the single final action. Checkpointing
+    # a |groups|-row frame is near-free.
+    cuts = tagged.groupBy(group_col).agg(
+        F.percentile_approx("__rkey", probs, accuracy).alias("__cuts")
+    ).localCheckpoint()
+    bucketed = (
+        tagged.join(F.broadcast(cuts), group_col)
+        .withColumn("__rb", _bucket_from_cuts_col(range_partitions - 1))
+        .drop("__cuts")
+    )
+    per_bucket = bucketed.groupBy(group_col, "__rb").agg(
+        F.sum(weight_col).alias("__bw"), F.count(F.lit(1)).alias("__bc")
+    )
+    w_grp = Window.partitionBy(group_col).orderBy("__rb")
+    stats = per_bucket.select(
+        group_col,
+        "__rb",
+        "__bw",
+        F.coalesce(
+            F.sum("__bw").over(w_grp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__cb"),
+        F.sum("__bw")
+        .over(
+            w_grp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__w_all"),
+        F.sum("__bc")
+        .over(
+            w_grp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n_all"),
+    )
+    # quantile marks inlined as a literal struct array (explode on the
+    # tiny stats frame) — a createDataFrame here costs ~0.5s of
+    # Python→JVM conversion per call for 3 rows
+    marks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(n)).alias("num"), F.lit(int(d)).alias("den")
+                )
+                for n, d in quantiles
+            ]
+        )
+    ).alias("__m")
+    # crossing bucket: first b with den·cum_end(b) ≥ num·W (cum_end is
+    # strictly increasing over non-empty buckets, so it is unique)
+    crossing = (
+        stats.select("*", marks)
+        .select(
+            group_col, "__rb", "__bw", "__cb", "__w_all", "__n_all",
+            F.col("__m.num").alias("num"), F.col("__m.den").alias("den"),
+        )
+        .filter(
+            (F.col("den") * (F.col("__cb") + F.col("__bw"))
+             >= F.col("num") * F.col("__w_all"))
+            & (F.col("den") * F.col("__cb") < F.col("num") * F.col("__w_all"))
+        )
+        .select(group_col, "__rb", "num", "den", "__cb", "__w_all", "__n_all")
+    )
+    sel = bucketed.join(F.broadcast(crossing), [group_col, "__rb"])
+    w_loc = Window.partitionBy(group_col, "__rb", "num", "den").orderBy(
+        F.col("__rkey").asc(), F.col(tiebreak_col).asc()
+    )
+    run = F.col("__cb") + F.sum(weight_col).over(
+        w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sel.withColumn("__run", run)
+        .filter(
+            (F.col("den") * F.col("__run") >= F.col("num") * F.col("__w_all"))
+            & (
+                F.col("den") * (F.col("__run") - F.col(weight_col))
+                < F.col("num") * F.col("__w_all")
+            )
+        )
+        .select(
+            group_col,
+            "num",
+            "den",
+            F.col(value_col).alias("q_value"),
+            F.col("__w_all").alias("total_w"),
+            F.col("__n_all").alias("total_n"),
+        )
     )

@@ -4606,16 +4606,17 @@ def q65_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; p25/p75 likewise at the quarter marks. Integer weights
     make every crossing test exact arithmetic.
 
-    Scale: the per-group running weight rides
-    quantiles.grouped_prefix_stats — the distributed prefix-sum
-    machinery (per-group range bucketing + per-bucket windows +
-    broadcast offsets), NOT one serial window task per return flag
-    (3 giant partitions at 100 TB). The crossing row is then a pure
-    filter (2·cum ≥ W and 2·(cum−w) < W picks exactly one row), and
-    the final groupBy is decomposable.
+    Scale: rides quantiles.grouped_weighted_quantiles — monotone
+    range-bucket by price, ONE (group, bucket) weight aggregation,
+    crossing-BUCKET location on that tiny aggregate, and an in-bucket
+    running sum over ONLY the ≤3 crossing buckets per group
+    (~3/range_partitions of the data): the full table is never
+    windowed and no return flag ever serializes through one task.
+    The crossing row per quantile is a pure integer filter (2·cum ≥ W
+    and 2·(cum−w) < W picks exactly one row).
     """
     from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
-        grouped_prefix_stats,
+        grouped_weighted_quantiles,
     )
 
     li = table(spark, sf_dir, "lineitem")
@@ -4625,44 +4626,32 @@ def q65_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("w"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"),
     )
-    cum = grouped_prefix_stats(
+    qs = grouped_weighted_quantiles(
         base,
         group_col="grp",
-        sum_col="w",
-        priority_cols=["price"],
+        value_col="price",
+        weight_col="w",
         tiebreak_col="tb",
-        rank_out="rnk",
-        cum_out="cw",
-        descending=False,
+        quantiles=[(1, 4), (1, 2), (3, 4)],
     )
-    # NB: alias must not be "W" — Spark resolves column names
-    # case-insensitively, so it would collide with weight col "w".
-    tot = base.groupBy("grp").agg(F.sum("w").alias("wtot"))
-    j = cum.join(F.broadcast(tot), "grp")
-
-    def crossing(num: int, den: int):
-        # first row where cum weight reaches num/den of the total
-        return F.min(
-            F.when(
-                (F.lit(den) * F.col("cw") >= F.lit(num) * F.col("wtot"))
-                & (
-                    F.lit(den) * (F.col("cw") - F.col("w"))
-                    < F.lit(num) * F.col("wtot")
-                ),
-                F.col("price"),
-            )
-        )
-
+    wide = qs.groupBy("grp").agg(
+        F.max("total_n").alias("n_lines"),
+        F.max("total_w").alias("total_units"),
+        F.round(
+            F.min(F.when((F.col("num") == 1) & (F.col("den") == 4), F.col("q_value"))),
+            2,
+        ).alias("w_p25"),
+        F.round(
+            F.min(F.when((F.col("num") == 1) & (F.col("den") == 2), F.col("q_value"))),
+            2,
+        ).alias("w_median"),
+        F.round(
+            F.min(F.when((F.col("num") == 3) & (F.col("den") == 4), F.col("q_value"))),
+            2,
+        ).alias("w_p75"),
+    )
     return (
-        j.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.max("wtot").alias("total_units"),
-            F.round(crossing(1, 4), 2).alias("w_p25"),
-            F.round(crossing(1, 2), 2).alias("w_median"),
-            F.round(crossing(3, 4), 2).alias("w_p75"),
-        )
-        .select(
+        wide.select(
             F.col("grp").alias("l_returnflag"),
             "n_lines",
             "total_units",

@@ -441,3 +441,30 @@ def test_weighted_median_crossing_is_unique(spark):
     for r in out:
         assert r.w_p25 <= r.w_median <= r.w_p75
         assert r.total_units > 0
+
+
+def test_capped_total_fast_path_rejects_negatives(spark):
+    """The window collapse is only valid for non-negative adds — the
+    fast path must fail loudly on mixed-sign data, not mis-fold."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        capped_running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, -5.0)], "k int, o int, v double"
+    )
+    out = capped_running_total(
+        df, key="k", order=["o"], value_col="v", cap=100.0,
+        assume_nonnegative=True,
+    )
+    with pytest.raises(Exception, match="negative value"):
+        out.collect()
+    # the general path folds it correctly
+    gen = capped_running_total(
+        df, key="k", order=["o"], value_col="v", cap=100.0,
+        assume_nonnegative=False,
+    ).collect()[0]
+    assert gen.final_balance == 5.0 and gen.n_capped == 0

@@ -634,3 +634,46 @@ def test_q62_asof_no_pair_materialization(spark, sf_dir):
 
     for m in re.finditer(r"Join condition: (.*)", plan):
         assert "orderdate" not in m.group(1), m.group(0)
+
+
+def test_q65_distributed_prefix_no_serial_group_window(spark, sf_dir):
+    """q65's running weight must ride the bucketed prefix machinery:
+    every window partitioning includes the range-bucket column, never
+    a bare (grp) partition that serializes a whole return flag."""
+    plan = plan_of(spark, "q65_weighted_median", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    # the local rank/running-sum window must be keyed by (grp, __rb) —
+    # a bare (grp) window partitioning would serialize each return
+    # flag through one task
+    assert re.search(r"hashpartitioning\(grp[^)]*__rb", plan), (
+        "per-bucket window partitioning missing — running sum would "
+        "serialize per group"
+    )
+
+
+def test_q66_hierarchy_joins_not_python(spark, sf_dir):
+    plan = plan_of(spark, "q66_hierarchy_rollup", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q67_rfm_distributed_ntile(spark, sf_dir):
+    """All three quintile axes must use the bucketed rank machinery —
+    no unpartitioned Window over the whole customer set."""
+    plan = plan_of(spark, "q67_rfm_segments", sf_dir)
+    import re
+
+    # scalable_ntile's per-bucket windows partition by __rb; a global
+    # NTILE would appear as an Exchange SinglePartition feeding Window.
+    assert "__rb" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Exchange SinglePartition" not in tree or "Window" not in tree
+
+
+def test_s07_lexical_topk_is_takeordered(spark, sf_dir):
+    """The lexical lane's top-20 must plan as TakeOrderedAndProject
+    (per-partition heads), not a global sort of all scored docs."""
+    plan = plan_of(spark, "s07_rrf_fusion", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
