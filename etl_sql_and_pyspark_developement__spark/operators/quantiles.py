@@ -70,30 +70,28 @@ _UNROLL_MAX = 128
 
 
 def bucket_expr(value: Column, cuts: list[float]) -> Column:
-    """1 + (number of cut points strictly below value), unrolled as a
-    balanced sum of comparisons — no join, no UDF. (An equivalent
-    size(filter(array, c -> c < value)) higher-order function costs
-    ~1.6x per pass: HOF lambdas evaluate interpreted per element,
-    outside whole-stage codegen.) Beyond _UNROLL_MAX cuts the unrolled
-    tree blows past codegen/analyzer limits (StackOverflow at ~1000
-    terms), so large cut counts keep the HOF form — with that many
-    buckets the per-bucket work is small anyway."""
-    if len(cuts) > _UNROLL_MAX:
-        arr = F.array(*[F.lit(float(c)) for c in cuts])
-        return (
-            F.lit(1) + F.size(F.filter(arr, lambda c: c < value))
-        ).cast("int")
-    terms = [
-        F.when(F.lit(float(c)) < value, 1).otherwise(0) for c in cuts
-    ]
-    return _balanced_sum([F.lit(1), *terms]).cast("int")
+    """1 + (number of cut points strictly below value) over a LITERAL
+    cut array, as a higher-order filter — no join, no UDF. Measured
+    faster than an unrolled when-sum here (0.7s vs 1.2s inside
+    scalable_ntile at sf0.1): the literal array is one constant and
+    the expression appears in several plan operators, so a 63-term
+    unrolled tree bloats analysis/codegen more than the interpreted
+    per-element lambda costs. (The opposite holds for the per-group
+    JOINED cuts column — see _bucket_from_cuts_col.)"""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return (
+        F.lit(1) + F.size(F.filter(arr, lambda c: c < value))
+    ).cast("int")
 
 
 def _bucket_from_cuts_col(n_cuts: int) -> Column:
     """1 + (count of __cuts elements strictly below __rkey) with the
     fixed-length cut array unrolled into element_at comparisons —
-    same ~1.6x-per-pass win over the HOF form as bucket_expr, applied
-    to the per-group joined cuts column."""
+    measured ~1.6x per pass over the HOF form (q65 2.0s vs 3.4s, gps
+    1.1s vs 1.7s at sf0.1): with a per-ROW array column the HOF lambda
+    is interpreted per element with no constant to hoist. Beyond
+    _UNROLL_MAX cuts the unrolled tree overflows the analyzer stack
+    (~1000 terms), so large cut counts keep the HOF form."""
     if n_cuts > _UNROLL_MAX:
         return (
             F.lit(1)

@@ -719,8 +719,11 @@ def mmr_select(
         ).collect()[0]
         query_id, qraw = qid_row["qid"], qid_row["qv"]
     else:
-        qraw = (
-            base.filter(F.col("id") == query_id).select("v").collect()[0]["v"]
+        qrows = base.filter(F.col("id") == query_id).select("v").collect()
+        qraw = qrows[0]["v"] if qrows else None
+    if qraw is None:  # empty corpus, or query_id not present in it
+        return corpus.sparkSession.createDataFrame(
+            [], "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
         )
     # Normalize the query DRIVER-side with the same left-to-right
     # float64 ops the corpus-side F.aggregate fold uses (acc starts at

@@ -1,5 +1,5 @@
 """Structured Streaming pipelines: the streaming twins of the batch
-event analytics (SURVEY §2 st01–st03).
+event analytics (SURVEY §2 st01–st22).
 
 The reference's "Real-time Personalization Effectiveness" workload is
 a batch query over an events feed; in Spark the native re-expression
@@ -734,3 +734,55 @@ def sink_stream_trending(
         overwrite_partitions(ranked, out_dir, ["wpart"])
 
     return counts.writeStream.foreachBatch(process).outputMode("update")
+
+
+def sink_stream_sketches(events: DataFrame, out_dir: str, lg_k: int = 12):
+    """st22: streaming MERGEABLE-SKETCH maintenance (q51's merge axis
+    live): each micro-batch appends per-day Datasketches HLL PARTIALS
+    of the distinct-user set — tiny binary sketches, never raw ids —
+    and ``read_sketch_state`` union-merges them into per-day and
+    global estimates. This is the lakehouse pattern that makes COUNT
+    DISTINCT incrementally maintainable on a continuous feed: history
+    is never rescanned, each batch's cost is one partial aggregation
+    over the batch, and state grows by |days touched| rows per batch
+    (bounded by the feed's day span, not by cardinality).
+
+    HLL register merge is a element-wise MAX — associative,
+    commutative, idempotent per input — so the union of per-batch
+    partials is REGISTER-IDENTICAL to a batch sketch over the full
+    feed: estimates match the batch twin bit-exactly on any batch
+    split (asserted in tests), not merely within error bounds.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return events.writeStream.foreachBatch(process).outputMode("append")
+
+
+def read_sketch_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-day distinct-user estimates from sink_stream_sketches'
+    partials: one union-merge per day + the merged global estimate
+    workload runs on sketch rows only (|days| × |batches touching the
+    day| inputs — never the raw feed)."""
+    parts = spark.read.parquet(out_dir)
+    return (
+        parts.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .orderBy("day")
+    )

@@ -1050,3 +1050,57 @@ def test_rocksdb_state_store_windowed_agg_parity(spark, sf_dir, events_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_sketch_maintenance_matches_batch_bit_exact(
+    spark, sf_dir, tmp_path
+):
+    """st22: per-day HLL partials appended across THREE micro-batches
+    union-merge to estimates REGISTER-IDENTICAL to one batch sketch
+    over the whole feed (HLL merge = element-wise register max), and
+    the estimates respect the 5% accuracy gate vs exact counts."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_sketch_state,
+        sink_stream_sketches,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "ev_in")
+    # explicit numPartitions: a bare repartition("__b") gets AQE-
+    # coalesced to one partition (= one file = one micro-batch) at
+    # test scale
+    ev.withColumn("__b", F.col("event_id") % 3).repartition(
+        3, "__b"
+    ).drop("__b").write.parquet(in_dir)
+    state = str(tmp_path / "sk_state")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = sink_stream_sketches(stream, state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.day: r for r in read_sketch_state(spark, state).collect()}
+    assert got, "sketch sink wrote nothing"
+    assert max(r.n_partials for r in got.values()) > 1, (
+        "expected at least one day split across micro-batches"
+    )
+
+    batch = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    want = {r.day: r for r in batch.collect()}
+    assert set(got) == set(want)
+    for day, g in got.items():
+        w = want[day]
+        assert g.est_users == w.est_users, f"{day}: merged != batch sketch"
+        assert g.n_events == w.n_events
+        assert abs(g.est_users - w.exact_users) <= 0.05 * w.exact_users
