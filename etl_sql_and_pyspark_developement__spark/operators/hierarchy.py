@@ -85,3 +85,64 @@ def resolve_hierarchy(
         "(not a forest) or its depth exceeds 2^max_iterations; "
         "refusing to return a partially-resolved labeling."
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """PageRank-style centrality over an edge list (src, dst), in
+    EXACT integer ppm arithmetic:
+
+        r₀(u)   = 1_000_000
+        rᵢ₊₁(u) = (1e6 − d) + (d · Σ_{v→u} (rᵢ(v) DIV outdeg(v))) DIV 1e6
+
+    Every operation is integer (DIV truncates), so partial-aggregation
+    order cannot move a single unit — the fixed-iteration result is
+    bit-identical across engines and partitionings, which is what lets
+    a DuckDB oracle replay it value-for-value (float PageRank sums
+    are reduction-order-dependent). Dangling nodes (no out-edges)
+    simply contribute nothing — the standard simplification; they
+    still RECEIVE rank.
+
+    Scale: each iteration is one src-keyed hash join (ranks onto
+    edges) + one dst-keyed partial-agg sum — two shuffles per round,
+    no driver-side data; iteration frames are localCheckpoint-ed so
+    lineage stays flat (same discipline as resolve_hierarchy). The
+    edge set (with out-degrees) is materialized once.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    base = 1_000_000 - damping_ppm
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r DIV __od").alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_ppm} * coalesce(__s, CAST(0 AS BIGINT)))"
+                        " DIV 1000000"
+                    )
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppm"))

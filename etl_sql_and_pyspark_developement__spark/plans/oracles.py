@@ -4327,3 +4327,42 @@ FROM fused
 QUALIFY fused_rank <= 10
 ORDER BY fused_rank
 """
+
+
+# q68: PageRank in exact integer ppm over the mirrored kNN edges —
+# the 5-iteration recurrence unrolled into CTE stages (the s03
+# Lloyd-unroll discipline applied to an iterative graph algorithm).
+def _q68_oracle(n_bits: int = 8, k: int = 5, iters: int = 5) -> str:
+    stages = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        stages.append(f"""r{i} AS (
+    SELECT n.node,
+           CAST(150000 + (850000 * COALESCE(s.s, 0)) // 1000000
+                AS BIGINT) AS r
+    FROM prnodes n LEFT JOIN (
+        SELECT e.dst, CAST(sum(p.r // o.od) AS BIGINT) AS s
+        FROM predges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN proutdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) s ON s.dst = n.node
+)""")
+        prev = f"r{i}"
+    stage_sql = ",\n".join(stages)
+    return f"""{_knn_graph_ctes(n_bits, k)},
+predges AS (SELECT query_id AS src, cand_id AS dst FROM knn),
+proutdeg AS (SELECT src, count(*) AS od FROM predges GROUP BY src),
+prnodes AS (SELECT src AS node FROM predges
+            UNION SELECT dst FROM predges),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM prnodes),
+{stage_sql}
+SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS INTEGER) AS rnk,
+       node AS vec_id, r AS rank_ppm
+FROM {prev}
+QUALIFY rnk <= 20
+ORDER BY rnk
+"""
+
+
+ORACLES["q68_pagerank_centrality"] = _q68_oracle()

@@ -4859,3 +4859,45 @@ def s07_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fused_rank", "id", "v_rank", "l_rank", "rrf_score")
         .orderBy("fused_rank")
     )
+
+
+@query("q68_pagerank_centrality")
+def q68_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH CENTRALITY via PageRank over the s05 kNN similarity
+    graph — the iterative linear-algebra workload class (random-walk
+    centrality), applied where a 100 TB curation pipeline actually
+    uses it: scoring how 'central' each embedding is in its
+    neighborhood graph (central = redundant hub worth down-weighting,
+    peripheral = novel; the D4/SemDeDup complement on the SAME graph
+    p12 prunes by raw density).
+
+    operators/hierarchy.pagerank runs 5 fixed iterations in EXACT
+    integer ppm arithmetic (DIV truncation, order-independent sums),
+    so the DuckDB oracle replays the whole recurrence value-for-value
+    as 5 unrolled CTE stages over the mirrored kNN edges — the s03
+    Lloyd-unroll discipline applied to an iterative graph algorithm.
+
+    Scale: edges come from the bucketed kNN construction (never
+    all-pairs); each PageRank round is two shuffles (src-keyed join,
+    dst-keyed sum); top-20 via TakeOrdered.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        pagerank,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb).select(
+        F.col("query_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    pr = pagerank(edges, iterations=5)
+    top = pr.orderBy(F.desc("rank_ppm"), "node").limit(20)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rank_ppm"), "node"))
+        .alias("rnk"),
+        F.col("node").alias("vec_id"),
+        "rank_ppm",
+    ).orderBy("rnk")

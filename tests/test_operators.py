@@ -468,3 +468,34 @@ def test_capped_total_fast_path_rejects_negatives(spark):
         assume_nonnegative=False,
     ).collect()[0]
     assert gen.final_balance == 5.0 and gen.n_capped == 0
+
+
+def test_pagerank_integer_recurrence_exact(spark):
+    """Hand-computed 2-iteration PageRank on a star A->B<-C: the hub
+    accumulates, leaves fall to base rank, every value exact integer."""
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank_ppm for r in pagerank(edges, iterations=2).collect()}
+    # it1: B = 150000 + 850000*(1e6 DIV 1 + 1e6 DIV 1) DIV 1e6 = 1850000
+    #      A = C = 150000 (no in-edges)
+    # it2: B = 150000 + 850000*(150000 + 150000) DIV 1e6 = 405000
+    assert got == {1: 150000, 3: 150000, 2: 405000}
+
+
+def test_pagerank_cycle_is_fixed_point(spark):
+    """A directed 3-cycle is symmetric: every node keeps exactly the
+    initial 1e6 ppm mass at any iteration count."""
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank_ppm for r in pagerank(edges, iterations=4).collect()}
+    assert got == {1: 1000000, 2: 1000000, 3: 1000000}
