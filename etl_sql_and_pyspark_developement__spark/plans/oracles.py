@@ -4366,3 +4366,55 @@ ORDER BY rnk
 
 
 ORACLES["q68_pagerank_centrality"] = _q68_oracle()
+
+
+# p16: power-of-two bucket via integer CASE chain (no float log);
+# in-bucket (length, doc_id) rank; 8-doc batches pad to batch max.
+ORACLES["p16_length_batching"] = """
+WITH sized AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens <= 1 THEN 1
+                WHEN n_tokens <= 2 THEN 2
+                WHEN n_tokens <= 4 THEN 4
+                WHEN n_tokens <= 8 THEN 8
+                WHEN n_tokens <= 16 THEN 16
+                WHEN n_tokens <= 32 THEN 32
+                WHEN n_tokens <= 64 THEN 64
+                WHEN n_tokens <= 128 THEN 128
+                WHEN n_tokens <= 256 THEN 256
+                WHEN n_tokens <= 512 THEN 512
+                WHEN n_tokens <= 1024 THEN 1024
+                WHEN n_tokens <= 2048 THEN 2048
+                ELSE 4096 END AS bucket
+    FROM sized WHERE n_tokens > 0
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens, doc_id) AS rnk
+    FROM bucketed
+),
+per_batch AS (
+    SELECT bucket, (rnk - 1) // 8 AS batch,
+           count(*) AS bn, sum(n_tokens) AS bt, max(n_tokens) AS bmax
+    FROM ranked GROUP BY bucket, batch
+),
+per_bucket AS (
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(sum(bn) AS BIGINT) AS n_docs,
+           count(*) AS n_batches,
+           CAST(sum(bt) AS BIGINT) AS total_tokens,
+           CAST(sum(bn * bmax) AS BIGINT) AS padded_tokens
+    FROM per_batch GROUP BY bucket
+)
+SELECT *,
+       CAST(1000000 * (padded_tokens - total_tokens) // padded_tokens
+            AS BIGINT) AS waste_ppm
+FROM per_bucket
+ORDER BY bucket
+"""

@@ -4901,3 +4901,74 @@ def q68_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         "rank_ppm",
     ).orderBy("rnk")
+
+
+@query("p16_length_batching")
+def p16_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-BY-LENGTH BATCHING with padding-waste accounting — the
+    training-efficiency op between tokenization and the data loader:
+    docs are bucketed to the next power-of-two token length, ordered
+    by (length, doc_id) WITHIN the bucket (homogeneous batches), cut
+    into 8-doc batches, and each batch pads to its own max length.
+    The report per bucket — docs, batches, real vs padded tokens,
+    waste ppm — is what decides whether bucketing is worth it vs
+    p09's concat-and-chunk packing.
+
+    The power-of-two bucket is a pure integer CASE chain (a
+    2^ceil(log2 n) formula rides float log and flips at exact powers
+    cross-engine). In-bucket ranks ride grouped_prefix_stats — a
+    handful of giant buckets never serialize through one window task;
+    batch ids are integer DIV on the exact rank; the two rollups are
+    decomposable groupBys.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda t: t != ""
+    )
+    sized = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    pows = [1 << i for i in range(13)]  # 1 .. 4096
+    bucket = F.when(F.col("n_tokens") <= pows[0], pows[0])
+    for pw in pows[1:]:
+        bucket = bucket.when(F.col("n_tokens") <= pw, pw)
+    sized = sized.withColumn("bucket", bucket.otherwise(pows[-1]))
+    ranked = grouped_prefix_stats(
+        sized,
+        group_col="bucket",
+        sum_col="n_tokens",
+        priority_cols=["n_tokens"],
+        tiebreak_col="doc_id",
+        rank_out="rnk",
+        cum_out="__cum",
+        descending=False,
+    )
+    per_batch = (
+        ranked.withColumn("batch", F.expr("(rnk - 1) DIV 8"))
+        .groupBy("bucket", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("n_tokens").alias("bt"),
+            F.max("n_tokens").alias("bmax"),
+        )
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("bn").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("bt").alias("total_tokens"),
+            F.sum(F.col("bn") * F.col("bmax")).alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr(
+                "1000000 * (padded_tokens - total_tokens) DIV padded_tokens"
+            ),
+        )
+        .orderBy("bucket")
+    )
