@@ -4407,9 +4407,13 @@ def d18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pairs = (
-        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
-    )
+    # Materialized: the exploded shingle frame feeds BOTH the
+    # first-seer aggregate and the join probe side — unmaterialized,
+    # the shingling scan (the expensive 5-gram transform) runs twice
+    # (same discipline as dedup._materialize for d02/d03).
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    ).localCheckpoint()
     first = pairs.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         pairs.join(first, "g")
@@ -4557,26 +4561,34 @@ def p15_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple hits (their token mass is over-represented on the
     line), zero-weight docs never selected.
 
-    Scale: ONE source-partitioned cumulative-sum window (parallel
-    across sources; within a source the prefix sum is the same
-    machinery p06 rides) + pure integer arithmetic — engine-exact,
-    no RNG. The +stride·10⁶ shift keeps every DIV numerator
-    positive (Spark DIV truncates toward zero, DuckDB // floors —
-    they disagree only below zero).
+    Scale: the per-source cumulative weight rides
+    quantiles.grouped_prefix_stats (range-bucketed prefix sums — a
+    handful of giant sources never serialize through one window task
+    each, the same reason p06 uses it) + pure integer arithmetic —
+    engine-exact, no RNG. The +stride·10⁶ shift keeps every DIV
+    numerator positive (Spark DIV truncates toward zero, DuckDB //
+    floors — they disagree only below zero).
     """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
     docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    ws = Window.partitionBy("source")
-    wc = ws.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    base = docs.select(
+        "source", "doc_id", F.col("n_chars").alias("weight")
     )
     k = 20
-    cum = docs.select(
-        "source",
-        "doc_id",
-        F.col("n_chars").alias("weight"),
-        F.sum("n_chars").over(wc).alias("cum"),
-        F.sum("n_chars").over(ws).alias("total"),
-    )
+    totals = base.groupBy("source").agg(F.sum("weight").alias("total"))
+    cum = grouped_prefix_stats(
+        base,
+        group_col="source",
+        sum_col="weight",
+        priority_cols=[],
+        tiebreak_col="doc_id",
+        rank_out="__rnk",
+        cum_out="cum",
+        descending=False,
+    ).join(F.broadcast(totals), "source")
     stride = F.greatest(F.lit(1), F.expr(f"total DIV {k}"))
     # integer DIV throughout: n_hits = #{ sample points in (cum-w, cum] }
     sel = cum.withColumn("stride", stride).withColumn(
@@ -4789,20 +4801,47 @@ def s07_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     score calibration between lanes. Integer fusion arithmetic is
     engine-exact; only lane RANKS cross engines, never floats.
 
-    Scale: the vector lane is s01's broadcast-query scan; the
-    lexical lane explodes tokens, keeps only query terms, and its
-    top-20 plans as TakeOrderedAndProject (per-partition heads — no
-    global sort); the fusion join is 20×20 rows.
+    Scale: the vector lane is s01's broadcast-query scan with its
+    top-20 as TakeOrderedAndProject (single query — a per-query
+    window would funnel the whole scored corpus through one task);
+    the lexical lane explodes tokens, keeps only query terms, and
+    its top-20 is likewise TakeOrdered; the fusion join is 20×20
+    rows.
     """
-    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
-        cosine_topk,
-    )
-
     TERMS = ("window", "hash", "stream")
     emb = table(spark, sf_dir, "embeddings")
-    vec_lane = (
-        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
-        .select(F.col("cand_id").alias("id"), F.col("rnk").alias("v_rank"))
+    # Single-query top-20: scored scan + TakeOrderedAndProject.
+    # cosine_topk's per-query window is right for BATCHES of queries,
+    # but with ONE query its partitionBy(query_id) would funnel every
+    # scored corpus row through a single window task at scale; the
+    # orderBy().limit() form merges per-partition heads instead. The
+    # scoring expression is cosine_topk's, so the oracle mirror and
+    # tie behavior are unchanged.
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    scored_vec = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec"))
+        .join(F.broadcast(q), F.lit(True))
+        .filter(F.col("cand_id") != 0)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6
+            ),
+        )
+    )
+    vec_top = scored_vec.orderBy(F.desc("cosine"), "cand_id").limit(20)
+    vec_lane = vec_top.select(
+        F.col("cand_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "cand_id"))
+        .alias("v_rank"),
     )
 
     docs = table(spark, sf_dir, "documents")
