@@ -50,6 +50,7 @@ _NEEDS_DRIVER_ROW = [
     "t02_lang_id",  # predict_lang single-tokenize rebuild (round 3)
     "q65_weighted_median", "q66_hierarchy_rollup", "q67_rfm_segments",
     "s07_rrf_fusion", "q68_pagerank_centrality", "p16_length_batching",
+    "q69_variant_json",
 ]
 
 

@@ -4418,3 +4418,35 @@ SELECT *,
 FROM per_bucket
 ORDER BY bucket
 """
+
+
+# q69: the VARIANT extraction replayed with DuckDB JSON operators —
+# same constructed document, same paths, TRY_CAST mirrors
+# try_variant_get's NULL-on-type-mismatch.
+ORACLES["q69_variant_json"] = """
+WITH built AS (
+    SELECT event_type,
+           '{"user":{"id":' || CAST(user_id AS VARCHAR) ||
+           ',"seg":"' || event_type || '"},"vals":[' ||
+           CAST(event_id % 100 AS VARCHAR) || ',' ||
+           CAST((event_id % 7) * 3 AS VARCHAR) || ']}' AS doc
+    FROM events
+),
+parsed AS (
+    SELECT event_type,
+           CAST(json_extract(doc, '$.user.id') AS BIGINT) AS uid,
+           CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS val1,
+           TRY_CAST(json_extract_string(doc, '$.user.seg') AS INTEGER)
+               AS seg_as_int
+    FROM built
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT uid) AS n_users,
+       CAST(sum(val1) AS BIGINT) AS sum_val1,
+       CAST(sum(CASE WHEN seg_as_int IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_failed_casts
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -5011,3 +5011,51 @@ def p16_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query("q69_variant_json")
+def q69_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type —
+    parse_json → variant_get path/type extraction with
+    try_variant_get's NULL-on-type-mismatch contract. VARIANT is the
+    engine's modern fast path for heterogeneous JSON at scale
+    (binary-encoded, shredded access — no per-row string re-parse
+    per field the way chained get_json_object pays, no rigid schema
+    the way q40's from_json needs); this exercises the API family as
+    a first-class surface the way q41 does higher-order lambdas.
+
+    The nested document is BUILT deterministically from event
+    columns (format_string), so the DuckDB oracle replays extraction
+    with its JSON operators value-for-value — including the failed
+    typed get (a string field read as int → NULL on both engines).
+
+    Scale: parse + both gets are one codegen pass, zero Python; the
+    rollup is one low-cardinality groupBy.
+    """
+    ev = table(spark, sf_dir, "events")
+    doc = F.format_string(
+        '{"user":{"id":%s,"seg":"%s"},"vals":[%s,%s]}',
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id") % 100,
+        (F.col("event_id") % 7) * 3,
+    )
+    v = F.parse_json(doc)
+    parsed = ev.select(
+        F.col("event_type"),
+        F.variant_get(v, "$.user.id", "bigint").alias("uid"),
+        F.variant_get(v, "$.vals[1]", "bigint").alias("val1"),
+        F.try_variant_get(v, "$.user.seg", "int").alias("seg_as_int"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("uid").alias("n_users"),
+            F.sum("val1").alias("sum_val1"),
+            F.sum(F.col("seg_as_int").isNull().cast("bigint")).alias(
+                "n_failed_casts"
+            ),
+        )
+        .orderBy("event_type")
+    )
