@@ -4049,7 +4049,8 @@ grams AS (
     FROM toks
 ),
 pairs AS (
-    SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams
+    SELECT DISTINCT doc_id, md5(g) AS g
+    FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
 ),
 first AS (
     SELECT g, min(doc_id) AS first_doc FROM pairs GROUP BY g

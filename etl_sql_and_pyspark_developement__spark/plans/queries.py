@@ -4388,11 +4388,23 @@ def d18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering dependency beyond min(doc_id); the re-join to per-doc
     shingles is shingle-keyed. Short docs (<5 tokens) surface with
     n_shingles = 0 via the left join from the full doc list.
+
+    The token array is PROJECTED before the 5-gram lambda reads it:
+    codegen subexpression elimination does not reach inside
+    higher-order-function arguments (the t02 lesson), so an inline
+    split() here is re-evaluated by every element_at — 5 per gram ×
+    ~|tokens| grams ≈ 230 regex splits per document per side, which
+    turned this linear screen into 35s at sf0.1; with the projection
+    it is one split per document.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    tokd = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= 5,
         F.transform(
@@ -4407,13 +4419,20 @@ def d18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # Materialized: the exploded shingle frame feeds BOTH the
-    # first-seer aggregate and the join probe side — unmaterialized,
-    # the shingling scan (the expensive 5-gram transform) runs twice
-    # (same discipline as dedup._materialize for d02/d03).
-    pairs = docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
-    ).localCheckpoint()
+    # Shingles ride as md5 KEYS: fixed 32-byte join/shuffle keys
+    # instead of ~40-byte-plus raw 5-gram strings, applied inside the
+    # transform so array_distinct dedups hashes directly. The frame is
+    # deliberately NOT materialized — the shingling transform is cheap
+    # codegen and re-running it twice (first-seer aggregate + join
+    # probe) costs far less than checkpointing the exploded corpus
+    # (measured 18s vs 2s at sf0.1 — the explode is the one frame in
+    # this family too big to be worth writing).
+    pairs = tokd.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(grams, lambda g: F.md5(g)))
+        ).alias("g"),
+    )
     first = pairs.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         pairs.join(first, "g")
