@@ -51,6 +51,8 @@ _NEEDS_DRIVER_ROW = [
     "q65_weighted_median", "q66_hierarchy_rollup", "q67_rfm_segments",
     "s07_rrf_fusion", "q68_pagerank_centrality", "p16_length_batching",
     "q69_variant_json",
+    "q27_approx_sketches",  # distinct/percentile agg split (round 3)
+    "q70_zorder_layout", "q71_triangle_count",
 ]
 
 

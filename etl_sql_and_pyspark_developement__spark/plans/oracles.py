@@ -4451,3 +4451,102 @@ FROM parsed
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# q70: the Morton curve replayed in integer arithmetic — same cells,
+# same interleave terms, same bin width as operators/zorder.py.
+def _q70_oracle(bits: int = 10, n_bins: int = 64) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((xc // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((yc // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    zexpr = " + ".join(terms)
+    bin_width = (1 << (2 * bits)) // n_bins
+    grid = 1 << (2 * bits)
+    return f"""
+WITH b AS (
+    SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+           min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+    FROM lineitem
+),
+cells AS (
+    SELECT (CAST(l_partkey - xmin AS BIGINT) * {1 << bits})
+               // (CAST(xmax AS BIGINT) - xmin + 1) AS xc,
+           (CAST(l_suppkey - ymin AS BIGINT) * {1 << bits})
+               // (CAST(ymax AS BIGINT) - ymin + 1) AS yc
+    FROM lineitem, b
+),
+z AS (SELECT xc, yc, ({zexpr}) AS zval FROM cells),
+per_bin AS (
+    SELECT zval // {bin_width} AS bin,
+           count(*) AS n_rows,
+           min(xc) AS x_min, max(xc) AS x_max,
+           min(yc) AS y_min, max(yc) AS y_max
+    FROM z GROUP BY 1
+)
+SELECT bin, n_rows, x_min, x_max, y_min, y_max,
+       (1000000 * (x_max - x_min + 1) * (y_max - y_min + 1)) // {grid}
+           AS bbox_ppm
+FROM per_bin
+ORDER BY bin
+"""
+
+
+ORACLES["q70_zorder_layout"] = _q70_oracle()
+
+
+# q71: degree-ordered triangle counting replayed over the mirrored
+# kNN edges. UNION ALL everywhere Spark's union (= UNION ALL) is
+# used; all-integer outputs.
+def _q71_oracle(n_bits: int = 8, k: int = 5) -> str:
+    return f"""{_knn_graph_ctes(n_bits, k)},
+und AS (
+    SELECT DISTINCT least(query_id, cand_id) AS a,
+                    greatest(query_id, cand_id) AS b
+    FROM knn WHERE query_id <> cand_id
+),
+degs AS (
+    SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+),
+orient AS (
+    SELECT CASE WHEN da.degree < db.degree
+                  OR (da.degree = db.degree AND u.a < u.b)
+                THEN u.a ELSE u.b END AS lo,
+           CASE WHEN da.degree < db.degree
+                  OR (da.degree = db.degree AND u.a < u.b)
+                THEN u.b ELSE u.a END AS hi
+    FROM und u
+    JOIN degs da ON da.node = u.a
+    JOIN degs db ON db.node = u.b
+),
+wedges AS (
+    SELECT w1.apex, w1.u, w2.v
+    FROM (SELECT lo AS apex, hi AS u FROM orient) w1
+    JOIN (SELECT lo AS apex, hi AS v FROM orient) w2 ON w1.apex = w2.apex
+    WHERE w1.u < w2.v
+),
+tris AS (
+    SELECT apex, u, v FROM wedges
+    JOIN und ON und.a = wedges.u AND und.b = wedges.v
+),
+corners AS (
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT apex AS node FROM tris
+        UNION ALL SELECT u FROM tris
+        UNION ALL SELECT v FROM tris
+    ) GROUP BY node
+)
+SELECT d.node AS vec_id, d.degree,
+       coalesce(c.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+           (2000000 * coalesce(c.n_triangles, 0))
+               // (d.degree * (d.degree - 1))
+       ELSE 0 END AS clustering_ppm
+FROM degs d LEFT JOIN corners c ON c.node = d.node
+ORDER BY vec_id
+"""
+
+
+ORACLES["q71_triangle_count"] = _q71_oracle()

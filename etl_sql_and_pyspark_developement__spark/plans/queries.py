@@ -1517,9 +1517,19 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are asserted in tests/test_operators.py.
     """
     li = table(spark, sf_dir, "lineitem")
-    sketched = li.groupBy("l_returnflag").agg(
+    # The distinct-count pair and the percentile pair run as SEPARATE
+    # aggregates joined on the 3-row group key: mixing countDistinct
+    # with object-typed imperative aggregates (percentile /
+    # percentile_approx) in one agg routes EVERY aggregate through the
+    # distinct Expand path (input doubled, hash agg falls back to
+    # sort-based with per-row sketch buffers) — measured 9.3s vs 1.8s
+    # at sf0.1 for the split form. The join side is |l_returnflag| = 3
+    # rows, broadcast for free.
+    distincts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_distinct_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_distinct"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
         # 3 dp: the interpolated median of 2-dp values is x.xx5 —
         # exactly a 2-dp rounding boundary
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 3).alias(
@@ -1529,6 +1539,7 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median"
         ),
     )
+    sketched = distincts.join(F.broadcast(pcts), "l_returnflag")
     # Emit sketch accuracy as booleans the oracle asserts TRUE: the
     # sketch values themselves are engine-specific, but "within
     # tolerance of exact" is a portable, checkable contract — if HLL or
@@ -5077,4 +5088,76 @@ def q69_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+@query("q70_zorder_layout")
+def q70_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) LAYOUT stats on (l_partkey, l_suppkey)
+    — the multi-dimensional clustering pass behind lakehouse
+    OPTIMIZE ... ZORDER BY, measured rather than asserted: each
+    z-range bin models one output file, and its per-dimension cell
+    bounding box is exactly what parquet footer min/max stats expose
+    to a pruning scan. bbox_ppm near 1e6/n_bins on BOTH dims is the
+    win a single-column sort cannot deliver (it leaves the other
+    dim's span at full width).
+
+    The reference's layout story is single-key partitioned writes
+    (pyspark/Data Engineering Pipeline for Viewing Analytics.py);
+    this is the two-dimension generalization its content_type ×
+    region cost scans want.
+
+    Scale: the z-value is one whole-stage-codegen integer projection
+    (operators/zorder.py — DIV/%/× by power-of-two literals, no
+    floats, no UDF); the min/max normalization bounds ride a
+    broadcast 1-row aggregate; the only shuffle is the 64-group bin
+    aggregate. The actual write path (write_zordered) adds exactly
+    the one range shuffle a rewrite pays anyway. Integer arithmetic
+    end-to-end: the DuckDB oracle replays the curve bit-for-bit.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.zorder import (
+        layout_stats,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    return layout_stats(li, "l_partkey", "l_suppkey", bits=10, n_bins=64)
+
+
+@query("q71_triangle_count")
+def q71_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING + local clustering coefficients over the s05
+    kNN similarity graph, via degree-ordered wedge joins (Suri &
+    Vassilvitskii WWW'11) — the structural-redundancy complement to
+    q68's PageRank on the same edges: a high-clustering vertex sits
+    in a tight near-duplicate pocket (its neighbors also neighbor
+    each other), which is exactly the neighborhood a curation pass
+    down-weights, where PageRank only says it is well-connected.
+
+    Scale: orientation by (degree, id) bounds the wedge join's
+    per-key fan-out by O(√m) regardless of hubs, counts each
+    triangle exactly once, and keeps every step an equi-join shuffle
+    (operators/graph.py). Counts and the 2e6·tri DIV (d·(d−1))
+    coefficient are pure integers — the DuckDB oracle replays the
+    whole pipeline value-for-value on the mirrored kNN edges.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.graph import (
+        triangle_stats,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb).select(
+        F.col("query_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    return (
+        triangle_stats(edges)
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            "n_triangles",
+            "clustering_ppm",
+        )
+        .orderBy("vec_id")
     )

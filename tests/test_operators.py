@@ -499,3 +499,115 @@ def test_pagerank_cycle_is_fixed_point(spark):
     )
     got = {r.node: r.rank_ppm for r in pagerank(edges, iterations=4).collect()}
     assert got == {1: 1000000, 2: 1000000, 3: 1000000}
+
+
+def test_zvalue_interleaves_known_bits(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.zorder import zvalue
+
+    # Corners of a 4x4 grid with bits=2: values 0..3 map to cells
+    # 0..3 directly (span+1 = 4 = 2^bits). Morton(x=3, y=0) = 0b0101,
+    # Morton(x=0, y=3) = 0b1010, Morton(3, 3) = 0b1111.
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2)], ["x", "y"]
+    )
+    out = {
+        (r.x, r.y): r.zval
+        for r in zvalue(df, "x", "y", bits=2).collect()
+    }
+    assert out[(0, 0)] == 0
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(3, 3)] == 0b1111
+    # x=1 -> bit0 even-position, y=2 -> bit1 odd-position: 0b1001
+    assert out[(1, 2)] == 0b1001
+
+
+def test_zorder_layout_beats_single_column_sort(spark):
+    """The point of the curve: binning by z-value keeps BOTH dims'
+    bounding boxes small, while binning by one column leaves the
+    other dim's span at full width."""
+    from etl_sql_and_pyspark_developement__spark.operators.zorder import (
+        layout_stats,
+    )
+
+    # Full independent 64x64 grid: under an x-sorted layout every
+    # file spans ALL of y (a y-predicate reads everything); z-order
+    # bins are aligned Morton squares spanning 16/64 of y each.
+    rows = [(i // 64, i % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    zstats = layout_stats(df, "x", "y", bits=6, n_bins=16).collect()
+    xstats = (
+        df.withColumn("bin", F.expr("x DIV 4"))
+        .groupBy("bin")
+        .agg(
+            (F.max("y") - F.min("y") + 1).alias("ys"),
+        )
+        .collect()
+    )
+    z_yspan = sum(r.y_max - r.y_min + 1 for r in zstats) / len(zstats)
+    x_yspan = sum(r.ys for r in xstats) / len(xstats)
+    assert z_yspan == 16  # aligned 16x16 Morton quadrants
+    assert x_yspan == 64  # single-column sort: full-width other dim
+    # Both layouts bound x equally tightly (4-wide vs 16-wide boxes);
+    # the curve's win is that NEITHER dimension is left unbounded.
+    assert max(r.x_max - r.x_min + 1 for r in zstats) == 16
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    from etl_sql_and_pyspark_developement__spark.operators.zorder import (
+        write_zordered,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 100, f"p{i}") for i in range(500)],
+        ["x", "y", "payload"],
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, "x", "y", bits=6, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.columns == ["x", "y", "payload"]  # helper cols dropped
+    assert back.count() == 500
+    assert back.select(F.sum("x")).first()[0] == sum(range(500))
+
+
+def test_triangle_stats_counts_known_graph(spark):
+    from etl_sql_and_pyspark_developement__spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # 4-clique {1,2,3,4} (4 triangles, each vertex in 3 of them) plus
+    # pendant 5-1 (no triangle) — directed duplicates must not
+    # double-count.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges.append((5, 1))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r for r in triangle_stats(df).collect()}
+    for v in (2, 3, 4):
+        assert out[v].degree == 3
+        assert out[v].n_triangles == 3
+        assert out[v].clustering_ppm == 1_000_000
+    assert out[1].degree == 4
+    assert out[1].n_triangles == 3
+    # 2e6 * 3 // (4*3) = 500000
+    assert out[1].clustering_ppm == 500_000
+    assert out[5].degree == 1
+    assert out[5].n_triangles == 0
+    assert out[5].clustering_ppm == 0
+
+
+def test_triangle_stats_star_has_no_triangles(spark):
+    """A hub star graph — the degree-orientation worst case input —
+    must produce zero triangles and never pair the hub's neighbors
+    through the hub (orientation points every edge AT the hub, whose
+    out-degree stays 0)."""
+    from etl_sql_and_pyspark_developement__spark.operators.graph import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], ["src", "dst"]
+    )
+    out = triangle_stats(df).collect()
+    assert all(r.n_triangles == 0 for r in out)
+    hub = next(r for r in out if r.node == 0)
+    assert hub.degree == 39

@@ -677,3 +677,40 @@ def test_s07_lexical_topk_is_takeordered(spark, sf_dir):
     plan = plan_of(spark, "s07_rrf_fusion", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q70_zorder_codegen_single_agg_shuffle(spark, sf_dir):
+    """The z-value must be pure JVM integer codegen (no Python, no
+    float ops in the curve), bounds must arrive by broadcast, and the
+    only hash shuffle is the 64-group bin rollup."""
+    plan = plan_of(spark, "q70_zorder_layout", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "1-row bounds must broadcast"
+    assert plan.count("hashpartitioning(bin") == 1
+    assert plan.count("hashpartitioning") == 1, "bin rollup is the only hash shuffle"
+    # scans read only the two layout dimensions
+    assert "l_extendedprice" not in plan and "l_comment" not in plan
+
+
+def test_q71_triangles_no_python_no_cartesian(spark, sf_dir):
+    """Degree-ordered triangle counting is equi-joins only: no Python
+    stage, no cartesian/nested-loop pairing anywhere."""
+    plan = plan_of(spark, "q71_triangle_count", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q27_sketches_no_expand_over_percentiles(spark, sf_dir):
+    """q27's percentile aggregates must NOT ride the countDistinct
+    Expand path (the round-3 5x finding): the two aggregate families
+    run as separate plans joined on the 3-row key, so at most one
+    side carries Expand and the object-typed percentile agg stays
+    out of it."""
+    plan = plan_of(spark, "q27_approx_sketches", sf_dir)
+    # Split into two families, the single-distinct side plans as a
+    # plain two-stage aggregate — no Expand node anywhere — and the
+    # object-typed percentile side joins back by broadcast.
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ObjectHashAggregate" in plan, "percentile family expected"
