@@ -52,7 +52,8 @@ _NEEDS_DRIVER_ROW = [
     "s07_rrf_fusion", "q68_pagerank_centrality", "p16_length_batching",
     "q69_variant_json",
     "q27_approx_sketches",  # distinct/percentile agg split (round 3)
-    "q70_zorder_layout", "q71_triangle_count",
+    "q70_zorder_layout", "q71_triangle_count", "q72_ewma_smoothing",
+    "q73_drift_psi", "p17_target_encoding",
 ]
 
 

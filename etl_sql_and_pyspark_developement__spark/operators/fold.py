@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["capped_running_total"]
+__all__ = ["capped_running_total", "ewma_stats"]
 
 
 def capped_running_total(
@@ -116,4 +116,60 @@ def capped_running_total(
         fold,
         f"{key} {key_type}, n_events bigint, n_capped bigint, "
         "final_balance double",
+    )
+
+
+def ewma_stats(
+    daily: DataFrame, key: str, order: str, cnt: str
+) -> DataFrame:
+    """Per-key EWMA (α = 0.3) over a bounded ordered series, in exact
+    milli-unit integer arithmetic: returns (key, n_days,
+    ewma_final_milli, ewma_peak_milli, n_spikes) where
+    s_t = (3·x_t + 7·s_{t−1}) DIV 10 seeded with the first value,
+    peak is the running max of s, and a spike is x_t > 2·s_{t−1}.
+
+    The three state variables ride ONE builtin scalar `aggregate()`
+    fold by bit-packing (s·2^37 + peak·2^11 + spikes): pure JVM
+    codegen, no Python, no floats — and truncating DIV makes the fold
+    engine-exact (a DuckDB list_reduce replays it bit-for-bit; struct
+    accumulators are avoided because DuckDB 1.0 folds struct fields
+    inconsistently). Precondition: per-step values < 2^26 milli-units
+    (67k raw) and < 2^11 spike steps.
+
+    Scale: series must be BOUNDED per key (calendar days, bucket
+    counts — the t20 sorted-fold discipline). For unbounded per-key
+    sequences use per-partition associative composition of the affine
+    maps instead (module docstring).
+    """
+    series = daily.groupBy(key).agg(
+        F.expr(
+            f"transform(sort_array(collect_list(struct({order}, {cnt}))),"
+            f" e -> CAST(e.{cnt} AS BIGINT) * 1000 * 137438953472"
+            f"      + CAST(e.{cnt} AS BIGINT) * 1000 * 2048)"
+        ).alias("p")
+    )
+    merge = (
+        "(acc, el) -> "
+        "((3 * (el DIV 137438953472) + 7 * (acc DIV 137438953472)) DIV 10)"
+        " * 137438953472"
+        " + greatest((acc DIV 2048) % 67108864,"
+        "            (3 * (el DIV 137438953472)"
+        "             + 7 * (acc DIV 137438953472)) DIV 10) * 2048"
+        " + (acc % 2048)"
+        " + (CASE WHEN (el DIV 137438953472)"
+        "          > 2 * (acc DIV 137438953472) THEN 1 ELSE 0 END)"
+    )
+    folded = series.select(
+        key,
+        F.size("p").alias("n_days"),
+        F.expr(
+            f"aggregate(slice(p, 2, size(p) - 1), p[0], {merge})"
+        ).alias("acc"),
+    )
+    return folded.select(
+        key,
+        "n_days",
+        F.expr("acc DIV 137438953472").alias("ewma_final_milli"),
+        F.expr("(acc DIV 2048) % 67108864").alias("ewma_peak_milli"),
+        F.expr("acc % 2048").alias("n_spikes"),
     )

@@ -4550,3 +4550,133 @@ ORDER BY vec_id
 
 
 ORACLES["q71_triangle_count"] = _q71_oracle()
+
+
+# q72: the packed-BIGINT EWMA fold replayed with list_reduce — same
+# init convention (element 1 is the seed state), same truncating
+# integer arithmetic, so every lane is bit-exact. Struct accumulators
+# are deliberately avoided: DuckDB 1.0's list_reduce folds struct
+# FIELDS inconsistently (observed: one field linearly folded, a
+# sibling lambda applied once) — the packed scalar is the portable
+# encoding.
+ORACLES["q72_ewma_smoothing"] = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+ser AS (
+    SELECT event_type,
+        list(CAST(cnt AS BIGINT) * 1000 * 137438953472
+             + CAST(cnt AS BIGINT) * 1000 * 2048 ORDER BY day) AS p,
+        count(*) AS n_days
+    FROM daily GROUP BY event_type
+),
+red AS (
+    SELECT event_type, n_days,
+        list_reduce(p, (acc, el) ->
+            ((3 * (el // 137438953472) + 7 * (acc // 137438953472)) // 10)
+                * 137438953472
+            + greatest((acc // 2048) % 67108864,
+                       (3 * (el // 137438953472)
+                        + 7 * (acc // 137438953472)) // 10) * 2048
+            + (acc % 2048)
+            + (CASE WHEN (el // 137438953472)
+                     > 2 * (acc // 137438953472) THEN 1 ELSE 0 END)
+        ) AS acc
+    FROM ser
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+    acc // 137438953472 AS ewma_final_milli,
+    (acc // 2048) % 67108864 AS ewma_peak_milli,
+    acc % 2048 AS n_spikes
+FROM red ORDER BY event_type
+"""
+
+
+# p17: LOO target encoding — exact integer cents into one fixed
+# float expression, mirrored operation-for-operation.
+ORACLES["p17_target_encoding"] = """
+WITH per_cust AS (
+    SELECT o_custkey,
+        CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY o_custkey
+),
+base AS (
+    SELECT c.c_custkey, c.c_mktsegment,
+        coalesce(p.spend_cents, 0) AS spend_cents
+    FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+),
+seg AS (
+    SELECT c_mktsegment, sum(spend_cents) AS seg_sum,
+        count(*) AS seg_n
+    FROM base GROUP BY c_mktsegment
+),
+overall AS (
+    SELECT sum(spend_cents) AS g_sum, count(*) AS g_n FROM base
+)
+SELECT b.c_custkey, b.c_mktsegment, b.spend_cents,
+    round((((s.seg_sum - b.spend_cents)
+            + 10.0e0 * (CAST(g.g_sum AS DOUBLE) / CAST(g.g_n AS DOUBLE)))
+           / (s.seg_n - 1 + 10)) / 100.0e0, 4) AS loo_enc
+FROM base b
+JOIN seg s ON s.c_mktsegment = b.c_mktsegment
+CROSS JOIN overall g
+ORDER BY b.c_custkey
+"""
+
+
+# q73: PSI drift — identical binning floats, Laplace smoothing, and
+# the bin-ordered fold for the sum (never a SUM over doubles).
+ORACLES["q73_drift_psi"] = """
+WITH b AS (
+    SELECT min(value) AS vmin, max(value) AS vmax,
+           min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+    FROM events
+),
+binned AS (
+    SELECT event_type,
+        CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) * 2
+                  < date_diff('day', d0, d1) + 1
+             THEN 1 ELSE 2 END AS win,
+        least(9, CAST(floor((value - vmin) * 10.0e0 / (vmax - vmin))
+                      AS INT)) AS bin
+    FROM events, b
+),
+counts AS (
+    SELECT event_type, bin,
+        sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN win = 2 THEN 1 ELSE 0 END) AS n2
+    FROM binned GROUP BY event_type, bin
+),
+spine AS (
+    SELECT event_type, s.bin
+    FROM (SELECT DISTINCT event_type FROM events)
+    CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) s
+),
+full_bins AS (
+    SELECT sp.event_type, sp.bin,
+        coalesce(c.n1, 0) AS n1, coalesce(c.n2, 0) AS n2
+    FROM spine sp
+    LEFT JOIN counts c ON c.event_type = sp.event_type AND c.bin = sp.bin
+),
+per_type AS (
+    SELECT event_type,
+        CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2,
+        list(struct_pack(bin := bin, n1 := n1, n2 := n2)
+             ORDER BY bin) AS arr
+    FROM full_bins GROUP BY event_type
+),
+ct AS (
+    SELECT event_type, t1, t2,
+        list_transform(arr, e ->
+            ((CAST(e.n1 + 1 AS DOUBLE) / (t1 + 10))
+             - (CAST(e.n2 + 1 AS DOUBLE) / (t2 + 10)))
+            * ln((CAST(e.n1 + 1 AS DOUBLE) / (t1 + 10))
+                 / (CAST(e.n2 + 1 AS DOUBLE) / (t2 + 10)))) AS c
+    FROM per_type
+)
+SELECT event_type, t1, t2,
+    round(list_reduce(list_prepend(0.0e0, c), (a, x) -> a + x), 6) AS psi,
+    CAST(list_indexof(c, list_max(c)) AS INT) AS top_bin_1idx
+FROM ct ORDER BY event_type
+"""

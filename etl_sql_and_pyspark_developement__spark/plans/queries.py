@@ -5161,3 +5161,219 @@ def q71_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("q72_ewma_smoothing")
+def q72_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL SMOOTHING (EWMA) of daily event volumes per type,
+    with peak tracking and spike detection (day count > 2x the
+    previous smoothed level) — the classic operational baseline
+    q63's MAD thresholds complement: s_t = (3·x_t + 7·s_{t−1}) DIV 10
+    in EXACT milli-unit integer arithmetic, seeded with day 1.
+
+    A sequential recurrence usually tempts a per-group Python loop
+    (the q61 anti-pattern). Here the whole multi-variable state —
+    (smoothed, peak, spike count) — rides ONE builtin scalar fold by
+    BIT-PACKING the three integers into a single BIGINT accumulator
+    (s·2^37 + peak·2^11 + spikes; daily counts bound s and peak under
+    2^26 milli-units, documented precondition): `aggregate()` over
+    the sorted bounded series, pure JVM codegen, zero Python, zero
+    floats — and because every step is truncating integer DIV, the
+    DuckDB oracle's list_reduce replays it bit-for-bit. (DuckDB 1.0's
+    list_reduce mis-folds STRUCT accumulators — per-field
+    inconsistency, found while building this — which is exactly why
+    the packed-scalar form is the portable one.)
+
+    Scale: the daily rollup is one decomposable shuffle; per-key
+    series are calendar-bounded (|days|, the t20/t20-sorted-fold
+    discipline), so collect_list holds ≤ a few thousand elements per
+    type regardless of row scale. For UNBOUNDED per-key sequences
+    the scale path is per-partition associative composition of the
+    affine maps (operators/fold.py's design note), not this collect.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        ewma_stats,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return ewma_stats(daily, "event_type", "day", "cnt").orderBy(
+        "event_type"
+    )
+
+
+@query("p17_target_encoding")
+def p17_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING with prior smoothing — the
+    standard categorical-feature transform for tree/GBM training
+    sets: replace c_mktsegment with the smoothed mean spend of the
+    OTHER customers in the segment, enc = (seg_sum − own + m·μ) /
+    (seg_n − 1 + m), m = 10. Leave-one-out kills the target-leakage
+    a plain category mean injects; the prior pulls rare categories
+    toward the global mean.
+
+    Scale: one o_custkey groupBy builds per-entity targets; the
+    segment and global statistics are TINY aggregates broadcast back
+    onto the entity frame (never a per-row window over the category
+    — a category is exactly the skewed-key shape a window would
+    serialize on); the encode itself is one codegen expression.
+    Sums ride exact integer cents (float partial-agg error absorbed
+    by the half-cent round, the q67 discipline), so the quotient is
+    computed from identical integers in both engines.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    # base (per-entity targets) feeds both the category statistics
+    # and the final encode join — materialize it once rather than
+    # re-running the orders rollup + customer join per consumer.
+    base = (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("spend_cents", F.lit(0)).alias("spend_cents"),
+        )
+        .localCheckpoint()
+    )
+    seg = base.groupBy("c_mktsegment").agg(
+        F.sum("spend_cents").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    # The global prior is the segment table re-aggregated — 5 rows,
+    # never a second pass over the entity frame.
+    glob = seg.agg(
+        F.sum("seg_sum").alias("g_sum"),
+        F.sum("seg_n").alias("g_n"),
+    )
+    return (
+        base.join(F.broadcast(seg), "c_mktsegment")
+        .join(F.broadcast(glob), F.lit(True))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "spend_cents",
+            F.round(
+                (
+                    (F.col("seg_sum") - F.col("spend_cents"))
+                    + F.lit(10.0)
+                    * (
+                        F.col("g_sum").cast("double")
+                        / F.col("g_n").cast("double")
+                    )
+                )
+                / (F.col("seg_n") - 1 + 10)
+                / F.lit(100.0),
+                4,
+            ).alias("loo_enc"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query("q73_drift_psi")
+def q73_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT detection via the Population Stability
+    Index — the standard production-ML monitor for 'did this
+    feature's distribution move between two windows': split the event
+    stream at its midpoint, bin `value` into 10 equal-width bins from
+    the GLOBAL bounds, and per event type compute
+    PSI = Σ_bins (p₁−p₂)·ln(p₁/p₂) with Laplace-smoothed proportions
+    (pᵢ = (nᵢ+1)/(tᵢ+10), so empty bins stay finite). PSI < 0.1 is
+    stable, > 0.25 is actionable drift. The dominant bin (largest
+    contribution, first on ties) localizes WHERE the mass moved.
+
+    Scale: bounds and the date anchor ride one broadcast 1-row
+    aggregate; binning is codegen; counts are ONE decomposable
+    (type, bin) groupBy with conditional sums (never two scans for
+    two windows); the 10-bin spine is exploded per type so
+    both-empty bins still contribute; the PSI sum folds over the
+    bin-SORTED array (t20 discipline — float addition order pinned,
+    so the oracle replays it bit-for-bit; a plain SUM over 10 doubles
+    would be partial-agg-order dependent).
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    binned = ev.join(F.broadcast(bounds), F.lit(True)).select(
+        "event_type",
+        F.when(
+            F.datediff(F.to_date("ts"), F.col("d0"))
+            * 2
+            < F.datediff("d1", "d0") + 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("win"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                * 10.0
+                / (F.col("vmax") - F.col("vmin"))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    # counts is tiny (|types| x 10) and feeds BOTH the spine and the
+    # join probe — materialize it so the full binning scan runs once.
+    counts = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("win") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("win") == 2, 1).otherwise(0)).alias("n2"),
+        )
+        .localCheckpoint()
+    )
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+    )
+    full = spine.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("n2", F.lit(0)).alias("n2"),
+    )
+    per_type = full.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.sort_array(F.collect_list(F.struct("bin", "n1", "n2"))).alias(
+            "arr"
+        ),
+    )
+    contrib = (
+        "transform(arr, e ->"
+        " ((CAST(e.n1 + 1 AS DOUBLE) / (t1 + 10))"
+        "  - (CAST(e.n2 + 1 AS DOUBLE) / (t2 + 10)))"
+        " * ln((CAST(e.n1 + 1 AS DOUBLE) / (t1 + 10))"
+        "      / (CAST(e.n2 + 1 AS DOUBLE) / (t2 + 10))))"
+    )
+    return (
+        per_type.withColumn("ct", F.expr(contrib))
+        .select(
+            "event_type",
+            "t1",
+            "t2",
+            F.round(
+                F.expr("aggregate(ct, 0.0d, (a, x) -> a + x)"), 6
+            ).alias("psi"),
+            F.expr("CAST(array_position(ct, array_max(ct)) AS INT)")
+            .alias("top_bin_1idx"),
+        )
+        .orderBy("event_type")
+    )

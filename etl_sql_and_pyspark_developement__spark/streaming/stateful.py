@@ -278,3 +278,111 @@ def streaming_capped_total(events: DataFrame, cap: float = 500.0) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "event_type string, n_days int, ewma_final_milli bigint, "
+    "ewma_peak_milli bigint, n_spikes bigint"
+)
+EWMA_STATE_SCHEMA = (
+    "pend_day string, pend_cnt bigint, acc bigint, ndays int"
+)
+
+_EWMA_SHIFT_S = 1 << 37
+_EWMA_SHIFT_P = 1 << 11
+_EWMA_MASK_P = (1 << 26) - 1
+
+
+def _ewma_fold(acc: int | None, x_milli: int) -> int:
+    """One step of the packed integer EWMA fold — the SAME truncating
+    arithmetic as operators/fold.ewma_stats' aggregate() lambda, so
+    streaming state equals the batch fold bit-for-bit."""
+    if acc is None:
+        return x_milli * _EWMA_SHIFT_S + x_milli * _EWMA_SHIFT_P
+    s = acc // _EWMA_SHIFT_S
+    peak = (acc // _EWMA_SHIFT_P) % (_EWMA_MASK_P + 1)
+    spikes = acc % _EWMA_SHIFT_P
+    ns = (3 * x_milli + 7 * s) // 10
+    return (
+        ns * _EWMA_SHIFT_S
+        + max(peak, ns) * _EWMA_SHIFT_P
+        + spikes
+        + (1 if x_milli > 2 * s else 0)
+    )
+
+
+def _ewma_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    pend_day, pend_cnt, acc, ndays = (
+        state.get if state.exists else (None, 0, None, 0)
+    )
+    if acc is not None and acc < 0:
+        acc = None  # -1 encodes "no folded day yet" (schema is bigint)
+    for pdf in pdfs:
+        days = (
+            pdf.assign(day=pdf["ts"].dt.strftime("%Y-%m-%d"))
+            .groupby("day")
+            .size()
+            .sort_index()
+        )
+        for day, cnt in days.items():
+            if pend_day is None:
+                pend_day, pend_cnt = day, int(cnt)
+            elif day == pend_day:
+                pend_cnt += int(cnt)
+            else:
+                acc = _ewma_fold(acc, pend_cnt * 1000)
+                ndays += 1
+                pend_day, pend_cnt = day, int(cnt)
+    state.update(
+        (pend_day, pend_cnt, -1 if acc is None else acc, ndays)
+    )
+    # Provisional view: fold the in-progress day too, matching the
+    # batch ewma_stats over everything seen so far (a day is only
+    # PERMANENTLY folded once a later day arrives, so late events for
+    # the current day still count).
+    view = acc
+    vdays = ndays
+    if pend_day is not None:
+        view = _ewma_fold(view, pend_cnt * 1000)
+        vdays += 1
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_days": [vdays],
+            "ewma_final_milli": [view // _EWMA_SHIFT_S],
+            "ewma_peak_milli": [
+                (view // _EWMA_SHIFT_P) % (_EWMA_MASK_P + 1)
+            ],
+            "n_spikes": [view % _EWMA_SHIFT_P],
+        }
+    )
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """st23: streaming EWMA of daily event volumes per type — q72's
+    packed integer fold carried across micro-batches as keyed state
+    (applyInPandasWithState). State is four scalars per key: the
+    in-progress day's (date, count) plus the packed (smoothed, peak,
+    spikes) accumulator and folded-day count. A day folds
+    PERMANENTLY only when a later day arrives, so late events for
+    the current day are still absorbed; each batch emits the
+    provisional view including the pending day, which equals the
+    batch fold over everything seen (parity tested batch-by-batch
+    semantics: identical truncating integer arithmetic).
+
+    Scale: state is O(1) per event type; per-batch work is one
+    pandas groupby over the batch's rows for the key. The same
+    RocksDB state-store opt-in as st04 applies for wide key spaces.
+    """
+    return events.select("event_type", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _ewma_update,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -611,3 +611,39 @@ def test_triangle_stats_star_has_no_triangles(spark):
     assert all(r.n_triangles == 0 for r in out)
     hub = next(r for r in out if r.node == 0)
     assert hub.degree == 39
+
+
+def test_ewma_stats_tracks_spikes_and_peak(spark):
+    """Planted spiky series: the packed fold must track all three
+    lanes (the shipped events data never spikes, so the spike lane is
+    exercised here)."""
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        ewma_stats,
+    )
+
+    rows = [("a", d, c) for d, c in enumerate([10, 10, 50, 10, 10])]
+    rows += [("b", 0, 7)]
+    df = spark.createDataFrame(rows, ["k", "day", "cnt"])
+    out = {r.k: r for r in ewma_stats(df, "k", "day", "cnt").collect()}
+    # Exact integer replay: s in milli-units, seeded 10000.
+    s = 10000
+    peak = s
+    spikes = 0
+    for x in [10000, 50000, 10000, 10000]:
+        if x > 2 * s:
+            spikes += 1
+        s = (3 * x + 7 * s) // 10
+        peak = max(peak, s)
+    a = out["a"]
+    assert a.n_days == 5
+    assert a.ewma_final_milli == s
+    assert a.ewma_peak_milli == peak
+    assert a.n_spikes == spikes == 1
+    # Single-observation key: the seed IS the result.
+    b = out["b"]
+    assert (b.n_days, b.ewma_final_milli, b.ewma_peak_milli, b.n_spikes) == (
+        1,
+        7000,
+        7000,
+        0,
+    )

@@ -714,3 +714,14 @@ def test_q27_sketches_no_expand_over_percentiles(spark, sf_dir):
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan
     assert "ObjectHashAggregate" in plan, "percentile family expected"
+
+
+def test_q72_ewma_fold_stays_jvm_side(spark, sf_dir):
+    """The EWMA recurrence must ride the builtin aggregate() fold —
+    no Python stage, scan pruned to (event_type, ts), and only the
+    daily-rollup + per-type collect hash shuffles."""
+    plan = plan_of(spark, "q72_ewma_smoothing", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("hashpartitioning") == 2
+    assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]

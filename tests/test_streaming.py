@@ -1104,3 +1104,68 @@ def test_stream_sketch_maintenance_matches_batch_bit_exact(
         assert g.est_users == w.est_users, f"{day}: merged != batch sketch"
         assert g.n_events == w.n_events
         assert abs(g.est_users - w.exact_users) <= 0.05 * w.exact_users
+
+
+def test_st23_streaming_ewma_matches_batch_fold(spark, sf_dir, tmp_path):
+    """The streaming EWMA's final per-type state must equal the batch
+    ewma_stats fold exactly — three day-range files processed in
+    order, state (packed integer accumulator + pending day) carried
+    across micro-batches."""
+    from etl_sql_and_pyspark_developement__spark.operators.fold import ewma_stats
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    # Day-aligned thirds, written in chronological file order.
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 9999)]):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st23_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.ewma_final_milli,
+            r.ewma_peak_milli,
+            r.n_spikes,
+        )
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n_days DESC) AS rn "
+            "FROM st23_out) WHERE rn = 1"
+        ).collect()
+    }
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    want = {
+        r.event_type: (
+            r.n_days,
+            r.ewma_final_milli,
+            r.ewma_peak_milli,
+            r.n_spikes,
+        )
+        for r in ewma_stats(daily, "event_type", "day", "cnt").collect()
+    }
+    assert got == want, "streaming packed fold must equal the batch fold"
