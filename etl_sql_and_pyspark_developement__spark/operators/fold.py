@@ -141,11 +141,21 @@ def ewma_stats(
     sequences use per-partition associative composition of the affine
     maps instead (module docstring).
     """
+    # Packing budget enforced IN-PLAN (the capped_running_total
+    # discipline): a per-step value at or over 2^26 milli-units would
+    # silently corrupt the peak lane, so it fails loudly at fold-build
+    # time instead. EWMA of values ≤ M stays ≤ M, so guarding inputs
+    # covers the s and peak lanes for the whole fold.
     series = daily.groupBy(key).agg(
         F.expr(
             f"transform(sort_array(collect_list(struct({order}, {cnt}))),"
-            f" e -> CAST(e.{cnt} AS BIGINT) * 1000 * 137438953472"
-            f"      + CAST(e.{cnt} AS BIGINT) * 1000 * 2048)"
+            f" e -> CASE WHEN CAST(e.{cnt} AS BIGINT) * 1000 >= 67108864"
+            f"      THEN CAST(raise_error(concat('ewma_stats: value ',"
+            f"           CAST(e.{cnt} AS STRING),"
+            f"           ' exceeds the 2^26 milli-unit packing budget'))"
+            f"           AS BIGINT)"
+            f"      ELSE CAST(e.{cnt} AS BIGINT) * 1000 * 137438953472"
+            f"           + CAST(e.{cnt} AS BIGINT) * 1000 * 2048 END)"
         ).alias("p")
     )
     merge = (
@@ -159,11 +169,16 @@ def ewma_stats(
         " + (CASE WHEN (el DIV 137438953472)"
         "          > 2 * (acc DIV 137438953472) THEN 1 ELSE 0 END)"
     )
+    # The spike counter has 11 bits — series longer than 2047 steps
+    # could overflow it into the peak lane; fail loudly.
     folded = series.select(
         key,
         F.size("p").alias("n_days"),
         F.expr(
-            f"aggregate(slice(p, 2, size(p) - 1), p[0], {merge})"
+            "CASE WHEN size(p) >= 2048 THEN CAST(raise_error("
+            "'ewma_stats: series longer than 2047 steps overflows the"
+            " spike-counter packing') AS BIGINT) "
+            f"ELSE aggregate(slice(p, 2, size(p) - 1), p[0], {merge}) END"
         ).alias("acc"),
     )
     return folded.select(

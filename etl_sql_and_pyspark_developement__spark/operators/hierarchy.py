@@ -91,6 +91,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     damping_ppm: int = 850_000,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank-style centrality over an edge list (src, dst), in
     EXACT integer ppm arithmetic:
@@ -108,10 +109,20 @@ def pagerank(
 
     Scale: each iteration is one src-keyed hash join (ranks onto
     edges) + one dst-keyed partial-agg sum — two shuffles per round,
-    no driver-side data; iteration frames are localCheckpoint-ed so
-    lineage stays flat (same discipline as resolve_hierarchy). The
-    edge set (with out-degrees) is materialized once.
+    no driver-side data. Iteration frames are composed LAZILY and the
+    lineage is truncated only every `checkpoint_every` rounds: each
+    rank frame feeds exactly one consumer (the next round), so
+    nothing is recomputed without checkpoints, and a per-round
+    localCheckpoint just serializes the loop into eager blocking jobs
+    (measured 1.95s vs 1.17s fully lazy for 5 rounds at sf0.1). The
+    periodic truncation is what matters at 50+ rounds, where plan
+    depth itself becomes the cost. The edge set (with out-degrees) is
+    materialized once.
     """
+    # The caller's edge list may itself be expensive (a kNN bucket
+    # join); it is consumed three times below (node union x2,
+    # out-degree join) — materialize it once at entry.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -122,7 +133,7 @@ def pagerank(
     ed = edges.join(outdeg, "src").localCheckpoint()
     base = 1_000_000 - damping_ppm
     ranks = nodes.withColumn("r", F.lit(1_000_000).cast("bigint"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
             .select("dst", F.expr("r DIV __od").alias("__c"))
@@ -143,6 +154,7 @@ def pagerank(
                 .cast("bigint")
                 .alias("r"),
             )
-            .localCheckpoint()
         )
+        if (i + 1) % checkpoint_every == 0 and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_ppm"))

@@ -4638,8 +4638,10 @@ binned AS (
         CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) * 2
                   < date_diff('day', d0, d1) + 1
              THEN 1 ELSE 2 END AS win,
-        least(9, CAST(floor((value - vmin) * 10.0e0 / (vmax - vmin))
-                      AS INT)) AS bin
+        CASE WHEN vmax = vmin THEN 0
+             ELSE least(9, CAST(floor((value - vmin) * 10.0e0
+                                      / (vmax - vmin)) AS INT))
+        END AS bin
     FROM events, b
 ),
 counts AS (
@@ -4679,4 +4681,36 @@ SELECT event_type, t1, t2,
     round(list_reduce(list_prepend(0.0e0, c), (a, x) -> a + x), 6) AS psi,
     CAST(list_indexof(c, list_max(c)) AS INT) AS top_bin_1idx
 FROM ct ORDER BY event_type
+"""
+
+
+# q74: Wilson interval — exact integer counts into one fixed float
+# expression (sqrt is correctly rounded IEEE in both engines).
+ORACLES["q74_wilson_ci"] = """
+WITH counts AS (
+    SELECT CAST(user_id % 2 AS INT) AS arm,
+        count(DISTINCT user_id) AS n_users,
+        count(DISTINCT CASE WHEN event_type = 'purchase'
+                            THEN user_id END) AS conv_users
+    FROM events GROUP BY 1
+)
+SELECT arm, n_users, conv_users,
+    round((CAST(conv_users AS DOUBLE) / n_users), 6) AS conv_rate,
+    round((((CAST(conv_users AS DOUBLE) / n_users)
+            + 3.8416e0 / (2.0e0 * n_users))
+           / (1.0e0 + 3.8416e0 / n_users))
+          - (1.96e0 * sqrt((CAST(conv_users AS DOUBLE) / n_users)
+                 * (1.0e0 - (CAST(conv_users AS DOUBLE) / n_users))
+                 / n_users
+                 + 3.8416e0 / (4.0e0 * n_users * n_users))
+             / (1.0e0 + 3.8416e0 / n_users)), 6) AS wilson_lo,
+    round((((CAST(conv_users AS DOUBLE) / n_users)
+            + 3.8416e0 / (2.0e0 * n_users))
+           / (1.0e0 + 3.8416e0 / n_users))
+          + (1.96e0 * sqrt((CAST(conv_users AS DOUBLE) / n_users)
+                 * (1.0e0 - (CAST(conv_users AS DOUBLE) / n_users))
+                 / n_users
+                 + 3.8416e0 / (4.0e0 * n_users * n_users))
+             / (1.0e0 + 3.8416e0 / n_users)), 6) AS wilson_hi
+FROM counts ORDER BY arm
 """

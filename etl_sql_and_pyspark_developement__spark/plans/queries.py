@@ -5316,14 +5316,20 @@ def q73_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(2))
         .alias("win"),
-        F.least(
-            F.lit(9),
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                * 10.0
-                / (F.col("vmax") - F.col("vmin"))
-            ).cast("int"),
-        ).alias("bin"),
+        # Degenerate bounds (every value identical) put all mass in
+        # bin 0 instead of dividing by zero.
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 10.0
+                    / (F.col("vmax") - F.col("vmin"))
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
     )
     # counts is tiny (|types| x 10) and feeds BOTH the spine and the
     # join probe — materialize it so the full binning scan runs once.
@@ -5377,3 +5383,45 @@ def q73_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("q74_wilson_ci")
+def q74_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON 95% confidence intervals on per-arm USER-level
+    conversion — the uncertainty layer q13's point estimates lack
+    (is the lift real, or is the CI overlap telling you to keep the
+    test running?). Wilson beats the naive Wald interval near 0/1
+    and at small n, which is exactly where conversion rates live:
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Scale: one conditional countDistinct pair per arm (user-level,
+    not event-level — repeat purchasers counted once); the interval
+    arithmetic is a fixed float expression over EXACT integer counts,
+    and sqrt is IEEE-correctly-rounded in both engines, so the oracle
+    matches bit-for-bit with no fold machinery needed.
+    """
+    ev = table(spark, sf_dir, "events")
+    armed = ev.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    counts = armed.groupBy("arm").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("conv_users"),
+    )
+    z2 = "3.8416e0"  # 1.96^2
+    p = "(CAST(conv_users AS DOUBLE) / n_users)"
+    denom = f"(1.0e0 + {z2} / n_users)"
+    center = f"(({p} + {z2} / (2.0e0 * n_users)) / {denom})"
+    half = (
+        f"(1.96e0 * sqrt({p} * (1.0e0 - {p}) / n_users"
+        f" + {z2} / (4.0e0 * n_users * n_users)) / {denom})"
+    )
+    return counts.select(
+        "arm",
+        "n_users",
+        "conv_users",
+        F.expr(f"round({p}, 6)").alias("conv_rate"),
+        F.expr(f"round({center} - {half}, 6)").alias("wilson_lo"),
+        F.expr(f"round({center} + {half}, 6)").alias("wilson_hi"),
+    ).orderBy("arm")

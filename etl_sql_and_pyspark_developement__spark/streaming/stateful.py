@@ -336,6 +336,11 @@ def _ewma_update(
                 acc = _ewma_fold(acc, pend_cnt * 1000)
                 ndays += 1
                 pend_day, pend_cnt = day, int(cnt)
+            if pend_cnt * 1000 >= 1 << 26:
+                raise ValueError(
+                    "streaming_ewma: daily count exceeds the 2^26 "
+                    "milli-unit packing budget (fold.ewma_stats guard)"
+                )
     state.update(
         (pend_day, pend_cnt, -1 if acc is None else acc, ndays)
     )

@@ -647,3 +647,23 @@ def test_ewma_stats_tracks_spikes_and_peak(spark):
         7000,
         0,
     )
+
+
+def test_ewma_stats_packing_guards_raise(spark):
+    """Values over the 2^26 milli-unit budget and series over 2047
+    steps must fail loudly (in-plan raise), never silently corrupt
+    the packed lanes."""
+    import pytest as _pytest  # noqa: PLC0415
+
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        ewma_stats,
+    )
+
+    big = spark.createDataFrame([("a", 0, 70000)], ["k", "day", "cnt"])
+    with _pytest.raises(Exception, match="packing budget"):
+        ewma_stats(big, "k", "day", "cnt").collect()
+    long = spark.createDataFrame(
+        [("a", d, 1) for d in range(2100)], ["k", "day", "cnt"]
+    )
+    with _pytest.raises(Exception, match="spike-counter packing"):
+        ewma_stats(long, "k", "day", "cnt").collect()
