@@ -212,6 +212,14 @@ def knn_graph(
     pass n_bits=None to size it automatically via adaptive_n_bits
     (one count job; stays 8 up to ~2k vectors, so small-corpus
     results are unchanged).
+
+    EXACT-duplicate vectors defeat any bucketing: ten identical
+    copies of every vector multiply same-bucket candidate pairs
+    ~100× no matter how many bits — LSH can only split points that
+    differ. Measured on 10×-duplicated sf0.1 embeddings: 153s raw vs
+    9.2s after a d01-style exact-vector collapse (one representative
+    per distinct vector). Run the dedup tier FIRST — the pipeline
+    ordering SURVEY §2's dedup ladder documents.
     """
     if n_bits is None:
         n_bits = adaptive_n_bits(corpus.count())
