@@ -458,3 +458,38 @@ def test_density_prune_keep_fraction_odd_sizes(spark):
     for r in out:
         kept_per[r.label] = kept_per.get(r.label, 0) + int(r.kept)
     assert kept_per == {0: 3, 1: 0, 2: 2}  # floor(n/2) each
+
+
+def test_collapse_exact_vectors_planted_duplicates(spark):
+    """Planted exact copies: representatives are the lowest-id copy
+    with correct multiplicity, membership rejoins every original id,
+    and the kNN graph built on representatives equals the graph built
+    on the naturally-distinct set — the dedup-before-graph tier that
+    keeps LSH bucketing linear on duplicate-heavy corpora."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        collapse_exact_vectors,
+        knn_graph,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(dup)
+    reps, member = collapse_exact_vectors(corpus)
+    got = {r.vec_id: r.multiplicity for r in reps.collect()}
+    assert set(got) == {r.vec_id for r in base.collect()}, (
+        "representative must be the lowest-id copy"
+    )
+    assert all(m == 2 for m in got.values())
+    assert member.count() == corpus.count()
+    assert member.filter(F.col("rep_id") > 99999).count() == 0
+    # Graph on representatives == graph on the distinct set.
+    g_reps = {
+        tuple(r)
+        for r in knn_graph(reps.drop("multiplicity")).collect()
+    }
+    g_base = {tuple(r) for r in knn_graph(base).collect()}
+    assert g_reps == g_base
