@@ -128,63 +128,73 @@ def ewma_stats(
     s_t = (3·x_t + 7·s_{t−1}) DIV 10 seeded with the first value,
     peak is the running max of s, and a spike is x_t > 2·s_{t−1}.
 
-    The three state variables ride ONE builtin scalar `aggregate()`
-    fold by bit-packing (s·2^37 + peak·2^11 + spikes): pure JVM
+    The state rides TWO builtin scalar `aggregate()` folds over the
+    same array, each bit-packing a pair of integers into one BIGINT
+    (lane A: s·2^32 + peak; lane B: s·2^32 + spike count): pure JVM
     codegen, no Python, no floats — and truncating DIV makes the fold
     engine-exact (a DuckDB list_reduce replays it bit-for-bit; struct
     accumulators are avoided because DuckDB 1.0 folds struct fields
-    inconsistently). Precondition: per-step values < 2^26 milli-units
-    (67k raw) and < 2^11 spike steps.
+    inconsistently, and a single 3-variable packing caps values at
+    2^26 milli-units — 67k raw, which a 100× events replay actually
+    exceeded). Two 2-variable lanes give each variable 31/32 bits:
+    per-step values up to 2^31 milli-units (2.1M raw) and 2^32 spike
+    steps, enforced IN-PLAN (the capped_running_total discipline) so
+    an oversized value fails loudly instead of silently corrupting a
+    lane. The second fold re-runs the same cheap integer recurrence —
+    series are bounded, so the extra pass is noise.
 
     Scale: series must be BOUNDED per key (calendar days, bucket
     counts — the t20 sorted-fold discipline). For unbounded per-key
     sequences use per-partition associative composition of the affine
     maps instead (module docstring).
     """
-    # Packing budget enforced IN-PLAN (the capped_running_total
-    # discipline): a per-step value at or over 2^26 milli-units would
-    # silently corrupt the peak lane, so it fails loudly at fold-build
-    # time instead. EWMA of values ≤ M stays ≤ M, so guarding inputs
-    # covers the s and peak lanes for the whole fold.
+    # 2^32 = 4294967296; budget: s < 2^31 milli-units. EWMA of values
+    # ≤ M stays ≤ M, so guarding inputs covers both lanes end-to-end.
+    guard = (
+        f"CASE WHEN CAST(e.{cnt} AS BIGINT) * 1000 >= 2147483648"
+        f" THEN CAST(raise_error(concat('ewma_stats: value ',"
+        f" CAST(e.{cnt} AS STRING),"
+        f" ' exceeds the 2^31 milli-unit packing budget')) AS BIGINT)"
+    )
     series = daily.groupBy(key).agg(
         F.expr(
             f"transform(sort_array(collect_list(struct({order}, {cnt}))),"
-            f" e -> CASE WHEN CAST(e.{cnt} AS BIGINT) * 1000 >= 67108864"
-            f"      THEN CAST(raise_error(concat('ewma_stats: value ',"
-            f"           CAST(e.{cnt} AS STRING),"
-            f"           ' exceeds the 2^26 milli-unit packing budget'))"
-            f"           AS BIGINT)"
-            f"      ELSE CAST(e.{cnt} AS BIGINT) * 1000 * 137438953472"
-            f"           + CAST(e.{cnt} AS BIGINT) * 1000 * 2048 END)"
-        ).alias("p")
+            f" e -> {guard}"
+            f"      ELSE CAST(e.{cnt} AS BIGINT) * 1000 END)"
+        ).alias("x")
     )
-    merge = (
-        "(acc, el) -> "
-        "((3 * (el DIV 137438953472) + 7 * (acc DIV 137438953472)) DIV 10)"
-        " * 137438953472"
-        " + greatest((acc DIV 2048) % 67108864,"
-        "            (3 * (el DIV 137438953472)"
-        "             + 7 * (acc DIV 137438953472)) DIV 10) * 2048"
-        " + (acc % 2048)"
-        " + (CASE WHEN (el DIV 137438953472)"
-        "          > 2 * (acc DIV 137438953472) THEN 1 ELSE 0 END)"
+    # Lane A folds (s, peak), lane B folds (s, spikes); both seed from
+    # the first element (s = peak = x₁, spikes = 0 — the same init
+    # convention DuckDB's list_reduce applies natively).
+    new_s = "((3 * el + 7 * (acc DIV 4294967296)) DIV 10)"
+    merge_a = (
+        f"(acc, el) -> {new_s} * 4294967296"
+        f" + greatest(acc % 4294967296, {new_s})"
     )
-    # The spike counter has 11 bits — series longer than 2047 steps
-    # could overflow it into the peak lane; fail loudly.
+    merge_b = (
+        f"(acc, el) -> {new_s} * 4294967296"
+        " + (acc % 4294967296)"
+        " + (CASE WHEN el > 2 * (acc DIV 4294967296)"
+        "     THEN 1 ELSE 0 END)"
+    )
     folded = series.select(
         key,
-        F.size("p").alias("n_days"),
+        F.size("x").alias("n_days"),
         F.expr(
-            "CASE WHEN size(p) >= 2048 THEN CAST(raise_error("
-            "'ewma_stats: series longer than 2047 steps overflows the"
-            " spike-counter packing') AS BIGINT) "
-            f"ELSE aggregate(slice(p, 2, size(p) - 1), p[0], {merge}) END"
-        ).alias("acc"),
+            "aggregate(slice(x, 2, size(x) - 1),"
+            " x[0] * 4294967296 + x[0],"
+            f" {merge_a})"
+        ).alias("acc_a"),
+        F.expr(
+            "aggregate(slice(x, 2, size(x) - 1),"
+            " x[0] * 4294967296,"
+            f" {merge_b})"
+        ).alias("acc_b"),
     )
     return folded.select(
         key,
         "n_days",
-        F.expr("acc DIV 137438953472").alias("ewma_final_milli"),
-        F.expr("(acc DIV 2048) % 67108864").alias("ewma_peak_milli"),
-        F.expr("acc % 2048").alias("n_spikes"),
+        F.expr("acc_a DIV 4294967296").alias("ewma_final_milli"),
+        F.expr("acc_a % 4294967296").alias("ewma_peak_milli"),
+        F.expr("acc_b % 4294967296").alias("n_spikes"),
     )

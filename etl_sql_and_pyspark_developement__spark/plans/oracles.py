@@ -4566,29 +4566,33 @@ WITH daily AS (
 ),
 ser AS (
     SELECT event_type,
-        list(CAST(cnt AS BIGINT) * 1000 * 137438953472
-             + CAST(cnt AS BIGINT) * 1000 * 2048 ORDER BY day) AS p,
+        list(CAST(cnt AS BIGINT) * 1000 ORDER BY day) AS x,
         count(*) AS n_days
     FROM daily GROUP BY event_type
 ),
 red AS (
     SELECT event_type, n_days,
-        list_reduce(p, (acc, el) ->
-            ((3 * (el // 137438953472) + 7 * (acc // 137438953472)) // 10)
-                * 137438953472
-            + greatest((acc // 2048) % 67108864,
-                       (3 * (el // 137438953472)
-                        + 7 * (acc // 137438953472)) // 10) * 2048
-            + (acc % 2048)
-            + (CASE WHEN (el // 137438953472)
-                     > 2 * (acc // 137438953472) THEN 1 ELSE 0 END)
-        ) AS acc
+        list_reduce(
+            list_prepend(x[1] * 4294967296 + x[1], x[2:]),
+            (acc, el) ->
+                ((3 * el + 7 * (acc // 4294967296)) // 10) * 4294967296
+                + greatest(acc % 4294967296,
+                           (3 * el + 7 * (acc // 4294967296)) // 10)
+        ) AS acc_a,
+        list_reduce(
+            list_prepend(x[1] * 4294967296, x[2:]),
+            (acc, el) ->
+                ((3 * el + 7 * (acc // 4294967296)) // 10) * 4294967296
+                + (acc % 4294967296)
+                + (CASE WHEN el > 2 * (acc // 4294967296)
+                        THEN 1 ELSE 0 END)
+        ) AS acc_b
     FROM ser
 )
 SELECT event_type, CAST(n_days AS INT) AS n_days,
-    acc // 137438953472 AS ewma_final_milli,
-    (acc // 2048) % 67108864 AS ewma_peak_milli,
-    acc % 2048 AS n_spikes
+    acc_a // 4294967296 AS ewma_final_milli,
+    acc_a % 4294967296 AS ewma_peak_milli,
+    acc_b % 4294967296 AS n_spikes
 FROM red ORDER BY event_type
 """
 

@@ -285,41 +285,33 @@ EWMA_OUTPUT_SCHEMA = (
     "ewma_peak_milli bigint, n_spikes bigint"
 )
 EWMA_STATE_SCHEMA = (
-    "pend_day string, pend_cnt bigint, acc bigint, ndays int"
+    "pend_day string, pend_cnt bigint, s bigint, peak bigint, "
+    "spikes bigint, ndays int"
 )
 
-_EWMA_SHIFT_S = 1 << 37
-_EWMA_SHIFT_P = 1 << 11
-_EWMA_MASK_P = (1 << 26) - 1
+_EWMA_BUDGET = 1 << 31  # milli-units — the fold.ewma_stats guard
 
 
-def _ewma_fold(acc: int | None, x_milli: int) -> int:
-    """One step of the packed integer EWMA fold — the SAME truncating
-    arithmetic as operators/fold.ewma_stats' aggregate() lambda, so
-    streaming state equals the batch fold bit-for-bit."""
-    if acc is None:
-        return x_milli * _EWMA_SHIFT_S + x_milli * _EWMA_SHIFT_P
-    s = acc // _EWMA_SHIFT_S
-    peak = (acc // _EWMA_SHIFT_P) % (_EWMA_MASK_P + 1)
-    spikes = acc % _EWMA_SHIFT_P
+def _ewma_step(
+    s: int, peak: int, spikes: int, x_milli: int
+) -> tuple[int, int, int]:
+    """One step of the integer EWMA fold — the SAME truncating
+    arithmetic as operators/fold.ewma_stats' aggregate() lambdas, so
+    streaming state equals the batch fold bit-for-bit. s < 0 encodes
+    'no folded day yet' (the seed step)."""
+    if s < 0:
+        return x_milli, x_milli, 0
     ns = (3 * x_milli + 7 * s) // 10
-    return (
-        ns * _EWMA_SHIFT_S
-        + max(peak, ns) * _EWMA_SHIFT_P
-        + spikes
-        + (1 if x_milli > 2 * s else 0)
-    )
+    return ns, max(peak, ns), spikes + (1 if x_milli > 2 * s else 0)
 
 
 def _ewma_update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (etype,) = key
-    pend_day, pend_cnt, acc, ndays = (
-        state.get if state.exists else (None, 0, None, 0)
+    pend_day, pend_cnt, s, peak, spikes, ndays = (
+        state.get if state.exists else (None, 0, -1, 0, 0, 0)
     )
-    if acc is not None and acc < 0:
-        acc = None  # -1 encodes "no folded day yet" (schema is bigint)
     for pdf in pdfs:
         days = (
             pdf.assign(day=pdf["ts"].dt.strftime("%Y-%m-%d"))
@@ -333,35 +325,31 @@ def _ewma_update(
             elif day == pend_day:
                 pend_cnt += int(cnt)
             else:
-                acc = _ewma_fold(acc, pend_cnt * 1000)
+                s, peak, spikes = _ewma_step(s, peak, spikes, pend_cnt * 1000)
                 ndays += 1
                 pend_day, pend_cnt = day, int(cnt)
-            if pend_cnt * 1000 >= 1 << 26:
+            if pend_cnt * 1000 >= _EWMA_BUDGET:
                 raise ValueError(
-                    "streaming_ewma: daily count exceeds the 2^26 "
+                    "streaming_ewma: daily count exceeds the 2^31 "
                     "milli-unit packing budget (fold.ewma_stats guard)"
                 )
-    state.update(
-        (pend_day, pend_cnt, -1 if acc is None else acc, ndays)
-    )
+    state.update((pend_day, pend_cnt, s, peak, spikes, ndays))
     # Provisional view: fold the in-progress day too, matching the
     # batch ewma_stats over everything seen so far (a day is only
     # PERMANENTLY folded once a later day arrives, so late events for
     # the current day still count).
-    view = acc
+    vs, vp, vk = s, peak, spikes
     vdays = ndays
     if pend_day is not None:
-        view = _ewma_fold(view, pend_cnt * 1000)
+        vs, vp, vk = _ewma_step(s, peak, spikes, pend_cnt * 1000)
         vdays += 1
     yield pd.DataFrame(
         {
             "event_type": [etype],
             "n_days": [vdays],
-            "ewma_final_milli": [view // _EWMA_SHIFT_S],
-            "ewma_peak_milli": [
-                (view // _EWMA_SHIFT_P) % (_EWMA_MASK_P + 1)
-            ],
-            "n_spikes": [view % _EWMA_SHIFT_P],
+            "ewma_final_milli": [vs],
+            "ewma_peak_milli": [vp],
+            "n_spikes": [vk],
         }
     )
 

@@ -650,20 +650,24 @@ def test_ewma_stats_tracks_spikes_and_peak(spark):
 
 
 def test_ewma_stats_packing_guards_raise(spark):
-    """Values over the 2^26 milli-unit budget and series over 2047
-    steps must fail loudly (in-plan raise), never silently corrupt
-    the packed lanes."""
+    """Values at or over the 2^31 milli-unit budget must fail loudly
+    (in-plan raise), never silently corrupt a packed lane; values
+    that broke the OLD 2^26 single-acc packing (e.g. the 68.7k daily
+    counts a 100x events replay produces) must now fold fine."""
     import pytest as _pytest  # noqa: PLC0415
 
     from etl_sql_and_pyspark_developement__spark.operators.fold import (
         ewma_stats,
     )
 
-    big = spark.createDataFrame([("a", 0, 70000)], ["k", "day", "cnt"])
+    big = spark.createDataFrame([("a", 0, 3_000_000)], ["k", "day", "cnt"])
     with _pytest.raises(Exception, match="packing budget"):
         ewma_stats(big, "k", "day", "cnt").collect()
-    long = spark.createDataFrame(
-        [("a", d, 1) for d in range(2100)], ["k", "day", "cnt"]
+    ok = spark.createDataFrame(
+        [("a", 0, 70_000), ("a", 1, 140_100)], ["k", "day", "cnt"]
     )
-    with _pytest.raises(Exception, match="spike-counter packing"):
-        ewma_stats(long, "k", "day", "cnt").collect()
+    row = ewma_stats(ok, "k", "day", "cnt").collect()[0]
+    # s1 = 70000000, spike (140100 > 2*70000), s2 = (3*140100000 + 7*70000000) DIV 10
+    assert row.ewma_final_milli == (3 * 140_100_000 + 7 * 70_000_000) // 10
+    assert row.ewma_peak_milli == row.ewma_final_milli
+    assert row.n_spikes == 1
