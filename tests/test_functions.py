@@ -35,3 +35,15 @@ def test_bucket_by_thresholds(spark):
     )
     got = [r.b for r in df.select(buckets.alias("b")).collect()]
     assert got == ["low", "mid", "high"]
+
+
+def test_needs_driver_row_names_real_queries():
+    """Every key in the driver-priority backlog must be a registered
+    query — a typo here would silently demote a real backlog entry
+    below the driver's 50-row sampling horizon."""
+    import __spark_entry__ as entry
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    unknown = [k for k in entry._NEEDS_DRIVER_ROW if k not in QUERIES]
+    assert not unknown, f"backlog names unknown queries: {unknown}"
