@@ -53,7 +53,7 @@ _NEEDS_DRIVER_ROW = [
     "q69_variant_json",
     "q27_approx_sketches",  # distinct/percentile agg split (round 3)
     "q70_zorder_layout", "q71_triangle_count", "q72_ewma_smoothing",
-    "q73_drift_psi", "p17_target_encoding", "q74_wilson_ci",
+    "q73_drift_psi", "p17_target_encoding", "q74_wilson_ci", "q75_chi_square",
 ]
 
 

@@ -4718,3 +4718,59 @@ SELECT arm, n_users, conv_users,
              / (1.0e0 + 3.8416e0 / n_users)), 6) AS wilson_hi
 FROM counts ORDER BY arm
 """
+
+
+# q75: chi-square independence — same sorted-cell array, same
+# in-array marginal folds, same pinned-order chi2 sum.
+ORACLES["q75_chi_square"] = """
+WITH cells AS (
+    SELECT CAST(user_id % 2 AS INT) AS arm, event_type,
+        count(*) AS o
+    FROM events GROUP BY 1, 2
+),
+packed AS (
+    SELECT list(struct_pack(arm := arm, event_type := event_type,
+                            o := o)
+                ORDER BY arm, event_type) AS cs
+    FROM cells
+),
+ec AS (
+    SELECT list_transform(cs, c -> struct_pack(
+        arm := c.arm, event_type := c.event_type, o := c.o,
+        e := CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(cs, x -> x.arm = c.arm),
+                                x -> x.o)), (a, x) -> a + x) AS DOUBLE)
+             * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(cs,
+                     x -> x.event_type = c.event_type),
+                                x -> x.o)), (a, x) -> a + x) AS DOUBLE)
+             / CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(cs, x -> x.o)),
+                 (a, x) -> a + x) AS DOUBLE))) AS ecs,
+        (len(list_distinct(list_transform(cs, c -> c.arm))) - 1)
+        * (len(list_distinct(list_transform(cs, c -> c.event_type))) - 1)
+            AS dof
+    FROM packed
+),
+cc AS (
+    SELECT list_transform(ecs, c -> struct_pack(
+        arm := c.arm, event_type := c.event_type, o := c.o, e := c.e,
+        contrib := (c.o - c.e) * (c.o - c.e) / c.e)) AS ccs,
+        dof
+    FROM ec
+),
+tot AS (
+    SELECT ccs, dof,
+        round(list_reduce(list_prepend(0.0e0,
+            list_transform(ccs, x -> x.contrib)), (a, x) -> a + x), 6)
+            AS chi2
+    FROM cc
+)
+SELECT u.c.arm AS arm, u.c.event_type AS event_type,
+    u.c.o AS observed,
+    round(u.c.e, 4) AS expected,
+    round(u.c.contrib, 6) AS contrib,
+    chi2, CAST(dof AS INT) AS dof
+FROM tot, unnest(tot.ccs) AS u(c)
+ORDER BY arm, event_type
+"""

@@ -5425,3 +5425,76 @@ def q74_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({center} - {half}, 6)").alias("wilson_lo"),
         F.expr(f"round({center} + {half}, 6)").alias("wilson_hi"),
     ).orderBy("arm")
+
+
+@query("q75_chi_square")
+def q75_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE test of independence on the arm × event-type
+    contingency table — "did the experiment change the MIX of
+    behavior", the categorical complement to q13's means and q74's
+    conversion intervals: observed vs expected (row·col/total) cell
+    counts, per-cell contributions (o−e)²/e, and the table-wide χ²
+    with its degrees of freedom on every row.
+
+    Scale: ONE decomposable (arm, type) groupBy over the fact scan;
+    marginals and expecteds are computed inside a single collected
+    cell array (|arms|·|types| ≈ 10 elements), where the χ² sum
+    folds over the SORTED cells (t20 discipline — float addition
+    order pinned, so the oracle replays it bit-for-bit; a plain SUM
+    or an unpartitioned window over the cells would be
+    partial-agg-order dependent).
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+        .groupBy("arm", "event_type")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    packed = cells.groupBy().agg(
+        F.expr(
+            "sort_array(collect_list(struct(arm, event_type, o)))"
+        ).alias("cs")
+    )
+    # All marginal arithmetic rides the tiny array: exact integer
+    # marginals via filter+aggregate, expecteds as one fixed float
+    # expression per cell.
+    ex = (
+        "transform(cs, c -> named_struct("
+        " 'arm', c.arm, 'event_type', c.event_type, 'o', c.o,"
+        " 'e', CAST(aggregate(filter(cs, x -> x.arm = c.arm),"
+        "           CAST(0 AS BIGINT), (a, x) -> a + x.o) AS DOUBLE)"
+        "      * CAST(aggregate(filter(cs, x -> x.event_type = c.event_type),"
+        "           CAST(0 AS BIGINT), (a, x) -> a + x.o) AS DOUBLE)"
+        "      / CAST(aggregate(cs, CAST(0 AS BIGINT),"
+        "           (a, x) -> a + x.o) AS DOUBLE)))"
+    )
+    contrib = (
+        "transform(ec, c -> named_struct("
+        " 'arm', c.arm, 'event_type', c.event_type, 'o', c.o, 'e', c.e,"
+        " 'contrib', (c.o - c.e) * (c.o - c.e) / c.e))"
+    )
+    dof = (
+        "(CAST(size(array_distinct(transform(cs, c -> c.arm))) AS INT) - 1)"
+        " * (CAST(size(array_distinct(transform(cs, c -> c.event_type)))"
+        "    AS INT) - 1)"
+    )
+    return (
+        packed.withColumn("ec", F.expr(ex))
+        .withColumn("cc", F.expr(contrib))
+        .withColumn(
+            "chi2",
+            F.expr("round(aggregate(cc, 0.0d, (a, x) -> a + x.contrib), 6)"),
+        )
+        .withColumn("dof", F.expr(dof))
+        .select(F.explode("cc").alias("c"), "chi2", "dof")
+        .select(
+            F.col("c.arm").alias("arm"),
+            F.col("c.event_type").alias("event_type"),
+            F.col("c.o").alias("observed"),
+            F.expr("round(c.e, 4)").alias("expected"),
+            F.expr("round(c.contrib, 6)").alias("contrib"),
+            "chi2",
+            "dof",
+        )
+        .orderBy("arm", "event_type")
+    )
