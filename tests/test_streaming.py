@@ -1169,3 +1169,75 @@ def test_st23_streaming_ewma_matches_batch_fold(spark, sf_dir, tmp_path):
         for r in ewma_stats(daily, "event_type", "day", "cnt").collect()
     }
     assert got == want, "streaming packed fold must equal the batch fold"
+
+
+def test_st24_streaming_drift_matches_batch_replay(spark, sf_dir, tmp_path):
+    """The streaming PSI's final emission must equal a pure-Python
+    batch replay of the same formula: reference = first file's window
+    (locked bounds + bins), current = last file's window."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _drift_bins,
+        _psi,
+        streaming_drift,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 9999)]):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_drift(stream.select("event_type", "value"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st24_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # Last emission per type (row_number over a monotonic batch id is
+    # unavailable in the memory sink; n_cur identifies the final
+    # window deterministically here because windows differ in size).
+    rows = spark.sql("SELECT * FROM st24_out").collect()
+    ref_rows = [r for r in rows if r.n_cur == 0]
+    assert len(ref_rows) == 5, "each type locks a reference on batch 1"
+    # Batch replay: reference window = days [0,10), final = [20,...).
+    import datetime as _dt  # noqa: PLC0415
+
+    pdf = ev.toPandas()
+    pdf["day"] = (pdf["ts"].dt.date - d0).map(lambda d: d.days)
+    emitted = {(r.event_type, r.n_ref, r.n_cur, r.psi) for r in rows}
+    for etype, g in pdf.groupby("event_type"):
+        assert sum(1 for r in rows if r.event_type == etype) == 3
+        ref_vals = [float(v) for v in g[g["day"] < 10]["value"] if v == v]
+        vmin, vmax = min(ref_vals), max(ref_vals)
+        ref_bins = _drift_bins(ref_vals, vmin, vmax)
+        # Every post-reference window's emission must match the
+        # batch replay of the same formula exactly.
+        for lo, hi in [(10, 20), (20, 10_000)]:
+            cur_vals = [
+                float(v)
+                for v in g[(g["day"] >= lo) & (g["day"] < hi)]["value"]
+                if v == v
+            ]
+            want = round(
+                _psi(ref_bins, _drift_bins(cur_vals, vmin, vmax)), 6
+            )
+            assert (
+                etype,
+                len(ref_vals),
+                len(cur_vals),
+                want,
+            ) in emitted, f"{etype} window [{lo},{hi}) missing/mismatched"
