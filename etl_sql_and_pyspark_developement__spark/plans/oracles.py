@@ -4728,11 +4728,27 @@ WITH cells AS (
         count(*) AS o
     FROM events GROUP BY 1, 2
 ),
-packed AS (
+observed AS (
     SELECT list(struct_pack(arm := arm, event_type := event_type,
                             o := o)
-                ORDER BY arm, event_type) AS cs
+                ORDER BY arm, event_type) AS obs
     FROM cells
+),
+-- complete to the FULL arm x type cross product (absent cells get
+-- o = 0): a chi-square over only observed cells drops each missing
+-- cell's (0-e)^2/e term and understates the statistic
+packed AS (
+    SELECT flatten(list_transform(
+        list_sort(list_distinct(list_transform(obs, c -> c.arm))),
+        a -> list_transform(
+            list_sort(list_distinct(list_transform(obs,
+                c -> c.event_type))),
+            t -> struct_pack(arm := a, event_type := t,
+                o := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(list_filter(obs,
+                        x -> x.arm = a AND x.event_type = t),
+                        x -> x.o)), (acc, x) -> acc + x))))) AS cs
+    FROM observed
 ),
 ec AS (
     SELECT list_transform(cs, c -> struct_pack(

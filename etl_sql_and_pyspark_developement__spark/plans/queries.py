@@ -5450,11 +5450,26 @@ def q75_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("arm", "event_type")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    packed = cells.groupBy().agg(
+    observed = cells.groupBy().agg(
         F.expr(
             "sort_array(collect_list(struct(arm, event_type, o)))"
-        ).alias("cs")
+        ).alias("obs")
     )
+    # Complete the table to the FULL arm × type cross product with
+    # o = 0 for absent combinations — a chi-square over only the
+    # observed cells silently drops each missing cell's (0−e)²/e
+    # term and understates the statistic on sparse tables.
+    complete = (
+        "flatten(transform("
+        " array_sort(array_distinct(transform(obs, c -> c.arm))),"
+        " a -> transform("
+        "   array_sort(array_distinct(transform(obs, c -> c.event_type))),"
+        "   t -> named_struct('arm', a, 'event_type', t,"
+        "     'o', aggregate("
+        "       filter(obs, x -> x.arm = a AND x.event_type = t),"
+        "       CAST(0 AS BIGINT), (acc, x) -> acc + x.o)))))"
+    )
+    packed = observed.select(F.expr(complete).alias("cs"))
     # All marginal arithmetic rides the tiny array: exact integer
     # marginals via filter+aggregate, expecteds as one fixed float
     # expression per cell.

@@ -671,3 +671,46 @@ def test_ewma_stats_packing_guards_raise(spark):
     assert row.ewma_final_milli == (3 * 140_100_000 + 7 * 70_000_000) // 10
     assert row.ewma_peak_milli == row.ewma_final_milli
     assert row.n_spikes == 1
+
+
+def test_q75_chi_square_includes_zero_cells(spark, tmp_path):
+    """A missing arm x type combination must enter the chi-square as
+    a zero-observed cell — dropping it understates the statistic on
+    sparse tables."""
+    import duckdb as _duck  # noqa: PLC0415
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    d = tmp_path / "sparse_sf"
+    d.mkdir()
+    # users 0,2 -> arm 0; user 1 -> arm 1. No (arm 1, view) events.
+    _duck.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 00:00:00', 0, 'click', 1.0, '{}'),"
+        "(2, TIMESTAMP '2024-01-01 00:00:01', 2, 'view',  1.0, '{}'),"
+        "(3, TIMESTAMP '2024-01-01 00:00:02', 1, 'click', 1.0, '{}')"
+        ") t(event_id, ts, user_id, event_type, value, props)) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    rows = QUERIES["q75_chi_square"](spark, str(d)).collect()
+    assert len(rows) == 4, "cross product must include the zero cell"
+    zero = next(
+        r for r in rows if r.arm == 1 and r.event_type == "view"
+    )
+    assert zero.observed == 0
+    # e = row_tot * col_tot / total = 1 * 1 / 3; contrib = e
+    assert zero.expected == round(1 * 1 / 3, 4)
+    assert zero.contrib == round((0 - 1 / 3) ** 2 / (1 / 3), 6)
+    # chi2 replayed in the same sorted-cell order
+    cells = sorted(
+        ((r.arm, r.event_type) for r in rows)
+    )
+    obs = {(r.arm, r.event_type): r.observed for r in rows}
+    rt = {0: 2, 1: 1}
+    ct = {"click": 2, "view": 1}
+    chi2 = 0.0
+    for a, t in cells:
+        e = rt[a] * ct[t] / 3.0
+        chi2 += (obs[(a, t)] - e) ** 2 / e
+    assert rows[0].chi2 == round(chi2, 6)
+    assert rows[0].dof == 1
