@@ -94,15 +94,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
     }
-    print(json.dumps(record))
-    # Also persist the full per-query record so round-over-round
-    # comparisons survive even if the driver's captured stdout line is
-    # truncated (BENCH_r01's tail cut off d01-d10).
+    # Persist the FULL per-query record to a file: with 140+ queries the
+    # one-line record exceeds the driver's stdout tail capture, so
+    # BENCH_r03 recorded "parsed": null. Per-query timings live here...
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_full.json"), "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # ...and stdout gets ONE compact machine-parseable line, printed
+    # LAST so a tail capture always sees it whole.
+    compact = {k: record[k] for k in
+               ("metric", "value", "unit", "action", "n_queries", "sf")}
+    compact["queries"] = {"see": "BENCH_full.json"}
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -90,7 +90,16 @@ def capped_running_total(
             F.round(F.least(F.lit(cap), F.max("__s")), 2).alias("final_balance"),
         )
 
+    import math
+
     import pandas as pd
+
+    def _round_half_up(x: float, digits: int = 2) -> float:
+        # Python round() is banker's (round-half-even); Spark F.round
+        # is HALF_UP. Match the window path so the two arms agree on
+        # exact .xx5 boundaries.
+        scale = 10.0 ** digits
+        return math.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order)
@@ -107,7 +116,7 @@ def capped_running_total(
                 key: [pdf[key].iloc[0]],
                 "n_events": [len(pdf)],
                 "n_capped": [ncap],
-                "final_balance": [round(bal, 2)],
+                "final_balance": [_round_half_up(bal)],
             }
         )
 
@@ -148,13 +157,17 @@ def ewma_stats(
     sequences use per-partition associative composition of the affine
     maps instead (module docstring).
     """
-    # 2^32 = 4294967296; budget: s < 2^31 milli-units. EWMA of values
-    # ≤ M stays ≤ M, so guarding inputs covers both lanes end-to-end.
+    # 2^32 = 4294967296; budget: 0 ≤ s < 2^31 milli-units. EWMA of
+    # values in [0, M] stays in [0, M], so guarding inputs covers both
+    # lanes end-to-end. Negative inputs must ALSO raise: a negative
+    # lane value silently corrupts the packing (negative DIV truncates
+    # toward zero and the low lane underflows into the high lane).
     guard = (
-        f"CASE WHEN CAST(e.{cnt} AS BIGINT) * 1000 >= 2147483648"
+        f"CASE WHEN CAST(e.{cnt} AS BIGINT) < 0"
+        f" OR CAST(e.{cnt} AS BIGINT) * 1000 >= 2147483648"
         f" THEN CAST(raise_error(concat('ewma_stats: value ',"
         f" CAST(e.{cnt} AS STRING),"
-        f" ' exceeds the 2^31 milli-unit packing budget')) AS BIGINT)"
+        f" ' outside the [0, 2^31) milli-unit packing budget')) AS BIGINT)"
     )
     series = daily.groupBy(key).agg(
         F.expr(

@@ -39,6 +39,29 @@ def resolve_hierarchy(
     the whole prefix each round (see dedup_components for the same
     pattern and the preemptible-executor caveat).
     """
+    # Pre-validate: every parent value must BE a node. A dangling
+    # parent would be dropped by the pointer-jump inner join after
+    # round 1, after which convergence can "pass" on a frame that is
+    # silently missing rows — violating the all-or-raise contract the
+    # cycle path already honors.
+    dangling = (
+        nodes.select(F.col(parent_col).alias("__p"))
+        .distinct()
+        .join(
+            nodes.select(F.col(id_col).alias("__n")),
+            F.col("__p") == F.col("__n"),
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if dangling:
+        raise ValueError(
+            f"resolve_hierarchy: parent value {dangling[0]['__p']!r} does "
+            f"not appear in the {id_col!r} node set — the input is not a "
+            "forest (dangling parent pointer); refusing to return a "
+            "partially-resolved labeling."
+        )
     cur = nodes.select(
         F.col(id_col).alias("node"),
         F.col(parent_col).alias("anc"),

@@ -312,14 +312,35 @@ def _ewma_update(
     pend_day, pend_cnt, s, peak, spikes, ndays = (
         state.get if state.exists else (None, 0, -1, 0, 0, 0)
     )
-    for pdf in pdfs:
+    # Merge ALL Arrow chunks into one day-grouped frame before folding:
+    # per-chunk folding would let chunk boundaries interleave days and
+    # re-open an already-folded day as a "new" pending day.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         days = (
-            pdf.assign(day=pdf["ts"].dt.strftime("%Y-%m-%d"))
+            merged.assign(day=merged["ts"].dt.strftime("%Y-%m-%d"))
             .groupby("day")
             .size()
             .sort_index()
         )
         for day, cnt in days.items():
+            if pend_day is not None and day < pend_day:
+                # A day EARLIER than the pending day was already folded
+                # permanently (pend_day is the max day ever seen, and a
+                # day folds the moment a later one arrives). Folding it
+                # again would double-count: n_days inflates and the
+                # EWMA/peak/spike state silently corrupts. Fail loudly
+                # — the batch twin (fold.ewma_stats) sorts by day, so
+                # order is an input contract here, not best-effort.
+                raise ValueError(
+                    f"streaming_ewma: out-of-order day {day!r} arrived "
+                    f"after {pend_day!r} was already pending — that day "
+                    "is permanently folded and cannot absorb late "
+                    "events; feed the stream in non-decreasing day "
+                    "order (or pre-bucket late data into a batch "
+                    "backfill via fold.ewma_stats)"
+                )
             if pend_day is None:
                 pend_day, pend_cnt = day, int(cnt)
             elif day == pend_day:
@@ -364,7 +385,12 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
     the current day are still absorbed; each batch emits the
     provisional view including the pending day, which equals the
     batch fold over everything seen (parity tested batch-by-batch
-    semantics: identical truncating integer arithmetic).
+    semantics: identical truncating integer arithmetic). Days must
+    arrive in non-decreasing order: an event for a day EARLIER than
+    the pending day RAISES (that day is permanently folded — silently
+    re-folding it would double-count), and all Arrow chunks of a batch
+    are merged before folding so chunk boundaries cannot interleave
+    days.
 
     Scale: state is O(1) per event type; per-batch work is one
     pandas groupby over the batch's rows for the key. The same
@@ -389,6 +415,11 @@ DRIFT_STATE_SCHEMA = (
 )
 
 _DRIFT_BINS = 10
+# A reference locks only once a batch has this many non-null values AND
+# non-degenerate bounds — a 1-value or constant first batch would freeze
+# vmin == vmax with a single-bin profile and every later PSI would be
+# scored against a meaningless reference.
+_DRIFT_MIN_REF = 10
 
 
 def _drift_bins(values, vmin: float, vmax: float) -> list[int]:
@@ -421,11 +452,25 @@ def _drift_update(
     for pdf in pdfs:
         vals.extend(float(v) for v in pdf["value"] if not pd.isna(v))
     if not state.exists:
-        # First batch for this key LOCKS the reference: its bounds
-        # define the bins every later batch is scored against (the
-        # production pattern — a frozen training-time profile).
-        vmin = min(vals) if vals else 0.0
-        vmax = max(vals) if vals else 0.0
+        # The first HEALTHY batch for this key LOCKS the reference: its
+        # bounds define the bins every later batch is scored against
+        # (the production pattern — a frozen training-time profile).
+        # A degenerate batch (too few values, or all-constant bounds)
+        # must NOT lock: vmin == vmax with a one-bin profile would be
+        # frozen forever and every later PSI scored against noise.
+        # Until locked, emit an explicit n_ref=0 / psi=NULL status row
+        # and leave state absent so a later batch can lock.
+        if len(vals) < _DRIFT_MIN_REF or min(vals) == max(vals):
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype],
+                    "n_ref": [0],
+                    "n_cur": [len(vals)],
+                    "psi": [None],
+                }
+            )
+            return
+        vmin, vmax = min(vals), max(vals)
         ref = _drift_bins(vals, vmin, vmax)
         state.update((vmin, vmax, ref))
         yield pd.DataFrame(
@@ -452,10 +497,13 @@ def _drift_update(
 
 def streaming_drift(events: DataFrame) -> DataFrame:
     """st24: LIVE distribution-drift monitoring — q73's PSI running
-    against a LOCKED reference: the first micro-batch for each event
-    type freezes bounds + bin profile (the training-time snapshot),
+    against a LOCKED reference: the first HEALTHY micro-batch for each
+    event type (≥ _DRIFT_MIN_REF non-null values, non-degenerate
+    bounds) freezes bounds + bin profile (the training-time snapshot),
     and every later batch emits its own Laplace-smoothed PSI against
-    that reference. The alert a production feature pipeline wants the
+    that reference. Batches before the lock emit an explicit
+    n_ref=0 / psi=NULL "not yet locked" status row instead of freezing
+    a meaningless reference. The alert a production feature pipeline wants the
     moment an upstream change shifts a value distribution — without
     re-reading history.
 

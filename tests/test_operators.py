@@ -671,6 +671,51 @@ def test_ewma_stats_packing_guards_raise(spark):
     assert row.ewma_final_milli == (3 * 140_100_000 + 7 * 70_000_000) // 10
     assert row.ewma_peak_milli == row.ewma_final_milli
     assert row.n_spikes == 1
+    # Negative values must ALSO raise: a negative lane silently
+    # corrupts the packing (negative DIV truncation + lane underflow),
+    # and the guard's lower bound is what turns that into a loud error.
+    neg = spark.createDataFrame([("a", 0, -5)], ["k", "day", "cnt"])
+    with _pytest.raises(Exception, match="packing budget"):
+        ewma_stats(neg, "k", "day", "cnt").collect()
+
+
+def test_resolve_hierarchy_raises_on_dangling_parent(spark):
+    """A parent id absent from the node set would be silently dropped
+    by the pointer-jump inner join — the operator must refuse up front
+    (all-or-raise contract, same as the cycle path)."""
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.hierarchy import (
+        resolve_hierarchy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 99)], "node bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        resolve_hierarchy(df)
+
+
+def test_capped_fold_rounding_parity_on_half_boundary(spark):
+    """0.125 is exactly representable in binary and rounds differently
+    under banker's (0.12) vs HALF_UP (0.13): both fold paths must agree
+    on Spark's HALF_UP semantics."""
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        capped_running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.125)], "k int, o int, v double"
+    )
+    fast = capped_running_total(
+        df, key="k", order=["o"], value_col="v", cap=100.0,
+        assume_nonnegative=True,
+    ).collect()[0]
+    slow = capped_running_total(
+        df, key="k", order=["o"], value_col="v", cap=100.0,
+        assume_nonnegative=False,
+    ).collect()[0]
+    assert fast.final_balance == slow.final_balance == 0.13
 
 
 def test_q75_chi_square_includes_zero_cells(spark, tmp_path):

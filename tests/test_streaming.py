@@ -1241,3 +1241,94 @@ def test_st24_streaming_drift_matches_batch_replay(spark, sf_dir, tmp_path):
                 len(cur_vals),
                 want,
             ) in emitted, f"{etype} window [{lo},{hi}) missing/mismatched"
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState — just enough for
+    unit-testing the update functions' state protocol directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_st23_ewma_rejects_out_of_order_days():
+    """A day earlier than the pending day is already permanently
+    folded — re-opening it would double-count (n_days inflates, the
+    packed state corrupts). The update fn must raise, not mis-fold."""
+    import pandas as pd
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _ewma_update,
+    )
+
+    st = _FakeGroupState()
+    b1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01", "2024-01-02"])})
+    list(_ewma_update(("a",), iter([b1]), st))
+    assert st.get[0] == "2024-01-02" and st.get[5] == 1  # day 1 folded
+    late = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"])})
+    with pytest.raises(ValueError, match="out-of-order day"):
+        list(_ewma_update(("a",), iter([late]), st))
+
+
+def test_st23_ewma_merges_arrow_chunks_before_folding():
+    """Two chunks of the SAME batch interleaving days must fold as one
+    day-grouped frame — per-chunk folding would see day 2 then day 1
+    and either raise or double-fold."""
+    import pandas as pd
+
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _ewma_update,
+    )
+
+    st = _FakeGroupState()
+    c1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-02"])})
+    c2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01", "2024-01-01"])})
+    (out,) = _ewma_update(("a",), iter([c1, c2]), st)
+    # Merged view: day1 cnt=2 (folded, seed 2000), day2 pending cnt=1.
+    assert st.get[:2] == ("2024-01-02", 1)
+    assert out["n_days"].iloc[0] == 2
+    assert out["ewma_final_milli"].iloc[0] == (3 * 1000 + 7 * 2000) // 10
+
+
+def test_st24_drift_defers_lock_on_degenerate_first_batch():
+    """A tiny or constant first batch must NOT freeze the reference:
+    the update fn emits an explicit n_ref=0 / psi=NULL status row and
+    locks on the first healthy batch instead."""
+    import pandas as pd
+
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _drift_update,
+    )
+
+    st = _FakeGroupState()
+    # 3 values — below _DRIFT_MIN_REF.
+    tiny = pd.DataFrame({"value": [1.0, 2.0, 3.0]})
+    (out,) = _drift_update(("a",), iter([tiny]), st)
+    assert not st.exists, "degenerate batch must not lock the reference"
+    assert out["n_ref"].iloc[0] == 0 and out["n_cur"].iloc[0] == 3
+    assert pd.isna(out["psi"].iloc[0])
+    # 12 constant values — enough rows but vmin == vmax.
+    const = pd.DataFrame({"value": [5.0] * 12})
+    (out,) = _drift_update(("a",), iter([const]), st)
+    assert not st.exists and out["n_ref"].iloc[0] == 0
+    # First healthy batch locks; the next batch is scored against it.
+    healthy = pd.DataFrame({"value": [float(i) for i in range(12)]})
+    (out,) = _drift_update(("a",), iter([healthy]), st)
+    assert st.exists and out["n_ref"].iloc[0] == 12
+    assert out["n_cur"].iloc[0] == 0 and out["psi"].iloc[0] == 0.0
+    cur = pd.DataFrame({"value": [float(i) for i in range(6)]})
+    (out,) = _drift_update(("a",), iter([cur]), st)
+    assert out["n_ref"].iloc[0] == 12 and out["n_cur"].iloc[0] == 6
+    assert out["psi"].iloc[0] > 0.0
