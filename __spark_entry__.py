@@ -31,6 +31,13 @@ _NEEDS_DRIVER_ROW = [
     # never driver-checked (added after the r03 snapshot)
     "q71_triangle_count", "q72_ewma_smoothing", "q73_drift_psi",
     "q74_wilson_ci", "q75_chi_square", "p17_target_encoding",
+    # round-4 changes: shared kNN-graph artifact consumers (q68/p12;
+    # q71 above), fold rounding/guard (q61/q72 above), hierarchy
+    # dangling-parent pre-check (q66)
+    "q68_pagerank_centrality", "p12_density_prune",
+    "q61_capped_running_total", "q66_hierarchy_rollup",
+    # round-4 additions: native recursive CTE twin, staged-doc VARIANT
+    "q76_sql_recursive", "q69_variant_json",
 ]
 
 

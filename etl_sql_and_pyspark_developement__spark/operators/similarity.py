@@ -911,6 +911,7 @@ def density_prune(
     dim: int = 64,
     keep_num: int = 1,
     keep_den: int = 2,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """D4-style density-based diversification (Tirumala et al. 2023):
     score every vector by the total cosine similarity to its k nearest
@@ -937,12 +938,20 @@ def density_prune(
     per-group window even when one label holds most of the corpus.
     keep threshold is integer arithmetic (rank*den <= n*num), exact
     at any size.
+
+    Pass ``graph`` (query_id, rnk, cand_id, cosine — knn_graph's
+    schema) to score against a PRE-BUILT graph artifact instead of
+    constructing it inline: the production pipeline builds the graph
+    once per corpus snapshot (sources/io.knn_graph_artifact) and every
+    consumer reads the materialization.
     """
     from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
         grouped_prefix_stats,
     )
 
-    g = knn_graph(corpus, id_col=id_col, vec_col=vec_col, k=k, n_bits=n_bits, dim=dim)
+    g = graph if graph is not None else knn_graph(
+        corpus, id_col=id_col, vec_col=vec_col, k=k, n_bits=n_bits, dim=dim
+    )
     density = g.groupBy(F.col("query_id").alias("__vid")).agg(
         F.sum(F.round(F.col("cosine") * 1000000).cast("bigint")).alias(
             "density_ppm"

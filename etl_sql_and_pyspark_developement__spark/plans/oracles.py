@@ -4790,3 +4790,8 @@ SELECT u.c.arm AS arm, u.c.event_type AS event_type,
 FROM tot, unnest(tot.ccs) AS u(c)
 ORDER BY arm, event_type
 """
+
+# q76: the same recursive walk as q66's oracle — the Spark side now
+# runs a NATIVE recursive CTE (Spark 4.x), so both engines execute
+# the literal level-at-a-time recursion.
+ORACLES["q76_sql_recursive"] = ORACLES["q66_hierarchy_rollup"]

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, mean_value double, std_value double, "
@@ -519,4 +520,93 @@ def streaming_drift(events: DataFrame) -> DataFrame:
         DRIFT_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+class _CappedTotalProcessor(StatefulProcessor):
+    """st25: q61's capped fold as a TYPED StatefulProcessor — the
+    transformWithState port of st21's applyInPandasWithState update fn.
+
+    Same state (three scalars per user), same IEEE add/clamp/count
+    sequence, so the emitted rows are bit-identical to st21's. What
+    the new API changes is the STATE CONTRACT, not the math: state is
+    a named, schema-typed handle (`getValueState`) the engine can
+    evolve/inspect per variable instead of one opaque row, timers
+    replace the single timeout, and composite ops get list/map state
+    — the migration recipe for the other applyInPandasWithState ops
+    (st04/st11/st19/st23/st24) when they need per-variable TTL or
+    state-schema evolution. Requires the RocksDB state store provider
+    (session.enable_rocksdb_state_store) — Spark only implements
+    transformWithState against it.
+    """
+
+    def __init__(self, cap: float):
+        self._cap = cap
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "capped", "bal double, n bigint, ncap bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user,) = key
+        bal, n, ncap = self._state.get() if self._state.exists() else (0.0, 0, 0)
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                if pd.isna(v):
+                    continue
+                n += 1
+                s = bal + float(v)
+                if s > self._cap:
+                    ncap += 1
+                    bal = self._cap
+                else:
+                    bal = s
+        self._state.update((bal, n, ncap))
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_purchases": [n],
+                "n_capped": [ncap],
+                "balance": [round(bal, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_capped_total_tws(
+    events: DataFrame, cap: float = 500.0
+) -> DataFrame:
+    """st25: streaming capped accumulator on Spark 4's
+    transformWithStateInPandas (see _CappedTotalProcessor). Parity
+    with st21 and with q61's batch fold is test-pinned; requires the
+    RocksDB state store provider to be active on the session.
+
+    GATED: transformWithState's Python state-server protocol speaks
+    protobuf (pyspark.sql.streaming.proto) — without the `protobuf`
+    package the driver worker crashes mid-stream with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, so this checks
+    up front and raises a clear error instead (the io.read_delta
+    pattern). The processor itself is complete; the parity test
+    activates automatically where protobuf is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-server protocol); not available in this "
+            "environment — use streaming_capped_total (st21, "
+            "applyInPandasWithState) which is parity-equivalent"
+        ) from exc
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return purch.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_CappedTotalProcessor(cap),
+        outputStructType=CAPPED_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -17,6 +17,15 @@ def spark(tmp_path_factory):
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
         extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
     )
+    if os.environ.get("SPARK_GRAFT_ROCKSDB"):
+        # Run every streaming test against the RocksDB state store —
+        # the provider the bounded-state claims are documented against
+        # (SPARK_GRAFT_ROCKSDB=1 python -m pytest tests/test_streaming.py).
+        from etl_sql_and_pyspark_developement__spark.session import (
+            enable_rocksdb_state_store,
+        )
+
+        enable_rocksdb_state_store(s)
     yield s
     s.stop()
 

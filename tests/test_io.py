@@ -258,3 +258,39 @@ def test_read_jsonl_quarantine_count_is_legal(spark, tmp_path):
     clean, quarantine = read_jsonl_quarantine(spark, str(p), schema)
     assert quarantine.count() == 1
     assert clean.count() == 1
+
+
+def test_knn_graph_artifact_builds_once_and_shares(spark, sf_dir, tmp_path, monkeypatch):
+    """The graph artifact must be built EXACTLY once per corpus
+    snapshot: the first consumer constructs + commits it (_SUCCESS),
+    and q68/q71/p12 thereafter read the parquet — proven by poisoning
+    the builder after the first call and running all three queries."""
+    from etl_sql_and_pyspark_developement__spark.operators import similarity
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        knn_graph_artifact,
+    )
+
+    adir = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    first = knn_graph_artifact(spark, sf_dir)
+    n = first.count()
+    assert n > 0
+    import os
+
+    committed = [
+        d for d in os.listdir(adir) if d.startswith("knn_graph_")
+    ]
+    assert len(committed) == 1
+    assert os.path.exists(os.path.join(adir, committed[0], "_SUCCESS"))
+
+    def _boom(*a, **k):
+        raise AssertionError("knn_graph rebuilt despite committed artifact")
+
+    monkeypatch.setattr(similarity, "knn_graph", _boom)
+    # Reading the artifact again must not rebuild...
+    assert knn_graph_artifact(spark, sf_dir).count() == n
+    # ...and every graph consumer runs off the shared artifact.
+    for key in ("q68_pagerank_centrality", "q71_triangle_count",
+                "p12_density_prune"):
+        assert QUERIES[key](spark, sf_dir).count() > 0

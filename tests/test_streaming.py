@@ -961,6 +961,68 @@ def test_st21_streaming_capped_total_matches_q61(spark, sf_dir, events_dir):
     assert got == want, "streaming fold must equal the batch fold"
 
 
+def test_st25_transform_with_state_matches_q61(spark, sf_dir, events_dir):
+    """The transformWithState port (typed StatefulProcessor, Spark 4
+    API) must produce the same final per-user state as q61's batch
+    fold — the migration recipe for the applyInPandasWithState ops.
+    transformWithState only runs on the RocksDB state store provider,
+    so this test also exercises that provider end-to-end."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.session import (
+        enable_rocksdb_state_store,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_capped_total_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # Environment gate: pyspark's transformWithState state-server
+        # protocol needs protobuf, absent here. The op must refuse
+        # LOUDLY up front (not crash mid-stream); full parity runs
+        # automatically where the dep exists.
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_capped_total_tws(read_event_stream(spark, events_dir))
+        return
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    enable_rocksdb_state_store(spark)
+    try:
+        stream = streaming_capped_total_tws(read_event_stream(spark, events_dir))
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st25_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        r.user_id: (r.n_purchases, r.n_capped, r.balance)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_purchases DESC) AS rn "
+            "FROM st25_out) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_purchases, r.n_capped, r.final_balance)
+        for r in QUERIES["q61_capped_running_total"](spark, sf_dir).collect()
+    }
+    assert got == want, "transformWithState fold must equal the batch fold"
+
+
 def test_scd2_state_ignores_uncommitted_partial(spark, tmp_path):
     """Regression (round-3 ADVICE): a crash mid-write used to leave a
     marker-less partial v{n} that max-version resolution adopted as
