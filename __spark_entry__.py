@@ -36,8 +36,11 @@ _NEEDS_DRIVER_ROW = [
     # dangling-parent pre-check (q66)
     "q68_pagerank_centrality", "p12_density_prune",
     "q61_capped_running_total", "q66_hierarchy_rollup",
-    # round-4 additions: native recursive CTE twin, staged-doc VARIANT
+    # round-4 additions: native recursive CTE twin, staged-doc VARIANT,
+    # rank-test / graph / concentration / ANN-eval lanes
     "q76_sql_recursive", "q69_variant_json",
+    "q77_mann_whitney", "q78_kcore", "q79_gini_concentration",
+    "s08_ann_recall_eval", "q80_cusum_changepoint",
 ]
 
 

@@ -4795,3 +4795,210 @@ ORDER BY arm, event_type
 # runs a NATIVE recursive CTE (Spark 4.x), so both engines execute
 # the literal level-at-a-time recursion.
 ORACLES["q76_sql_recursive"] = ORACLES["q66_hierarchy_rollup"]
+
+# q77: identical rank decomposition (per-value counts -> prefix sum
+# over distinct values -> doubled integer rank sums) and the identical
+# z expression text; the tie term rides HUGEINT (Spark: DECIMAL(38)).
+ORACLES["q77_mann_whitney"] = """
+WITH per_val AS (
+    SELECT value,
+           count(*) AS cnt,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY value
+),
+ranked AS (
+    SELECT *, sum(cnt) OVER (ORDER BY value) AS cum FROM per_val
+),
+stats AS (
+    SELECT CAST(sum(na) AS BIGINT) AS n_a,
+           CAST(sum(nb) AS BIGINT) AS n_b,
+           CAST(sum(na * (2 * cum - cnt + 1)) AS BIGINT) AS rank_sum_a_x2,
+           sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS __tie
+    FROM ranked
+)
+SELECT n_a, n_b, rank_sum_a_x2,
+       rank_sum_a_x2 - n_a * (n_a + 1) AS u_a_x2,
+       CAST(__tie AS BIGINT) AS tie_term,
+       round((CAST(rank_sum_a_x2 - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                * (CAST(n_a + n_b + 1 AS DOUBLE)
+                   - CAST(__tie AS DOUBLE)
+                     / (CAST(n_a + n_b AS DOUBLE)
+                        * CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z_score
+FROM stats
+"""
+
+
+# q78: the same peel unrolled as fixed CTE stages over the mirrored
+# kNN edges — peeling is monotone, so extra stages after convergence
+# are no-ops and the unroll equals Spark's converged fixpoint (Spark
+# RAISES past max_rounds=16, so a too-short unroll can never pass
+# silently). Stages are MATERIALIZED: each round references the
+# previous one three times, so inlined CTEs would expand the knn
+# backbone 3^rounds times (measured: "Too many open files").
+def _q78_oracle(k: int = 3, thr: float = 0.15, rounds: int = 16,
+                n_bits: int = 8) -> str:
+    stages = [
+        f"""
+e0 AS MATERIALIZED (
+    SELECT DISTINCT least(query_id, cand_id) AS a,
+                    greatest(query_id, cand_id) AS b
+    FROM knn WHERE query_id <> cand_id AND cosine >= {thr}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(f"""
+d{r} AS MATERIALIZED (
+    SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+    ) GROUP BY node
+),
+a{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{r - 1} e
+    JOIN a{r} x ON x.node = e.a
+    JOIN a{r} y ON y.node = e.b
+)""")
+    final = f"""
+dfin AS (
+    SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY node
+)
+SELECT node AS vec_id, CAST(deg AS BIGINT) AS core_degree
+FROM dfin WHERE deg >= {k}
+ORDER BY vec_id
+"""
+    return f"{_knn_graph_ctes(n_bits, 5)},{','.join(stages)},{final}"
+
+
+ORACLES["q78_kcore"] = _q78_oracle()
+
+# q79: identical exact-cents revenue, per-segment ascending rank,
+# HUGEINT rank x cents products (Spark: DECIMAL(38)), identical Gini
+# expression text.
+ORACLES["q79_gini_concentration"] = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+seg AS (
+    SELECT p.o_custkey, p.cents, c.c_mktsegment
+    FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY cents, o_custkey) AS i
+    FROM seg
+),
+agg AS (
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           sum(CAST(i AS HUGEINT) * cents) AS __s1
+    FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers, total_cents,
+       round((2.0 * CAST(__s1 AS DOUBLE)
+              - (CAST(n_customers AS DOUBLE) + 1.0)
+                * CAST(total_cents AS DOUBLE))
+             / (CAST(n_customers AS DOUBLE)
+                * CAST(total_cents AS DOUBLE)), 6) AS gini
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+# s08: both graphs mirrored — the exact side is the s01 brute-force
+# shape restricted to the 5% sample, the approximate side is the knn
+# backbone; identical semi-join overlap + integer ppm recall.
+ORACLES["s08_ann_recall_eval"] = _knn_graph_ctes(8, 5) + """,
+sample AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 20 = 0),
+exact_pairs AS (
+    SELECT s.query_id, e.vec_id AS cand_id,
+        round(
+            list_dot_product(
+                list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+            / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+               * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+            6) AS cosine
+    FROM sample s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    CROSS JOIN embeddings e
+    WHERE e.vec_id <> s.query_id
+),
+exact_top AS (
+    SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rnk
+        FROM exact_pairs
+    ) WHERE rnk <= 5
+),
+approx AS (
+    SELECT query_id, cand_id FROM knn WHERE query_id % 20 = 0
+),
+hits AS (
+    SELECT a.query_id, count(*) AS n_hits
+    FROM approx a
+    WHERE EXISTS (SELECT 1 FROM exact_top e
+                  WHERE e.query_id = a.query_id AND e.cand_id = a.cand_id)
+    GROUP BY a.query_id
+),
+per_query AS (
+    SELECT CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits
+    FROM sample s LEFT JOIN hits h ON h.query_id = s.query_id
+),
+total AS (
+    SELECT CAST(1000000 * sum(n_hits) // (5 * count(*)) AS BIGINT)
+        AS recall_ppm
+    FROM per_query
+)
+SELECT n_hits, CAST(count(*) AS BIGINT) AS n_queries,
+       (SELECT recall_ppm FROM total) AS recall_ppm
+FROM per_query GROUP BY n_hits
+ORDER BY n_hits
+"""
+
+# q80: identical milli-unit integer CUSUM via the same prefix-minimum
+# window identity S_t = P_t - min(0, min_{j<=t} P_j).
+ORACLES["q80_cusum_changepoint"] = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+mu AS (
+    SELECT event_type, (1000 * sum(cnt)) // count(*) AS mu_milli
+    FROM daily GROUP BY event_type
+),
+y AS (
+    SELECT d.event_type, d.day, d.cnt, m.mu_milli,
+           1000 * d.cnt - m.mu_milli - m.mu_milli // 10 AS y_milli
+    FROM daily d JOIN mu m ON m.event_type = d.event_type
+),
+p AS (
+    SELECT *, sum(y_milli) OVER (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __p
+    FROM y
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+       CAST(__p - least(0, min(__p) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+           AS cusum_milli,
+       CAST(CASE WHEN __p - least(0, min(__p) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           > 4 * mu_milli THEN 1 ELSE 0 END AS INTEGER) AS alarm
+FROM p
+ORDER BY event_type, day
+"""

@@ -5574,3 +5574,303 @@ def q76_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY w.depth
         """
     )
+
+
+@query("q77_mann_whitney")
+def q77_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test on per-event values across A/B
+    arms — the NONPARAMETRIC leg of the A/B suite (q13 means, q74
+    conversion CIs, q75 behavior mix): engagement values are heavy-
+    tailed, exactly where the t-test's normality assumption breaks
+    and the rank test keeps its level. Emits U, the tie-corrected
+    normal-approximation z, and the exact integer ingredients.
+
+    Ranks are NEVER materialized per row: average rank of a tied
+    value v is (count < v) + (count = v + 1)/2, so the whole test
+    decomposes to (1) one decomposable groupBy(value) for per-value
+    counts and per-arm counts, (2) a prefix sum over the DISTINCT-
+    value frame in value order — quantiles.grouped_prefix_stats, so
+    a near-continuous metric (distinct ≈ n) still never funnels
+    through one window task — and (3) one scalar aggregate. Doubling
+    every rank (2·avg_rank = 2·cum − cnt + 1 is always integer)
+    keeps rank sums and U in EXACT BIGINT; the tie term Σ(t³−t)
+    rides DECIMAL(38) (a 3e6-deep tie overflows BIGINT cubes); z is
+    one fixed float expression over exact integers, identical text
+    on both engines — bit-exact.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    per_val = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+        .groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    ranked = grouped_prefix_stats(
+        per_val.withColumn("__g", F.lit(1)),
+        group_col="__g",
+        sum_col="cnt",
+        priority_cols=["value"],
+        tiebreak_col="value",
+        rank_out="__rnk",
+        cum_out="cum",
+        descending=False,
+    )
+    stats = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na") * (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1))
+        ).alias("rank_sum_a_x2"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("__tie"),
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "rank_sum_a_x2",
+        F.expr("rank_sum_a_x2 - n_a * (n_a + 1)").alias("u_a_x2"),
+        F.col("__tie").cast("bigint").alias("tie_term"),
+        F.expr(
+            "round((CAST(rank_sum_a_x2 - n_a * (n_a + 1) AS DOUBLE)"
+            " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+            " / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)"
+            " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+            "    - CAST(__tie AS DOUBLE)"
+            "      / (CAST(n_a + n_b AS DOUBLE)"
+            "         * CAST(n_a + n_b - 1 AS DOUBLE))))), 6)"
+        ).alias("z_score"),
+    )
+
+
+@query("q78_kcore")
+def q78_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition (k=3) of the cosine-thresholded s05 kNN
+    similarity graph — the third graph-cohesion lens on the SAME
+    shared edge artifact: q68 scores connectivity (PageRank), q71
+    scores closed wedges (clustering), the k-core finds the subgraph
+    that stays mutually dense after iterative peeling — on an
+    embedding graph, the redundancy backbone a curation pass
+    down-samples first. The similarity floor (cosine ≥ 0.15) matters:
+    a raw top-k graph is degree-regular BY CONSTRUCTION (everyone has
+    k out-edges), so its k-core is all-or-nothing; thresholding
+    restores genuine degree variance and the peel becomes selective
+    (measured at the true fixpoint: 945/1386 edges survive at
+    sf0.001, 806 at sf0.01, converging in ≤ 7 peel rounds — the
+    8-round probe that looked non-trivial for k=4 was NOT converged;
+    k=4 peels to empty at those scales).
+
+    operators/graph.kcore peels to a FIXPOINT (degree < k vertices
+    removed, cascading) in bounded rounds and raises rather than
+    return a partial core; because peeling is monotone, the DuckDB
+    oracle unrolls the same peel as 8 fixed CTE stages (idempotent
+    once converged) and matches the converged core value-for-value.
+
+    Scale: every round is one union-groupBy degree count + two
+    semi-join filters on the edge set — no all-pairs step anywhere,
+    lineage truncated per round (dedup_components discipline).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.graph import kcore
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        knn_graph_artifact,
+    )
+
+    edges = (
+        knn_graph_artifact(spark, sf_dir)
+        .filter(F.col("cosine") >= 0.15)
+        .select(F.col("query_id").alias("src"), F.col("cand_id").alias("dst"))
+    )
+    return (
+        kcore(edges, k=3, max_rounds=16)
+        .select(F.col("node").alias("vec_id"), "core_degree")
+        .orderBy("vec_id")
+    )
+
+
+@query("q79_gini_concentration")
+def q79_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer-revenue concentration per market
+    segment (the Lorenz-curve statistic behind 'top 1% of customers
+    carry X% of revenue') — the inequality summary q60's Pareto/ABC
+    classes threshold: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    revenues sorted ascending.
+
+    Revenue rides as EXACT integer cents (q67 discipline) and the
+    ascending rank i comes from quantiles.grouped_prefix_stats — a
+    segment holding most of the corpus never serializes through one
+    window task. Σ i·xᵢ accumulates in DECIMAL(38) (rank × cents
+    products overflow BIGINT at 10⁹ customers; the oracle mirrors
+    with HUGEINT); within a revenue tie the rank assignment is
+    custkey-arbitrary but Σ i·xᵢ over a tie block is invariant, so
+    the statistic is deterministic. Final G is one fixed float
+    expression over exact integers — bit-exact.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_prefix_stats,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)"
+            ).alias("cents")
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    ranked = grouped_prefix_stats(
+        per_cust,
+        group_col="c_mktsegment",
+        sum_col="cents",
+        priority_cols=["cents"],
+        tiebreak_col="o_custkey",
+        rank_out="i",
+        cum_out="__cum",
+        descending=False,
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("__s1"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "round((2.0 * CAST(__s1 AS DOUBLE)"
+            " - (CAST(n_customers AS DOUBLE) + 1.0)"
+            "   * CAST(total_cents AS DOUBLE))"
+            " / (CAST(n_customers AS DOUBLE)"
+            "    * CAST(total_cents AS DOUBLE)), 6)"
+        ).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+@query("s08_ann_recall_eval")
+def s08_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL EVALUATION — recall@5 of the LSH kNN graph (the s05
+    artifact every graph consumer rides) against EXACT brute-force
+    top-5 on a deterministic 5% query sample: the measurement that
+    must exist before an approximate index is trusted at 100 TB (t18
+    is this for the language-ID gate). Emits the overlap histogram
+    (how many queries found 0..5 of their true neighbors) plus the
+    corpus recall in integer ppm.
+
+    Scale: exact scoring is confined to the SAMPLE (broadcast of
+    sampled queries against the corpus — the s01 shape, linear in
+    corpus size, never all-pairs); the approximate side is a parquet
+    read of the shared artifact. Overlap via one left-semi join on
+    (query, cand); histogram + one broadcast 1-row total. All-integer
+    outputs — the oracle mirrors both graphs and the DIV arithmetic.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        cosine_topk,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        knn_graph_artifact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(emb, sample, k=5).select("query_id", "cand_id")
+    approx = (
+        knn_graph_artifact(spark, sf_dir)
+        .filter(F.col("query_id") % 20 == 0)
+        .select("query_id", "cand_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_query = (
+        sample.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"))
+    )
+    hist = per_query.groupBy("n_hits").agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    total = per_query.agg(
+        F.expr(
+            "CAST(1000000 * sum(n_hits) DIV (5 * count(*)) AS BIGINT)"
+        ).alias("recall_ppm")
+    )
+    return (
+        hist.join(F.broadcast(total))
+        .select("n_hits", "n_queries", "recall_ppm")
+        .orderBy("n_hits")
+    )
+
+
+@query("q80_cusum_changepoint")
+def q80_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volumes per type —
+    the sequential drift alarm beside q63's pointwise MAD outliers and
+    q73's windowed PSI: S_t = max(0, S_{t-1} + (x_t − μ − slack))
+    accumulates persistent upward shift and alarms when S_t crosses
+    4μ, catching slow drifts no single-day threshold sees.
+
+    The clamped fold is ANOTHER sequential recurrence that tempts a
+    per-group Python loop — and like q61's least() form it has a
+    closed-form window rewrite: with y_t the centered increments and
+    P_t their prefix sum, max(0, S_{t-1} + y_t) unrolls to
+    S_t = P_t − min(0, min_{j≤t} P_j) — two window aggregates over
+    the same per-type day ordering, pure codegen, zero Python. All
+    arithmetic in exact milli-unit integers (μ and slack are DIV
+    truncations), so the oracle replays it bit-for-bit.
+
+    Scale: the windows run on the per-(type, day) rollup — |types|×
+    |days| rows, partitioned by type (q17/q63 discipline) — never on
+    raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mu = daily.groupBy("event_type").agg(
+        F.expr("(1000 * sum(cnt)) DIV count(*)").alias("mu_milli")
+    )
+    y = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        "mu_milli",
+        F.expr("1000 * cnt - mu_milli - mu_milli DIV 10").alias("y_milli"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        y.withColumn("__p", F.sum("y_milli").over(wcum))
+        .withColumn(
+            "cusum_milli",
+            F.col("__p") - F.least(F.lit(0), F.min("__p").over(wcum)),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            "cusum_milli",
+            (F.col("cusum_milli") > 4 * F.col("mu_milli"))
+            .cast("int")
+            .alias("alarm"),
+        )
+    )
+    return out.orderBy("event_type", "day")

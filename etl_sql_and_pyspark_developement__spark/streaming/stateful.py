@@ -610,3 +610,93 @@ def streaming_capped_total_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+HH_OUTPUT_SCHEMA = (
+    "event_type string, user_id bigint, est_count bigint, "
+    "n_total bigint, n_decrements bigint"
+)
+HH_STATE_SCHEMA = (
+    "items array<bigint>, cnts array<bigint>, n bigint, dec bigint"
+)
+
+_HH_COUNTERS = 8
+
+
+def _hh_fold(counters: dict, n: int, dec: int, uids) -> tuple[dict, int, int]:
+    """One Misra-Gries pass: m bounded counters; an arrival not among
+    them when all m are taken decrements EVERY counter (dropping
+    zeros) — each such event retires m+1 count units, which is what
+    bounds the undercount: true(x) − counter(x) ≤ dec ≤ n/(m+1)."""
+    for uid in uids:
+        uid = int(uid)
+        n += 1
+        if uid in counters:
+            counters[uid] += 1
+        elif len(counters) < _HH_COUNTERS:
+            counters[uid] = 1
+        else:
+            dec += 1
+            counters = {u: c - 1 for u, c in counters.items() if c > 1}
+    return counters, n, dec
+
+
+def _hh_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        items, cnts, n, dec = state.get
+        counters = dict(zip(items, cnts))
+    else:
+        counters, n, dec = {}, 0, 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        # Deterministic fold order: MG state depends on arrival order,
+        # which is not contractual within a micro-batch — (ts,
+        # event_id) order makes replays bit-identical (st11/st19
+        # discipline).
+        merged = merged.sort_values(["ts", "event_id"])
+        counters, n, dec = _hh_fold(counters, n, dec, merged["user_id"])
+    items = sorted(counters)
+    state.update((items, [counters[u] for u in items], n, dec))
+    yield pd.DataFrame(
+        {
+            "event_type": [etype] * len(items),
+            "user_id": items,
+            "est_count": [counters[u] for u in items],
+            "n_total": [n] * len(items),
+            "n_decrements": [dec] * len(items),
+        }
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """st26: streaming HEAVY HITTERS per event type via Misra-Gries
+    summaries — the bounded-memory 'which users dominate this event
+    stream' monitor: state is AT MOST m=8 (item, counter) pairs per
+    key no matter how many distinct users flow past (the counter-
+    based cousin of st22's HLL sketches: HLL answers 'how many
+    distinct', MG answers 'which ones dominate').
+
+    Guarantee (emitted alongside the estimates, test-asserted):
+    counter(x) ≤ true(x) ≤ counter(x) + n_decrements, and every user
+    with true frequency > n/(m+1) is GUARANTEED present — frequencies
+    the gate can act on without exact counting. The fold is order-
+    deterministic ((ts, event_id) within batch, chronological file
+    order across batches), so a pure-Python replay of the same order
+    reproduces the state bit-for-bit (parity tested)."""
+    return events.select("event_type", "user_id", "ts", "event_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _hh_update,
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

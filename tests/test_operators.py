@@ -759,3 +759,21 @@ def test_q75_chi_square_includes_zero_cells(spark, tmp_path):
         chi2 += (obs[(a, t)] - e) ** 2 / e
     assert rows[0].chi2 == round(chi2, 6)
     assert rows[0].dof == 1
+
+
+def test_kcore_peels_cascade_and_raises_on_budget(spark):
+    """Hand-built graph: a 4-clique is the 3-core; a pendant chain
+    peels away in CASCADE (removing the tail drags its neighbor under
+    k) — and an exhausted round budget raises rather than returning
+    the partially-peeled subgraph."""
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(4, 5), (5, 6)]  # 6 peels (deg 1), then 5 peels (deg 1)
+    df = spark.createDataFrame(clique + chain, "src bigint, dst bigint")
+    got = {r.node: r.core_degree for r in kcore(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(df, k=3, max_rounds=1)

@@ -725,3 +725,34 @@ def test_q72_ewma_fold_stays_jvm_side(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan
     assert plan.count("hashpartitioning") == 2
     assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q77_rank_test_distributed_and_jvm_side(spark, sf_dir):
+    """Mann-Whitney ranks ride grouped_prefix_stats' range buckets —
+    no serial global window over the distinct-value frame, no Python
+    stage, no cartesian anywhere."""
+    plan = plan_of(spark, "q77_mann_whitney", sf_dir)
+    assert "__rb" in plan, "prefix sum must go through grouped_prefix_stats"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q79_gini_distributed_rank(spark, sf_dir):
+    """Per-segment ascending ranks are bucket-distributed (a segment
+    holding most of the corpus never serializes one window task)."""
+    plan = plan_of(spark, "q79_gini_concentration", sf_dir)
+    assert "__rb" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_s08_exact_side_broadcast_sampled(spark, sf_dir):
+    """Recall eval: the exact-scoring join must BROADCAST the sampled
+    query side (never shuffle the corpus against itself), and the
+    approximate side is a parquet read of the committed artifact —
+    no second LSH bucket join in the plan."""
+    plan = plan_of(spark, "s08_ann_recall_eval", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the artifact path appears as a scan relation
+    assert "knn_graph_" in plan, "approx side must read the graph artifact"

@@ -1394,3 +1394,86 @@ def test_st24_drift_defers_lock_on_degenerate_first_batch():
     (out,) = _drift_update(("a",), iter([cur]), st)
     assert out["n_ref"].iloc[0] == 12 and out["n_cur"].iloc[0] == 6
     assert out["psi"].iloc[0] > 0.0
+
+
+def test_st26_heavy_hitters_replay_parity_and_bounds(spark, sf_dir, tmp_path):
+    """The streaming Misra-Gries state must equal a pure-Python replay
+    of the same fold over the same micro-batch splits (the fold is
+    order-deterministic by contract), and the MG guarantees must hold
+    against exact batch counts: every user with true frequency >
+    n/(m+1) is present, and counter ≤ true ≤ counter + n_decrements."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _HH_COUNTERS,
+        _hh_fold,
+        streaming_heavy_hitters,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    spans = [(0, 10), (10, 20), (20, 9999)]
+    for i, (lo, hi) in enumerate(spans):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_heavy_hitters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st26_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, max(n_total) OVER "
+        "(PARTITION BY event_type) AS mx FROM st26_out) "
+        "WHERE n_total = mx"
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.event_type, {})[r.user_id] = (
+            r.est_count,
+            r.n_total,
+            r.n_decrements,
+        )
+
+    # Pure-Python replay over the identical batch splits and order.
+    pdf = ev.toPandas()
+    pdf["day"] = pdf["ts"].dt.date.map(lambda d: (d - d0).days)
+    import collections
+
+    exact = collections.Counter(
+        zip(pdf["event_type"], (int(u) for u in pdf["user_id"]))
+    )
+    for etype, g in pdf.groupby("event_type"):
+        counters, n, dec = {}, 0, 0
+        for lo, hi in spans:
+            batch = g[(g["day"] >= lo) & (g["day"] < hi)].sort_values(
+                ["ts", "event_id"]
+            )
+            counters, n, dec = _hh_fold(counters, n, dec, batch["user_id"])
+        want = {u: (c, n, dec) for u, c in counters.items()}
+        assert got[etype] == want, f"{etype}: streaming != replay"
+        # MG guarantees vs exact counts.
+        n_type = int((pdf["event_type"] == etype).sum())
+        assert n == n_type
+        for (et, u), true_cnt in exact.items():
+            if et != etype:
+                continue
+            if true_cnt * (_HH_COUNTERS + 1) > n_type:
+                assert u in counters, f"guaranteed heavy hitter {u} missing"
+            if u in counters:
+                assert counters[u] <= true_cnt <= counters[u] + dec
