@@ -41,6 +41,7 @@ _NEEDS_DRIVER_ROW = [
     "q76_sql_recursive", "q69_variant_json",
     "q77_mann_whitney", "q78_kcore", "q79_gini_concentration",
     "s08_ann_recall_eval", "q80_cusum_changepoint",
+    "d19_containment_dedup", "t21_keyness_loglik",
 ]
 
 

@@ -1233,3 +1233,80 @@ def url_dedup(df: DataFrame) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """ASYMMETRIC near-CONTAINMENT pairs: doc A is (near-)contained in
+    doc B when |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold — the quote /
+    snippet / excerpt duplication symmetric Jaccard systematically
+    MISSES: a 50-shingle doc fully inside a 5000-shingle doc has
+    Jaccard ≈ 0.01 (invisible to d02/d03's threshold) but containment
+    1.0. A training corpus keeps the superset and drops the excerpt.
+
+    Emits (doc_small, doc_big, inter, n_small, n_big,
+    containment_ppm) with containment computed FROM THE SMALLER
+    SHINGLE SET (ties broken toward the lower id), in exact integer
+    ppm — engine-portable.
+
+    Scale: same candidate shape as jaccard_pairs — the shingle
+    self-join restricted to shingles with document frequency ≥ 2.
+    Pair work is Σ_shingle df², which boilerplate shingles dominate;
+    run d13's boilerplate scrub upstream (the documented pipeline
+    ordering) and cap pathological shingles the cap_hot_bands way if
+    the corpus still carries template text. The df≥2 prune is
+    semantics-preserving (singleton shingles intersect nothing);
+    sizes come from the FULL shingle set.
+    """
+    sh = _materialize(shingle_df(df, id_col, text_col, n))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= 2)
+        .select("shingle")
+    )
+    sh_shared = sh.join(shared, "shingle")
+    a = sh_shared.alias("a")
+    b = sh_shared.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_x"), F.col("b.doc").alias("doc_y"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_x"), F.col("n_sh").alias("n_x")),
+            "doc_x",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_y"), F.col("n_sh").alias("n_y")),
+            "doc_y",
+        )
+        .select(
+            F.expr(
+                "CASE WHEN n_x < n_y OR (n_x = n_y AND doc_x < doc_y)"
+                " THEN doc_x ELSE doc_y END"
+            ).alias("doc_small"),
+            F.expr(
+                "CASE WHEN n_x < n_y OR (n_x = n_y AND doc_x < doc_y)"
+                " THEN doc_y ELSE doc_x END"
+            ).alias("doc_big"),
+            "inter",
+            F.least("n_x", "n_y").alias("n_small"),
+            F.greatest("n_x", "n_y").alias("n_big"),
+            F.expr("1000000 * inter DIV least(n_x, n_y)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+    return scored.filter(F.col("containment_ppm") >= threshold_ppm)

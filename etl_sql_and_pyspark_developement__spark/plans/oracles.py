@@ -5002,3 +5002,88 @@ SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
 FROM p
 ORDER BY event_type, day
 """
+
+# d19: identical shingling (distinct word 3-grams, short-doc fallback
+# to the whole text), df>=2 prune, and integer ppm containment.
+ORACLES["d19_containment_dedup"] = """
+WITH toks AS (
+    SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc, s FROM (
+        SELECT doc, unnest(CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(
+                generate_series(1, len(t) - 2),
+                i -> array_to_string(t[i:i+2], ' ')))
+            ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+sh_shared AS (SELECT sh.doc, sh.s FROM sh JOIN shared USING (s)),
+inter AS (
+    SELECT a.doc AS doc_x, b.doc AS doc_y, count(*) AS inter
+    FROM sh_shared a JOIN sh_shared b
+      ON a.s = b.s AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+),
+scored AS (
+    SELECT CASE WHEN sx.n_sh < sy.n_sh
+                  OR (sx.n_sh = sy.n_sh AND i.doc_x < i.doc_y)
+                THEN i.doc_x ELSE i.doc_y END AS doc_small,
+           CASE WHEN sx.n_sh < sy.n_sh
+                  OR (sx.n_sh = sy.n_sh AND i.doc_x < i.doc_y)
+                THEN i.doc_y ELSE i.doc_x END AS doc_big,
+           i.inter,
+           least(sx.n_sh, sy.n_sh) AS n_small,
+           greatest(sx.n_sh, sy.n_sh) AS n_big,
+           1000000 * i.inter // least(sx.n_sh, sy.n_sh)
+               AS containment_ppm
+    FROM inter i
+    JOIN sizes sx ON sx.doc = i.doc_x
+    JOIN sizes sy ON sy.doc = i.doc_y
+)
+SELECT * FROM scored
+WHERE containment_ppm >= 800000
+ORDER BY containment_ppm DESC, doc_small, doc_big
+"""
+
+# t21: identical counts and identical G2 expression text (ln is IEEE
+# on both engines; the wt = o1 arm avoids ln(0) identically).
+ORACLES["t21_keyness_loglik"] = """
+WITH sw AS (
+    SELECT source, word, count(*) AS o1 FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ) WHERE word <> ''
+    GROUP BY source, word
+),
+word_tot AS (SELECT word, sum(o1) AS wt FROM sw GROUP BY word),
+src_tot AS (SELECT source, sum(o1) AS st FROM sw GROUP BY source),
+gtot AS (SELECT sum(st) AS gt FROM src_tot),
+scored AS (
+    SELECT sw.source, sw.word, sw.o1, w.wt,
+           round(2.0 * (
+             CAST(sw.o1 AS DOUBLE) * ln(CAST(sw.o1 AS DOUBLE)
+               / (CAST(s.st AS DOUBLE) * CAST(w.wt AS DOUBLE)
+                  / CAST(g.gt AS DOUBLE)))
+             + CASE WHEN w.wt = sw.o1 THEN 0.0 ELSE
+               CAST(w.wt - sw.o1 AS DOUBLE) * ln(CAST(w.wt - sw.o1 AS DOUBLE)
+                 / (CAST(g.gt - s.st AS DOUBLE) * CAST(w.wt AS DOUBLE)
+                    / CAST(g.gt AS DOUBLE))) END), 4) AS g2
+    FROM sw
+    JOIN word_tot w USING (word)
+    JOIN src_tot s USING (source)
+    CROSS JOIN gtot g
+    WHERE CAST(sw.o1 AS DOUBLE) * CAST(g.gt AS DOUBLE)
+          > CAST(s.st AS DOUBLE) * CAST(w.wt AS DOUBLE)
+)
+SELECT source, CAST(rnk AS INTEGER) AS rnk, word,
+       CAST(o1 AS BIGINT) AS o1, CAST(wt AS BIGINT) AS wt, g2
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY g2 DESC, word) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+ORDER BY source, rnk
+"""

@@ -5874,3 +5874,89 @@ def q80_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("event_type", "day")
+
+
+@query("d19_containment_dedup")
+def d19_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT dedup (quote/snippet/excerpt
+    detection): pairs where the smaller doc's shingle set is ≥ 80%
+    inside the larger's — the duplication class symmetric Jaccard
+    (d02/d03) systematically misses because a small⊂large pair has
+    near-zero Jaccard. Keep-the-superset is the curation action.
+    See operators/dedup.containment_pairs for the scale contract.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3).orderBy(
+        F.desc("containment_ppm"), "doc_small", "doc_big"
+    )
+
+
+@query("t21_keyness_loglik")
+def t21_keyness_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD EXTRACTION by log-likelihood KEYNESS (Dunning's G²,
+    1993): for each source, the words most over-represented against
+    the REST of the corpus — the 'what is this slice about'
+    diagnostic that drives corpus-mix decisions (p05) and mixture
+    audits (p13): G² = 2·(o₁·ln(o₁/e₁) + o₂·ln(o₂/e₂)) over the
+    word's 2×2 source-vs-rest contingency, top-5 per source. TF-IDF
+    (t05) asks 'what characterizes this DOCUMENT'; keyness asks what
+    characterizes the SLICE, with a significance-calibrated score.
+
+    Scale: ONE token explode feeds a (source, word) decomposable
+    groupBy; word totals and source totals re-aggregate FROM that
+    frame (never a second corpus scan); the G² expression is fixed
+    float arithmetic over exact integer counts with identical text
+    on both engines (q74 discipline — ln is IEEE-correctly-rounded,
+    no fold ordering anywhere), and the top-5 window partitions by
+    source over vocab-sized input (t07 discipline).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sw = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("o1"))
+        .localCheckpoint()
+    )
+    word_tot = sw.groupBy("word").agg(F.sum("o1").alias("wt"))
+    src_tot = sw.groupBy("source").agg(F.sum("o1").alias("st"))
+    gtot = src_tot.agg(F.sum("st").alias("gt"))
+    scored = (
+        sw.join(word_tot, "word")
+        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(gtot))
+        .withColumn(
+            "g2",
+            F.expr(
+                "round(2.0 * ("
+                " CAST(o1 AS DOUBLE) * ln(CAST(o1 AS DOUBLE)"
+                "   / (CAST(st AS DOUBLE) * CAST(wt AS DOUBLE)"
+                "      / CAST(gt AS DOUBLE)))"
+                " + CASE WHEN wt = o1 THEN 0.0 ELSE"
+                "   CAST(wt - o1 AS DOUBLE) * ln(CAST(wt - o1 AS DOUBLE)"
+                "     / (CAST(gt - st AS DOUBLE) * CAST(wt AS DOUBLE)"
+                "        / CAST(gt AS DOUBLE))) END), 4)"
+            ),
+        )
+        # keyness proper: only OVER-represented words (o1 > e1)
+        .filter(
+            F.expr(
+                "CAST(o1 AS DOUBLE) * CAST(gt AS DOUBLE)"
+                " > CAST(st AS DOUBLE) * CAST(wt AS DOUBLE)"
+            )
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "word", "o1", "wt", "g2")
+        .orderBy("source", "rnk")
+    )

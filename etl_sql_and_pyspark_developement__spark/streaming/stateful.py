@@ -700,3 +700,71 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SAMPLE_OUTPUT_SCHEMA = (
+    "source string, doc_id bigint, prio string, n_seen bigint"
+)
+SAMPLE_STATE_SCHEMA = "ids array<bigint>, prios array<string>, n bigint"
+
+_SAMPLE_K = 16
+
+
+def _sample_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    import hashlib
+
+    (source,) = key
+    if state.exists:
+        ids, prios, n = state.get
+        pairs = list(zip(prios, ids))
+    else:
+        pairs, n = [], 0
+    for pdf in pdfs:
+        for did in pdf["doc_id"]:
+            did = int(did)
+            n += 1
+            prio = hashlib.md5(f"0:{did}".encode()).hexdigest()
+            pairs.append((prio, did))
+    # Bottom-k by (md5 priority, id): min is associative/commutative/
+    # idempotent, so ANY batch split or arrival order converges to the
+    # same k pairs — this is what makes the sample equal the batch
+    # bottom-k bit-for-bit (unlike reservoir sampling, whose result
+    # depends on the stream order).
+    pairs = sorted(set(pairs))[:_SAMPLE_K]
+    state.update(
+        ([d for _, d in pairs], [p for p, _ in pairs], n)
+    )
+    yield pd.DataFrame(
+        {
+            "source": [source] * len(pairs),
+            "doc_id": [d for _, d in pairs],
+            "prio": [p for p, _ in pairs],
+            "n_seen": [n] * len(pairs),
+        }
+    )
+
+
+def streaming_bottomk_sample(docs: DataFrame) -> DataFrame:
+    """st27: streaming DETERMINISTIC UNIFORM SAMPLE per source — a
+    bottom-k (KMV) priority sample maintained as keyed state: every
+    document's priority is md5(seed:id) (the corpus-wide p02/p07
+    convention) and the state keeps the k smallest (priority, id)
+    pairs seen so far. Because bottom-k is a MIN-fold — associative,
+    commutative, idempotent — the final sample is BIT-IDENTICAL to
+    the batch bottom-k over the same corpus under ANY batch split,
+    arrival order, or replay (parity-tested against the batch window
+    form): the live 'give me a uniform peek at what this source has
+    ingested' without re-reading history, and the same sketch that
+    estimates distinct counts (KMV) if needed.
+
+    State is k (id, 32-char priority) pairs + one counter per source
+    — bounded regardless of stream length."""
+    return docs.select("source", "doc_id").groupBy("source").applyInPandasWithState(
+        _sample_update,
+        SAMPLE_OUTPUT_SCHEMA,
+        SAMPLE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1477,3 +1477,74 @@ def test_st26_heavy_hitters_replay_parity_and_bounds(spark, sf_dir, tmp_path):
                 assert u in counters, f"guaranteed heavy hitter {u} missing"
             if u in counters:
                 assert counters[u] <= true_cnt <= counters[u] + dec
+
+
+def test_st27_bottomk_sample_equals_batch_any_split(spark, sf_dir, tmp_path):
+    """Bottom-k is a min-fold, so the streaming sample must equal the
+    batch bottom-k BIT-FOR-BIT regardless of how the stream was
+    split into micro-batches — asserted against the window form, and
+    re-asserted under a DIFFERENT split (order independence)."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _SAMPLE_K,
+        streaming_bottomk_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id")
+
+    def run(splits, name):
+        src = tmp_path / name
+        src.mkdir()
+        for i, (lo, hi) in enumerate(splits):
+            docs.filter(
+                (F.col("doc_id") % 100 >= lo) & (F.col("doc_id") % 100 < hi)
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_bottomk_sample(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"{name}_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            f"SELECT * FROM (SELECT *, max(n_seen) OVER "
+            f"(PARTITION BY source) AS mx FROM {name}_out) "
+            f"WHERE n_seen = mx"
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.source, set()).add((r.prio, r.doc_id, r.n_seen))
+        return out
+
+    a = run([(0, 30), (30, 60), (60, 100)], "st27a")
+    b = run([(0, 80), (80, 90), (90, 100)], "st27b")
+    assert a == b, "sample must be split-invariant"
+
+    from pyspark.sql import Window as W
+
+    batch = (
+        docs.withColumn(
+            "prio", F.md5(F.concat(F.lit("0:"), F.col("doc_id").cast("string")))
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy("prio", "doc_id")
+            ),
+        )
+        .withColumn(
+            "n_seen", F.count(F.lit(1)).over(W.partitionBy("source"))
+        )
+        .filter(F.col("rnk") <= _SAMPLE_K)
+    )
+    want = {}
+    for r in batch.collect():
+        want.setdefault(r.source, set()).add((r.prio, r.doc_id, r.n_seen))
+    assert a == want, "streaming sample must equal the batch bottom-k"
