@@ -1241,6 +1241,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold_ppm: int = 800_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-CONTAINMENT pairs: doc A is (near-)contained in
     doc B when |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold — the quote /
@@ -1256,22 +1257,29 @@ def containment_pairs(
 
     Scale: same candidate shape as jaccard_pairs — the shingle
     self-join restricted to shingles with document frequency ≥ 2.
-    Pair work is Σ_shingle df², which boilerplate shingles dominate;
-    run d13's boilerplate scrub upstream (the documented pipeline
-    ordering) and cap pathological shingles the cap_hot_bands way if
-    the corpus still carries template text. The df≥2 prune is
-    semantics-preserving (singleton shingles intersect nothing);
-    sizes come from the FULL shingle set.
+    Pair work is Σ_shingle df², which boilerplate/near-dup-heavy
+    shingles dominate: measured 104× wall at 10× near-duplicated docs
+    (df ×10 ⇒ Σdf² ×100 — partially output-bound, the copies ARE
+    contained in each other, but the joined-rows blowup is real). The
+    mitigation ladder: run d13's boilerplate scrub and the d01/d03
+    dedup tiers upstream (the documented pipeline ordering), and set
+    `max_shingle_df` to drop hotter shingles from BOTH the candidate
+    join and the intersection count (the cap_hot_bands trade:
+    containment is undercounted only on pairs whose overlap is
+    dominated by corpus-hot shingles — exactly the boilerplate
+    overlap a containment dedup should not fire on anyway). Sizes
+    come from the FULL shingle set, so the ≥ threshold gate only
+    gets STRICTER under the cap — capped results are a subset, never
+    false positives. The df≥2 prune is semantics-preserving
+    (singleton shingles intersect nothing).
     """
     sh = _materialize(shingle_df(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") >= 2)
-        .select("shingle")
-    )
-    sh_shared = sh.join(shared, "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    shared = dfreq.filter(F.col("df_") >= 2)
+    if max_shingle_df is not None:
+        shared = shared.filter(F.col("df_") <= max_shingle_df)
+    sh_shared = sh.join(shared.select("shingle"), "shingle")
     a = sh_shared.alias("a")
     b = sh_shared.alias("b")
     inter = (

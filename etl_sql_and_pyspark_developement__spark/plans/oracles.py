@@ -4919,7 +4919,8 @@ ORDER BY c_mktsegment
 # shape restricted to the 5% sample, the approximate side is the knn
 # backbone; identical semi-join overlap + integer ppm recall.
 ORACLES["s08_ann_recall_eval"] = _knn_graph_ctes(8, 5) + """,
-sample AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 20 = 0),
+sample AS (SELECT vec_id AS query_id FROM embeddings
+           WHERE vec_id % 20 = 0 AND vec_id < 10000),
 exact_pairs AS (
     SELECT s.query_id, e.vec_id AS cand_id,
         round(
@@ -4944,7 +4945,8 @@ exact_top AS (
     ) WHERE rnk <= 5
 ),
 approx AS (
-    SELECT query_id, cand_id FROM knn WHERE query_id % 20 = 0
+    SELECT query_id, cand_id FROM knn
+    WHERE query_id % 20 = 0 AND query_id < 10000
 ),
 hits AS (
     SELECT a.query_id, count(*) AS n_hits
@@ -5019,7 +5021,8 @@ sh AS (
         FROM toks)
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+shared AS (SELECT s FROM sh GROUP BY s
+           HAVING count(*) BETWEEN 2 AND 100),
 sh_shared AS (SELECT sh.doc, sh.s FROM sh JOIN shared USING (s)),
 inter AS (
     SELECT a.doc AS doc_x, b.doc AS doc_y, count(*) AS inter

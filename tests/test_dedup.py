@@ -664,3 +664,42 @@ def test_components_long_chain_converges_or_raises(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iterations=2)
+
+
+def test_containment_cap_lossless_below_and_bounds_above(spark):
+    """max_shingle_df must be a no-op when every shingle's df is under
+    the cap, and under a planted corpus-hot shingle it may only REMOVE
+    pairs (containment is undercounted, never overcounted — sizes come
+    from the full set, so the threshold gate gets stricter)."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, base), (2, base + " extra tail words here")]
+    # 30 docs sharing one boilerplate 3-gram but otherwise disjoint
+    rows += [
+        (100 + i, f"hot shingle text u{i} v{i} w{i} x{i} y{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.doc_small, r.doc_big, r.containment_ppm)
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    }
+    nooop = {
+        (r.doc_small, r.doc_big, r.containment_ppm)
+        for r in containment_pairs(
+            df, "doc_id", "text", max_shingle_df=50
+        ).collect()
+    }
+    assert nooop == uncapped, "cap above every df must be a no-op"
+    assert (1, 2, 1000000) in uncapped, "planted containment pair found"
+    capped = {
+        (r.doc_small, r.doc_big, r.containment_ppm)
+        for r in containment_pairs(
+            df, "doc_id", "text", max_shingle_df=10
+        ).collect()
+    }
+    assert capped <= uncapped, "cap may only remove pairs, never add"
+    assert (1, 2, 1000000) in capped, "cold pairs survive the cap"
