@@ -42,6 +42,7 @@ _NEEDS_DRIVER_ROW = [
     "q77_mann_whitney", "q78_kcore", "q79_gini_concentration",
     "s08_ann_recall_eval", "q80_cusum_changepoint",
     "d19_containment_dedup", "t21_keyness_loglik",
+    "q81_bootstrap_ci", "m07_audio_vad",
 ]
 
 

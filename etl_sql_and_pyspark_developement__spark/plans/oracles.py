@@ -5090,3 +5090,112 @@ FROM (
 ) WHERE rnk <= 5
 ORDER BY source, rnk
 """
+
+# m07: m04's byte-replay windows + the identical above-mean integer
+# gate and win_idx − row_number() run-length segmentation.
+ORACLES["m07_audio_vad"] = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, unnest(range((nb - 64) // 16 + 1)) AS w, hx
+    FROM b WHERE nb >= 64
+),
+samp AS (
+    SELECT doc_id, w,
+        list_transform(range(64),
+            j -> CAST(('0x' || substr(hx, CAST(2 * (16 * w + j) + 1 AS INT), 2))
+                      AS INT) - 128) AS s
+    FROM wins
+),
+feat AS (
+    SELECT doc_id, w,
+        CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy
+    FROM samp
+),
+tot AS (
+    SELECT doc_id, count(*) AS nw, sum(energy) AS te
+    FROM feat GROUP BY doc_id
+),
+act AS (
+    SELECT f.doc_id, f.w, f.energy
+    FROM feat f JOIN tot t USING (doc_id)
+    WHERE f.energy * t.nw > t.te
+),
+runs AS (
+    SELECT *, w - row_number() OVER (
+        PARTITION BY doc_id ORDER BY w) AS grp
+    FROM act
+),
+segs AS (
+    SELECT doc_id,
+           CAST(min(w) AS BIGINT) AS start_win,
+           CAST(max(w) AS BIGINT) AS end_win,
+           CAST(count(*) AS BIGINT) AS n_active_wins,
+           CAST(sum(energy) AS BIGINT) AS seg_energy
+    FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY start_win) AS INT) AS seg_idx,
+       start_win, end_win, n_active_wins, seg_energy
+FROM segs
+ORDER BY doc_id, seg_idx
+"""
+
+# q81: identical md5 24-bit Poisson(1) weights, integer-cents replica
+# means, rank-5/rank-196 CI ends. DuckDB's conv-from-hex is the
+# ('0x' || ...)::INT cast; Spark's is conv(..., 16, 10).
+ORACLES["q81_bootstrap_ci"] = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents,
+           CAST(user_id % 2 AS INTEGER) AS arm
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY user_id
+),
+reps AS (
+    SELECT arm, user_id, cents, b,
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                 CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) AS __u
+    FROM per_user, (SELECT unnest(generate_series(0, 199)) AS b)
+),
+weighted AS (
+    SELECT arm, b, cents,
+           CASE WHEN __u < 6171993 THEN 0
+                WHEN __u < 12343986 THEN 1
+                WHEN __u < 15429982 THEN 2
+                WHEN __u < 16458648 THEN 3
+                WHEN __u < 16715814 THEN 4
+                WHEN __u < 16767247 THEN 5
+                WHEN __u < 16775819 THEN 6
+                ELSE 7 END AS w
+    FROM reps
+),
+means AS (
+    SELECT arm, b, (1000 * sum(w * cents)) // sum(w) AS mean_milli
+    FROM weighted GROUP BY arm, b HAVING sum(w) > 0
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY arm ORDER BY mean_milli, b) AS rn
+    FROM means
+),
+ci AS (
+    SELECT arm,
+           CAST(min(mean_milli) AS BIGINT) AS ci_lo_milli,
+           CAST(max(mean_milli) AS BIGINT) AS ci_hi_milli
+    FROM ranked WHERE rn IN (5, 196) GROUP BY arm
+),
+point AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST((1000 * sum(cents)) // count(*) AS BIGINT) AS mean_milli
+    FROM per_user GROUP BY arm
+)
+SELECT p.arm, p.n_users, p.mean_milli, c.ci_lo_milli, c.ci_hi_milli
+FROM point p JOIN ci c ON c.arm = p.arm
+ORDER BY p.arm
+"""

@@ -5972,3 +5972,153 @@ def t21_keyness_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rnk", "word", "o1", "wt", "g2")
         .orderBy("source", "rnk")
     )
+
+
+@query("m07_audio_vad")
+def m07_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOICE-ACTIVITY-style SEGMENTATION over the m04 window energies
+    — the segmentation stage between framing and transcription in an
+    audio pipeline: windows whose energy exceeds the doc's mean
+    (integer cross-multiply, no float threshold) are 'active', and
+    ADJACENT active windows merge into segments via the run-length
+    identity (win_idx − row_number() is constant within a
+    consecutive run — the q03 sessionize family, no iterative
+    merging). Emits per-segment bounds and energy mass.
+
+    Deliberately a COMPOSITION of existing ops (the preferred tier
+    for new operators): m04's mapInPandas kernel supplies exact
+    integer window energies (byte-replay oracle-able), everything
+    after is pure DataFrame codegen — one per-doc broadcast-sized
+    rollup and one doc-partitioned window. Real VAD swaps the energy
+    rule for a model score; the segmentation plumbing is identical.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        window_features,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    wins = window_features(with_binary_payload(docs)).select(
+        "doc_id", "win_idx", "energy"
+    )
+    tot = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nw"), F.sum("energy").alias("__te")
+    )
+    active = wins.join(tot, "doc_id").filter(
+        F.col("energy") * F.col("__nw") > F.col("__te")
+    )
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    runs = active.withColumn(
+        "__grp", F.col("win_idx") - F.row_number().over(w)
+    )
+    segs = runs.groupBy("doc_id", "__grp").agg(
+        F.min("win_idx").alias("start_win"),
+        F.max("win_idx").alias("end_win"),
+        F.count(F.lit(1)).alias("n_active_wins"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_win")
+    return (
+        segs.withColumn("seg_idx", F.row_number().over(w2))
+        .select(
+            "doc_id", "seg_idx", "start_win", "end_win",
+            "n_active_wins", "seg_energy",
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds over 24-bit md5 buckets — the
+# deterministic bootstrap weights (round(cdf(k) * 2^24), k = 0..6;
+# the tail past k=7 is < 1e-7 and clamps to 7). Shared literal with
+# the DuckDB oracle.
+_POIS1_CDF24 = (6171993, 12343986, 15429982, 16458648, 16715814,
+                16767247, 16775819)
+
+
+@query("q81_bootstrap_ci")
+def q81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP 95% confidence intervals on per-arm mean user spend
+    via the POISSON BOOTSTRAP (Chamandy et al. 2012 — the resampling
+    scheme built for map-reduce: instead of drawing n users with
+    replacement per replica, which needs global coordination, each
+    user independently gets a Poisson(1) weight per replica; replica
+    sums are then one decomposable groupBy). Completes the A/B
+    inference suite: q13 point estimates, q74 parametric CIs, q75
+    mix test, q77 rank test — this is the distribution-free CI for
+    a statistic with no closed form.
+
+    Fully DETERMINISTIC: the replica-b weight of user u is the
+    Poisson(1) inverse CDF of the 24-bit md5(b:u) bucket (thresholds
+    inlined as shared literals), spend rides as exact integer cents,
+    and each replica's mean is one integer division — so the 200
+    replica means, their order, and the rank-5/rank-196 CI ends are
+    engine-exact, no RNG anywhere (the p02/p07 md5 discipline
+    applied to resampling).
+
+    Scale: per-user aggregate first (decomposable), THEN the ×200
+    replica explode on the small (user, cents) frame — 200n rows of
+    three ints through one decomposable (arm, b) groupBy; the CI
+    rank runs on the 2×200 replica frame. Never 200× the raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(round(sum(value) * 100, 0) AS BIGINT)").alias(
+                "cents"
+            )
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    thresholds = " ".join(
+        f"WHEN __u < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF24)
+    )
+    reps = (
+        per_user.select(
+            "arm", "user_id", "cents",
+            F.explode(F.expr("sequence(0, 199)")).alias("b"),
+        )
+        .withColumn(
+            "__u",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':',"
+                " CAST(user_id AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+            ),
+        )
+        .withColumn("w", F.expr(f"CASE {thresholds} ELSE 7 END"))
+    )
+    means = (
+        reps.groupBy("arm", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("__ws"),
+            F.sum("w").alias("__wn"),
+        )
+        .filter(F.col("__wn") > 0)
+        .select(
+            "arm", "b",
+            F.expr("(1000 * __ws) DIV __wn").alias("mean_milli"),
+        )
+    )
+    w = Window.partitionBy("arm").orderBy("mean_milli", "b")
+    ci = (
+        means.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(5, 196))
+        .groupBy("arm")
+        .agg(
+            F.min("mean_milli").alias("ci_lo_milli"),
+            F.max("mean_milli").alias("ci_hi_milli"),
+        )
+    )
+    point = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("(1000 * sum(cents)) DIV count(*)").alias("mean_milli"),
+    )
+    return (
+        point.join(ci, "arm")
+        .select("arm", "n_users", "mean_milli", "ci_lo_milli", "ci_hi_milli")
+        .orderBy("arm")
+    )

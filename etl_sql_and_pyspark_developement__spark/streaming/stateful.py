@@ -768,3 +768,112 @@ def streaming_bottomk_sample(docs: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_days bigint, mu_milli bigint, "
+    "cusum_milli bigint, n_alarms bigint, locked int"
+)
+CUSUM_STATE_SCHEMA = (
+    "pend_day string, pend_cnt bigint, musum bigint, nmu bigint, "
+    "mu bigint, s bigint, alarms bigint, ndays bigint"
+)
+
+_CUSUM_BASELINE_DAYS = 5
+
+
+def _cusum_fold_day(st: dict, cnt: int) -> None:
+    """Fold one COMPLETED day into CUSUM state: the first
+    _CUSUM_BASELINE_DAYS folded days form the locked baseline μ
+    (their milli-mean, DIV truncation); every later day accumulates
+    S = max(0, S + x − μ − μ/10) and counts 4μ crossings. Exact
+    integer arithmetic — replays bit-for-bit."""
+    st["ndays"] += 1
+    if st["nmu"] < _CUSUM_BASELINE_DAYS:
+        st["musum"] += cnt * 1000
+        st["nmu"] += 1
+        if st["nmu"] == _CUSUM_BASELINE_DAYS:
+            st["mu"] = st["musum"] // _CUSUM_BASELINE_DAYS
+        return
+    st["s"] = max(0, st["s"] + cnt * 1000 - st["mu"] - st["mu"] // 10)
+    if st["s"] > 4 * st["mu"]:
+        st["alarms"] += 1
+
+
+def _cusum_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        pend_day, pend_cnt, musum, nmu, mu, s, alarms, ndays = state.get
+    else:
+        pend_day, pend_cnt, musum, nmu, mu, s, alarms, ndays = (
+            None, 0, 0, 0, -1, 0, 0, 0,
+        )
+    st = {"musum": musum, "nmu": nmu, "mu": mu, "s": s,
+          "alarms": alarms, "ndays": ndays}
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        days = (
+            merged.assign(day=merged["ts"].dt.strftime("%Y-%m-%d"))
+            .groupby("day")
+            .size()
+            .sort_index()
+        )
+        for day, cnt in days.items():
+            if pend_day is not None and day < pend_day:
+                raise ValueError(
+                    f"streaming_cusum: out-of-order day {day!r} after "
+                    f"{pend_day!r} — that day is permanently folded "
+                    "(st23's ordering contract)"
+                )
+            if pend_day is None:
+                pend_day, pend_cnt = day, int(cnt)
+            elif day == pend_day:
+                pend_cnt += int(cnt)
+            else:
+                _cusum_fold_day(st, pend_cnt)
+                pend_day, pend_cnt = day, int(cnt)
+    state.update(
+        (pend_day, pend_cnt, st["musum"], st["nmu"], st["mu"],
+         st["s"], st["alarms"], st["ndays"])
+    )
+    locked = 1 if st["nmu"] >= _CUSUM_BASELINE_DAYS else 0
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_days": [st["ndays"]],
+            "mu_milli": [st["mu"] if locked else None],
+            "cusum_milli": [st["s"]],
+            "n_alarms": [st["alarms"]],
+            "locked": [locked],
+        }
+    )
+
+
+def streaming_cusum(events: DataFrame) -> DataFrame:
+    """st28: LIVE CUSUM drift alarming — q80's clamp fold running
+    against a LOCKED baseline (st24's lock discipline + st23's
+    day-fold discipline): the first 5 COMPLETED days of each event
+    type freeze μ (their milli-mean), and every later completed day
+    folds S = max(0, S + x − μ − μ/10), counting 4μ crossings — the
+    persistent-shift alarm q80 computes in batch, maintained with
+    O(1) state per key and no history rescan. A day folds only when
+    a later day arrives (late same-day events absorbed); pre-lock
+    batches emit mu_milli = NULL / locked = 0 status rows. Exact
+    integer arithmetic ⇒ a pure-Python replay of the same fold is
+    bit-identical (parity tested)."""
+    return events.select("event_type", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _cusum_update,
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1548,3 +1548,77 @@ def test_st27_bottomk_sample_equals_batch_any_split(spark, sf_dir, tmp_path):
     for r in batch.collect():
         want.setdefault(r.source, set()).add((r.prio, r.doc_id, r.n_seen))
     assert a == want, "streaming sample must equal the batch bottom-k"
+
+
+def test_st28_streaming_cusum_matches_python_replay(spark, sf_dir, tmp_path):
+    """The streaming CUSUM's final per-type state must equal a pure-
+    Python replay of the same integer fold over the same day-ordered
+    stream (baseline = first 5 completed days, alarms counted on 4mu
+    crossings) — and the type's full-history day sequence drives the
+    expected values, proving days folded exactly once."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _CUSUM_BASELINE_DAYS,
+        streaming_cusum,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 9999)]):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_cusum(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st28_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: (r.n_days, r.mu_milli, r.cusum_milli, r.n_alarms, r.locked)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n_days DESC) AS rn "
+            "FROM st28_out) WHERE rn = 1"
+        ).collect()
+    }
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cnt))
+    for etype, days in series.items():
+        days.sort()
+        # the LAST day stays pending (never folded) — replay all but it
+        musum = nmu = s = alarms = ndays = 0
+        mu = -1
+        for _, cnt in days[:-1]:
+            ndays += 1
+            if nmu < _CUSUM_BASELINE_DAYS:
+                musum += cnt * 1000
+                nmu += 1
+                if nmu == _CUSUM_BASELINE_DAYS:
+                    mu = musum // _CUSUM_BASELINE_DAYS
+                continue
+            s = max(0, s + cnt * 1000 - mu - mu // 10)
+            if s > 4 * mu:
+                alarms += 1
+        locked = 1 if nmu >= _CUSUM_BASELINE_DAYS else 0
+        want = (ndays, mu if locked else None, s, alarms, locked)
+        assert got[etype] == want, f"{etype}: {got[etype]} != {want}"
