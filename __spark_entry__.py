@@ -43,6 +43,7 @@ _NEEDS_DRIVER_ROW = [
     "s08_ann_recall_eval", "q80_cusum_changepoint",
     "d19_containment_dedup", "t21_keyness_loglik",
     "q81_bootstrap_ci", "m07_audio_vad",
+    "q82_seasonal_decompose", "q83_time_to_convert",
 ]
 
 

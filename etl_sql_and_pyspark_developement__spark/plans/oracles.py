@@ -5199,3 +5199,78 @@ SELECT p.arm, p.n_users, p.mean_milli, c.ci_lo_milli, c.ci_hi_milli
 FROM point p JOIN ci c ON c.arm = p.arm
 ORDER BY p.arm
 """
+
+# q82: identical integer milli decomposition; DuckDB dayofweek() is
+# 0=Sunday..6 while Spark's dayofweek() is 1=Sunday..7 — join keys
+# only need to AGREE as partitions, so the oracle mirrors Spark's
+# 1-based convention explicitly.
+ORACLES["q82_seasonal_decompose"] = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+trended AS (
+    SELECT event_type, day, cnt,
+           CASE WHEN count(*) OVER w = 7
+                THEN (1000 * sum(cnt) OVER w) // 7 END AS trend_milli,
+           dayofweek(CAST(day AS DATE)) + 1 AS dow
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT *, 1000 * cnt - trend_milli AS detrended_milli FROM trended
+),
+seas AS (
+    SELECT event_type, dow,
+           sum(detrended_milli) // count(*) AS seasonal_milli
+    FROM det WHERE detrended_milli IS NOT NULL
+    GROUP BY event_type, dow
+)
+SELECT d.event_type, d.day, CAST(d.cnt AS BIGINT) AS cnt,
+       CAST(d.trend_milli AS BIGINT) AS trend_milli,
+       CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+       CAST(d.detrended_milli - s.seasonal_milli AS BIGINT)
+           AS residual_milli
+FROM det d LEFT JOIN seas s
+  ON s.event_type = d.event_type AND s.dow = d.dow
+ORDER BY d.event_type, d.day
+"""
+
+# q83: DuckDB's native ASOF join + exact integer-second delays + the
+# lower-quantile rank rule den·rn ≥ num·n on (delay, event_id) order
+# (grouped_weighted_quantiles' crossing definition).
+ORACLES["q83_time_to_convert"] = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+attributed AS (
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS vts
+    FROM purchases p
+    ASOF JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+),
+delays AS (
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           (epoch_us(a.ts) - epoch_us(a.vts)) // 1000000 AS delay_s,
+           a.event_id
+    FROM attributed a
+    LEFT JOIN customer c ON c.c_custkey = a.user_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY segment ORDER BY delay_s, event_id) AS rn,
+           count(*) OVER (PARTITION BY segment) AS n
+    FROM delays
+)
+SELECT segment,
+       CAST(max(n) AS BIGINT) AS n_conversions,
+       CAST(min(CASE WHEN 2 * rn >= n THEN delay_s END) AS BIGINT) AS p50_s,
+       CAST(min(CASE WHEN 10 * rn >= 9 * n THEN delay_s END) AS BIGINT)
+           AS p90_s
+FROM ranked
+GROUP BY segment
+ORDER BY segment
+"""

@@ -6122,3 +6122,156 @@ def q81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("arm", "n_users", "mean_milli", "ci_lo_milli", "ci_hi_milli")
         .orderBy("arm")
     )
+
+
+@query("q82_seasonal_decompose")
+def q82_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION of daily event volume per
+    type — trend / seasonal / residual, the additive decompose
+    behind every ops dashboard (q10 reports the seasonal MEANS; this
+    separates the components so q63/q80's anomaly rules can run on
+    the RESIDUAL instead of raw counts, where weekday rhythm stops
+    masquerading as drift):
+
+      trend_t    = centered 7-day moving average (milli, DIV)
+      detrended  = 1000·x_t − trend_t   (edge days: no trend → NULL)
+      seasonal_d = per-(type, day-of-week) mean of detrended (DIV)
+      residual   = detrended − seasonal_d
+
+    Exact integer milli-units end-to-end (the q72/q80 discipline):
+    every division is a DIV truncation, so both engines replay the
+    decomposition bit-for-bit — no float smoothing anywhere.
+
+    Scale: all three passes run on the |types|×|days| daily rollup
+    (q17 discipline) — two windows partitioned by type + one
+    (type, dow) groupBy, never raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.withColumn(
+        "trend_milli",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr("1000 * sum(cnt) OVER ("
+                   "PARTITION BY event_type ORDER BY day "
+                   "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) DIV 7"),
+        ),
+    ).withColumn(
+        "detrended_milli", F.expr("1000 * cnt - trend_milli")
+    ).withColumn(
+        "dow", F.dayofweek(F.to_date("day"))
+    )
+    seas = (
+        trended.filter(F.col("detrended_milli").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.expr("sum(detrended_milli) DIV count(*)").alias(
+                "seasonal_milli"
+            )
+        )
+    )
+    return (
+        trended.join(F.broadcast(seas), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            "trend_milli",
+            "seasonal_milli",
+            F.expr("detrended_milli - seasonal_milli").alias(
+                "residual_milli"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query("q83_time_to_convert")
+def q83_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution per market segment: exact p50/p90
+    of the view→purchase delay — the latency-percentile rollup a
+    funnel dashboard puts beside q19's conversion RATES and q25's
+    per-user averages (averages hide the slow tail; the p90 is what
+    an SLA acts on).
+
+    Pipeline: as-of join (operators/asof — tag+union+window, ONE
+    user-keyed shuffle, no range explosion) attaches each purchase's
+    latest preceding view; the delay rides as EXACT integer seconds
+    (unix_micros difference, one DIV — never float epoch math); the
+    percentiles are quantiles.grouped_weighted_quantiles' exact
+    LOWER quantiles (bucket-distributed — a segment holding most of
+    the corpus never serializes one window task; the oracle mirrors
+    the ceil(n·q) rank selection exactly).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.asof import (
+        as_of_join,
+    )
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        grouped_weighted_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    attributed = as_of_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"vts": "ts"},
+    ).filter(F.col("asof_vts").isNotNull())
+    delays = (
+        attributed.withColumn(
+            "delay_s",
+            F.expr("(unix_micros(ts) - unix_micros(asof_vts)) DIV 1000000"),
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("user_id"), "c_mktsegment"
+                )
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            "delay_s",
+            "event_id",
+        )
+        .withColumn("__w", F.lit(1))
+    )
+    q = grouped_weighted_quantiles(
+        delays,
+        group_col="segment",
+        value_col="delay_s",
+        weight_col="__w",
+        tiebreak_col="event_id",
+        quantiles=[(1, 2), (9, 10)],
+    )
+    return (
+        q.groupBy("segment")
+        .agg(
+            F.max("total_n").alias("n_conversions"),
+            F.max(
+                F.when(
+                    (F.col("num") == 1) & (F.col("den") == 2),
+                    F.col("q_value"),
+                )
+            ).alias("p50_s"),
+            F.max(
+                F.when(
+                    (F.col("num") == 9) & (F.col("den") == 10),
+                    F.col("q_value"),
+                )
+            ).alias("p90_s"),
+        )
+        .orderBy("segment")
+    )
