@@ -5274,3 +5274,70 @@ FROM ranked
 GROUP BY segment
 ORDER BY segment
 """
+
+# q84: exact NTILE on (score DESC, user_id) + identical cross-
+# multiplied integer ppm lift/capture.
+ORACLES["q84_lift_gains"] = """
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+),
+tiled AS (
+    SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+    FROM per_user
+),
+per_dec AS (
+    SELECT decile, count(*) AS n_users, sum(converted) AS n_converted
+    FROM tiled GROUP BY decile
+),
+tot AS (
+    SELECT *,
+           sum(n_converted) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+           sum(n_converted) OVER () AS pos_all,
+           sum(n_users) OVER () AS n_all
+    FROM per_dec
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       CAST((1000000 * n_converted * n_all) // (n_users * pos_all)
+           AS BIGINT) AS lift_ppm,
+       CAST((1000000 * cum_pos) // pos_all AS BIGINT) AS cum_capture_ppm
+FROM tot
+ORDER BY decile
+"""
+
+# q85: identical distinct (source, word) frame, ordered-pair self-join,
+# integer ppm similarity.
+ORACLES["q85_source_overlap"] = """
+WITH sw AS (
+    SELECT DISTINCT source, word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ) WHERE word <> ''
+),
+sizes AS (SELECT source, count(*) AS n_words FROM sw GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+    FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b,
+       CAST(sa.n_words AS BIGINT) AS n_a,
+       CAST(sb.n_words AS BIGINT) AS n_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST((1000000 * i.n_common)
+            // (sa.n_words + sb.n_words - i.n_common) AS BIGINT)
+           AS jaccard_ppm,
+       CAST((1000000 * i.n_common) // least(sa.n_words, sb.n_words)
+           AS BIGINT) AS overlap_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY i.src_a, i.src_b
+"""

@@ -6275,3 +6275,138 @@ def q83_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query("q84_lift_gains")
+def q84_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFT / GAINS TABLE — the model-eval rollup that decides whether
+    a score is worth acting on: users deciled by an engagement score
+    (view count, highest first), each decile reporting its purchase
+    rate's LIFT over the base rate and the cumulative share of all
+    purchasers captured (the gains curve). Completes the eval lane
+    (t18 classifier precision/recall, s08 ANN recall) for the ranking
+    case: 'if we only action the top decile, what fraction of
+    converters do we reach'.
+
+    All-integer outputs via cross-multiplied ppm (lift_ppm =
+    1e6·pos_d·n_all DIV (n_d·pos_all); capture is a cumulative ppm on
+    the 10-row frame) — no float rates anywhere. Deciling rides
+    quantiles.scalable_ntile (distributed exact NTILE, q12/q16
+    discipline); everything after runs on 10 rows.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quantiles import (
+        scalable_ntile,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    tiled = scalable_ntile(
+        per_user, "score", 10, tiebreak_col="user_id", out_col="decile",
+        descending=True,
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = Window.orderBy("decile")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_dec.withColumn("__cum_pos", F.sum("n_converted").over(wcum))
+        .withColumn("__pos_all", F.sum("n_converted").over(wall))
+        .withColumn("__n_all", F.sum("n_users").over(wall))
+        .select(
+            "decile",
+            "n_users",
+            "n_converted",
+            F.expr(
+                "(1000000 * n_converted * __n_all)"
+                " DIV (n_users * __pos_all)"
+            ).alias("lift_ppm"),
+            F.expr("(1000000 * __cum_pos) DIV __pos_all").alias(
+                "cum_capture_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@query("q85_source_overlap")
+def q85_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level VOCABULARY OVERLAP matrix — pairwise Jaccard and
+    overlap coefficient between each source's word set: the corpus-
+    mix audit (p05/p13 weight BY source; this measures how redundant
+    two sources are BEFORE mixing — near-identical vocabularies mean
+    doubled weight buys no diversity). Set similarity lifted from the
+    document level (d02) to the GROUP level, where it is exact and
+    cheap: |sources|² pairs via one self-join of the (source, word)
+    DISTINCT frame on the high-cardinality word key, counts in
+    integer ppm.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sw = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("n_words"))
+    a = sw.alias("a")
+    b = sw.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_words").alias("n_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_words").alias("n_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "(1000000 * n_common) DIV (n_a + n_b - n_common)"
+            ).alias("jaccard_ppm"),
+            F.expr("(1000000 * n_common) DIV least(n_a, n_b)").alias(
+                "overlap_ppm"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

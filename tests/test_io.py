@@ -294,3 +294,27 @@ def test_knn_graph_artifact_builds_once_and_shares(spark, sf_dir, tmp_path, monk
     for key in ("q68_pagerank_centrality", "q71_triangle_count",
                 "p12_density_prune"):
         assert QUERIES[key](spark, sf_dir).count() > 0
+
+
+def test_artifact_cache_key_tracks_source_identity(spark, sf_dir, tmp_path, monkeypatch):
+    """The content key must miss (and rebuild) when the source file's
+    identity changes — a regenerated corpus can never be served a
+    stale graph."""
+    import os
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        knn_graph_artifact,
+    )
+
+    adir = str(tmp_path / "artifacts2")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    src = tmp_path / "corpus"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", src / "embeddings.parquet")
+    knn_graph_artifact(spark, str(src))
+    assert len(os.listdir(adir)) == 1
+    # same bytes, new mtime -> new identity -> second artifact
+    os.utime(src / "embeddings.parquet", ns=(1, 1))
+    knn_graph_artifact(spark, str(src))
+    assert len(os.listdir(adir)) == 2, "changed source identity must rebuild"

@@ -756,3 +756,14 @@ def test_s08_exact_side_broadcast_sampled(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # the artifact path appears as a scan relation
     assert "knn_graph_" in plan, "approx side must read the graph artifact"
+
+
+def test_q78_kcore_reads_artifact_no_python(spark, sf_dir):
+    """Every k-core peel round is JVM-side equi-joins over the
+    localCheckpoint-truncated edge frame (the artifact consumption
+    itself is pinned by tests/test_io.py's poisoned-rebuild test —
+    the checkpoint hides the scan from this final plan)."""
+    plan = plan_of(spark, "q78_kcore", sf_dir)
+    assert "ExistingRDD" in plan or "Scan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
