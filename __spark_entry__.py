@@ -44,7 +44,7 @@ _NEEDS_DRIVER_ROW = [
     "d19_containment_dedup", "t21_keyness_loglik",
     "q81_bootstrap_ci", "m07_audio_vad",
     "q82_seasonal_decompose", "q83_time_to_convert",
-    "q84_lift_gains", "q85_source_overlap",
+    "q84_lift_gains", "q85_source_overlap", "q86_holt_forecast",
 ]
 
 

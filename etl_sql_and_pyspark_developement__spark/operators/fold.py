@@ -211,3 +211,79 @@ def ewma_stats(
         F.expr("acc_a % 4294967296").alias("ewma_peak_milli"),
         F.expr("acc_b % 4294967296").alias("n_spikes"),
     )
+
+
+def holt_stats(
+    daily: DataFrame, key: str, order: str, cnt: str
+) -> DataFrame:
+    """Per-key HOLT double exponential smoothing (level α = 0.3,
+    trend β = 0.2) over a bounded ordered series, in exact milli-unit
+    integer arithmetic — the FORECASTING extension of ewma_stats
+    (which has no trend term and converges late on ramps):
+
+        l_t = max(0, (3·x_t + 7·(l_{t−1} + b_{t−1})) DIV 10)
+        b_t = ((l_t − l_{t−1}) + 4·b_{t−1}) DIV 5
+
+    seeded l₁ = x₁, b₁ = 0; the level is clamped at 0 (the series
+    are counts — a negative forecast level is meaningless and would
+    corrupt the packing). Returns (key, n_days, level_milli,
+    trend_milli, forecast7_milli = l + 7·b).
+
+    The (l, b) pair co-evolves — neither lane folds alone — so this
+    is the MIXED-SIGN packing ewma_stats cannot do: the trend is
+    biased by 2^25 before packing (acc = l·2^26 + (b + 2^25)), which
+    keeps the accumulator non-negative (no negative-DIV truncation
+    or lane underflow) while giving b the full ±2^25 milli range
+    (±33.5k raw units/day — covers the 100× replay's 68k-count days'
+    swings). Budgets enforced IN-PLAN: inputs in [0, 2^31) milli
+    (ewma_stats guard) and |b| < 2^25 raises rather than corrupting
+    a lane. One builtin aggregate() fold, pure JVM codegen, zero
+    floats; truncating DIV on BOTH magnitudes and signs is identical
+    in DuckDB (// truncates toward zero), so the oracle's
+    list_reduce replays it bit-for-bit.
+
+    Scale: bounded series per key (calendar days — the t20 sorted-
+    fold discipline), one groupBy + one codegen fold.
+    """
+    guard = (
+        f"CASE WHEN CAST(e.{cnt} AS BIGINT) < 0"
+        f" OR CAST(e.{cnt} AS BIGINT) * 1000 >= 2147483648"
+        f" THEN CAST(raise_error(concat('holt_stats: value ',"
+        f" CAST(e.{cnt} AS STRING),"
+        f" ' outside the [0, 2^31) milli-unit packing budget')) AS BIGINT)"
+    )
+    series = daily.groupBy(key).agg(
+        F.expr(
+            f"transform(sort_array(collect_list(struct({order}, {cnt}))),"
+            f" e -> {guard}"
+            f"      ELSE CAST(e.{cnt} AS BIGINT) * 1000 END)"
+        ).alias("x")
+    )
+    # K = 2^26 lane width, BIAS = 2^25.
+    l_prev = "(acc DIV 67108864)"
+    b_prev = "(acc % 67108864 - 33554432)"
+    l_new = f"greatest(CAST(0 AS BIGINT), (3 * el + 7 * ({l_prev} + {b_prev})) DIV 10)"
+    b_new = f"((({l_new}) - {l_prev}) + 4 * {b_prev}) DIV 5"
+    merge = (
+        f"(acc, el) -> CASE WHEN abs({b_new}) >= 33554432"
+        " THEN CAST(raise_error('holt_stats: trend outside the"
+        " +-2^25 milli packing budget') AS BIGINT)"
+        f" ELSE ({l_new}) * 67108864 + (({b_new}) + 33554432) END"
+    )
+    folded = series.select(
+        key,
+        F.size("x").alias("n_days"),
+        F.expr(
+            "aggregate(slice(x, 2, size(x) - 1),"
+            f" x[0] * 67108864 + 33554432, {merge})"
+        ).alias("acc"),
+    )
+    return folded.select(
+        key,
+        "n_days",
+        F.expr("acc DIV 67108864").alias("level_milli"),
+        F.expr("acc % 67108864 - 33554432").alias("trend_milli"),
+        F.expr(
+            "acc DIV 67108864 + 7 * (acc % 67108864 - 33554432)"
+        ).alias("forecast7_milli"),
+    )

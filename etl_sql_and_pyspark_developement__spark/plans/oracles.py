@@ -5341,3 +5341,41 @@ JOIN sizes sa ON sa.source = i.src_a
 JOIN sizes sb ON sb.source = i.src_b
 ORDER BY i.src_a, i.src_b
 """
+
+# q86: identical bias-packed Holt recurrence (K = 2^26, BIAS = 2^25);
+# DuckDB's // truncates toward zero exactly like Spark's DIV on both
+# signs, so the coupled (level, trend) fold replays bit-for-bit.
+ORACLES["q86_holt_forecast"] = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+ser AS (
+    SELECT event_type,
+        list(CAST(cnt AS BIGINT) * 1000 ORDER BY day) AS x,
+        count(*) AS n_days
+    FROM daily GROUP BY event_type
+),
+red AS (
+    SELECT event_type, n_days,
+        list_reduce(
+            list_prepend(x[1] * 67108864 + 33554432, x[2:]),
+            (acc, el) ->
+                greatest(CAST(0 AS BIGINT),
+                    (3 * el + 7 * ((acc // 67108864)
+                     + (acc % 67108864 - 33554432))) // 10) * 67108864
+                + ((greatest(CAST(0 AS BIGINT),
+                      (3 * el + 7 * ((acc // 67108864)
+                       + (acc % 67108864 - 33554432))) // 10)
+                    - (acc // 67108864))
+                   + 4 * (acc % 67108864 - 33554432)) // 5
+                + 33554432
+        ) AS acc
+    FROM ser
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+    acc // 67108864 AS level_milli,
+    acc % 67108864 - 33554432 AS trend_milli,
+    acc // 67108864 + 7 * (acc % 67108864 - 33554432) AS forecast7_milli
+FROM red ORDER BY event_type
+"""

@@ -6410,3 +6410,29 @@ def q85_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query("q86_holt_forecast")
+def q86_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double-exponential FORECASTING of daily event volumes per
+    type — level + trend smoothing with a 7-day-ahead projection
+    (l + 7b), the capacity-planning number q72's trendless EWMA
+    systematically lags on ramping series. operators/fold.holt_stats
+    runs the coupled (level, trend) recurrence as ONE builtin
+    aggregate() fold with the trend lane BIAS-PACKED (the mixed-sign
+    state ewma_stats' non-negative lanes cannot carry — the packing
+    trick round 3's fold family stopped short of), budgets enforced
+    in-plan, zero Python, zero floats; the oracle's list_reduce
+    replays the truncating integer recurrence bit-for-bit.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        holt_stats,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return holt_stats(daily, "event_type", "day", "cnt").orderBy(
+        "event_type"
+    )

@@ -777,3 +777,49 @@ def test_kcore_peels_cascade_and_raises_on_budget(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     with pytest.raises(RuntimeError, match="fixpoint"):
         kcore(df, k=3, max_rounds=1)
+
+
+def test_holt_stats_tracks_trend_both_signs(spark):
+    """Planted ramp up and ramp down: the bias-packed trend lane must
+    carry POSITIVE and NEGATIVE trends exactly (the mixed-sign state
+    ewma_stats' lanes cannot), matching a hand-replayed integer
+    recurrence; the packing guard raises on out-of-budget inputs."""
+    import pytest as _pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.fold import (
+        holt_stats,
+    )
+
+    up = [("u", d, 100 + 10 * d) for d in range(12)]
+    down = [("d", d, 400 - 25 * d) for d in range(12)]
+    df = spark.createDataFrame(up + down, ["k", "day", "cnt"])
+    got = {r.k: r for r in holt_stats(df, "k", "day", "cnt").collect()}
+
+    def tdiv(a, d):
+        # Spark DIV truncates toward zero; Python // floors — they
+        # differ on negative intermediates (the trend lane's whole
+        # point), so the replay must truncate.
+        q = a // d
+        if a % d != 0 and (a < 0) != (d < 0):
+            q += 1
+        return q
+
+    def replay(xs):
+        l, b = xs[0] * 1000, 0
+        for x in xs[1:]:
+            l2 = max(0, tdiv(3 * x * 1000 + 7 * (l + b), 10))
+            b = tdiv((l2 - l) + 4 * b, 5)
+            l = l2
+        return l, b, l + 7 * b
+
+    for k, xs in (("u", [c for _, _, c in up]),
+                  ("d", [c for _, _, c in down])):
+        l, b, f7 = replay(xs)
+        r = got[k]
+        assert (r.level_milli, r.trend_milli, r.forecast7_milli) == (l, b, f7)
+    assert got["u"].trend_milli > 0
+    assert got["d"].trend_milli < 0, "negative trend must survive the bias"
+
+    big = spark.createDataFrame([("a", 0, 3_000_000)], ["k", "day", "cnt"])
+    with _pytest.raises(Exception, match="packing budget"):
+        holt_stats(big, "k", "day", "cnt").collect()
