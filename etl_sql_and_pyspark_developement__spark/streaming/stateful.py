@@ -877,3 +877,121 @@ def streaming_cusum(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "event_type string, n_days bigint, level_milli bigint, "
+    "trend_milli bigint, forecast7_milli bigint"
+)
+HOLT_STATE_SCHEMA = (
+    "pend_day string, pend_cnt bigint, lvl bigint, trend bigint, "
+    "ndays bigint"
+)
+
+_HOLT_BUDGET = 1 << 31
+_HOLT_TREND_BUDGET = 1 << 25
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncating integer division (Spark DIV / DuckDB // semantics;
+    Python // floors, which differs on negative intermediates)."""
+    q = a // d
+    if a % d != 0 and (a < 0) != (d < 0):
+        q += 1
+    return q
+
+
+def _holt_step(lvl: int, trend: int, x_milli: int) -> tuple[int, int]:
+    """One step of fold.holt_stats' truncating integer recurrence —
+    identical arithmetic, so streaming state equals the batch fold
+    bit-for-bit. lvl < 0 encodes 'no folded day yet' (seed)."""
+    if lvl < 0:
+        return x_milli, 0
+    l2 = max(0, _tdiv(3 * x_milli + 7 * (lvl + trend), 10))
+    b2 = _tdiv((l2 - lvl) + 4 * trend, 5)
+    if abs(b2) >= _HOLT_TREND_BUDGET:
+        raise ValueError(
+            "streaming_holt: trend outside the +-2^25 milli packing "
+            "budget (fold.holt_stats guard)"
+        )
+    return l2, b2
+
+
+def _holt_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    pend_day, pend_cnt, lvl, trend, ndays = (
+        state.get if state.exists else (None, 0, -1, 0, 0)
+    )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        days = (
+            merged.assign(day=merged["ts"].dt.strftime("%Y-%m-%d"))
+            .groupby("day")
+            .size()
+            .sort_index()
+        )
+        for day, cnt in days.items():
+            if pend_day is not None and day < pend_day:
+                raise ValueError(
+                    f"streaming_holt: out-of-order day {day!r} after "
+                    f"{pend_day!r} — that day is permanently folded "
+                    "(st23's ordering contract)"
+                )
+            if pend_day is None:
+                pend_day, pend_cnt = day, int(cnt)
+            elif day == pend_day:
+                pend_cnt += int(cnt)
+            else:
+                lvl, trend = _holt_step(lvl, trend, pend_cnt * 1000)
+                ndays += 1
+                pend_day, pend_cnt = day, int(cnt)
+            if pend_cnt * 1000 >= _HOLT_BUDGET:
+                raise ValueError(
+                    "streaming_holt: daily count exceeds the 2^31 "
+                    "milli-unit packing budget (fold.holt_stats guard)"
+                )
+    state.update((pend_day, pend_cnt, lvl, trend, ndays))
+    # Provisional view folds the pending day too (st23 discipline) —
+    # equals the batch fold over everything seen so far.
+    vl, vt, vdays = lvl, trend, ndays
+    if pend_day is not None:
+        vl, vt = _holt_step(lvl, trend, pend_cnt * 1000)
+        vdays += 1
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_days": [vdays],
+            "level_milli": [vl],
+            "trend_milli": [vt],
+            "forecast7_milli": [vl + 7 * vt],
+        }
+    )
+
+
+def streaming_holt(events: DataFrame) -> DataFrame:
+    """st29: streaming HOLT level+trend forecasting — q86's coupled
+    integer recurrence carried across micro-batches as keyed state
+    (the st23 pattern with two-variable state): a day folds
+    PERMANENTLY only when a later day arrives, batches emit the
+    provisional view including the pending day, days must arrive in
+    non-decreasing order (raises otherwise), Arrow chunks merge
+    before folding. Identical truncating arithmetic to
+    fold.holt_stats ⇒ the emitted (level, trend, forecast) equals
+    the batch fold BIT-FOR-BIT (parity tested). State is five
+    scalars per event type."""
+    return events.select("event_type", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _holt_update,
+        HOLT_OUTPUT_SCHEMA,
+        HOLT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

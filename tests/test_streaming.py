@@ -1622,3 +1622,57 @@ def test_st28_streaming_cusum_matches_python_replay(spark, sf_dir, tmp_path):
         locked = 1 if nmu >= _CUSUM_BASELINE_DAYS else 0
         want = (ndays, mu if locked else None, s, alarms, locked)
         assert got[etype] == want, f"{etype}: {got[etype]} != {want}"
+
+
+def test_st29_streaming_holt_matches_batch_fold(spark, sf_dir, tmp_path):
+    """The streaming Holt state must equal the batch holt_stats fold
+    exactly — three day-range files in order, two-variable integer
+    state carried across micro-batches."""
+    from etl_sql_and_pyspark_developement__spark.operators.fold import holt_stats
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_holt,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    src = tmp_path / "holt_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 9999)]):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_holt(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st29_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: (r.n_days, r.level_milli, r.trend_milli,
+                       r.forecast7_milli)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n_days DESC) AS rn "
+            "FROM st29_out) WHERE rn = 1"
+        ).collect()
+    }
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    want = {
+        r.event_type: (r.n_days, r.level_milli, r.trend_milli,
+                       r.forecast7_milli)
+        for r in holt_stats(daily, "event_type", "day", "cnt").collect()
+    }
+    assert got == want, "streaming Holt fold must equal the batch fold"
