@@ -5379,3 +5379,30 @@ SELECT event_type, CAST(n_days AS INT) AS n_days,
     acc // 67108864 + 7 * (acc % 67108864 - 33554432) AS forecast7_milli
 FROM red ORDER BY event_type
 """
+
+# q87: identical exact-cents first digit, shared Benford literals,
+# identical integer deviation arithmetic.
+ORACLES["q87_benford_audit"] = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders
+),
+counts AS (
+    SELECT digit, count(*) AS n_orders FROM digits GROUP BY digit
+),
+bens(digit, benford_ppm) AS (VALUES
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+),
+tot AS (SELECT sum(n_orders) AS t FROM counts)
+SELECT c.digit,
+       CAST(c.n_orders AS BIGINT) AS n_orders,
+       CAST((1000000 * c.n_orders) // t.t AS BIGINT) AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST((((1000000 * c.n_orders) // t.t - b.benford_ppm)
+             * ((1000000 * c.n_orders) // t.t - b.benford_ppm)
+             * 1000) // b.benford_ppm AS BIGINT) AS dev_ppb
+FROM counts c JOIN bens b ON b.digit = c.digit CROSS JOIN tot t
+ORDER BY c.digit
+"""

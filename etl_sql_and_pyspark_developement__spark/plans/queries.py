@@ -6436,3 +6436,64 @@ def q86_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_stats(daily, "event_type", "day", "cnt").orderBy(
         "event_type"
     )
+
+
+# Benford first-digit expectations, round(log10(1 + 1/d) · 1e6) —
+# shared literals with the DuckDB oracle.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757)
+
+
+@query("q87_benford_audit")
+def q87_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order amounts — the
+    forensic-accounting screen (fabricated or threshold-gamed
+    figures drift from the log10(1+1/d) digit law) that joins the
+    data-quality battery (q33 checks FIELDS, this checks the
+    DISTRIBUTION): per digit 1-9, observed share vs the Benford
+    expectation in integer ppm, plus the digit's contribution to a
+    chi-square-style deviation in parts-per-billion.
+
+    Exactness: the first significant digit comes from the EXACT
+    integer-cents STRING (money is 2dp — float log10 flips at
+    power-of-10 boundaries cross-engine, substring of the exact
+    integer cannot); the expectations are shared inline literals; the
+    deviation contribution (obs−exp)²·1e9 DIV (exp·1e6) is one
+    integer cross-multiply. One decomposable 9-group groupBy over a
+    single scan — nothing else.
+    """
+    orders = table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)"
+            " AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    bppm = ", ".join(
+        f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, start=1)
+    )
+    expect = F.expr(
+        f"CASE digit {' '.join(f'WHEN {d} THEN {p}' for d, p in enumerate(_BENFORD_PPM, start=1))} END"
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("__tot", F.sum("n_orders").over(w_all))
+        .withColumn("obs_ppm", F.expr("(1000000 * n_orders) DIV __tot"))
+        .withColumn("benford_ppm", expect.cast("bigint"))
+        .select(
+            "digit",
+            "n_orders",
+            "obs_ppm",
+            "benford_ppm",
+            F.expr(
+                "((obs_ppm - benford_ppm) * (obs_ppm - benford_ppm)"
+                " * 1000) DIV benford_ppm"
+            ).alias("dev_ppb"),
+        )
+        .orderBy("digit")
+    )
