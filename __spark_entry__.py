@@ -45,7 +45,7 @@ _NEEDS_DRIVER_ROW = [
     "q81_bootstrap_ci", "m07_audio_vad",
     "q82_seasonal_decompose", "q83_time_to_convert",
     "q84_lift_gains", "q85_source_overlap", "q86_holt_forecast",
-    "q87_benford_audit",
+    "q87_benford_audit", "p18_shard_manifest",
 ]
 
 

@@ -5406,3 +5406,32 @@ SELECT c.digit,
 FROM counts c JOIN bens b ON b.digit = c.digit CROSS JOIN tot t
 ORDER BY c.digit
 """
+
+# p18: identical md5 bucket, whitespace token count, byte mass, and
+# cross-multiplied imbalance ppm.
+ORACLES["p18_shard_manifest"] = """
+WITH sharded AS (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+               AS BIGINT) % 16 AS shard,
+           CASE WHEN text IS NULL OR text = '' THEN 0
+                ELSE len(string_split(text, ' ')) END AS ws_tokens,
+           CASE WHEN text IS NULL THEN 0
+                ELSE octet_length(encode(text)) END AS n_bytes
+    FROM documents
+),
+per_shard AS (
+    SELECT shard, count(*) AS n_docs,
+           sum(ws_tokens) AS total_tokens,
+           sum(n_bytes) AS total_bytes
+    FROM sharded GROUP BY shard
+),
+tot AS (SELECT sum(total_tokens) AS tt FROM per_shard)
+SELECT p.shard,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.total_tokens AS BIGINT) AS total_tokens,
+       CAST(p.total_bytes AS BIGINT) AS total_bytes,
+       CAST((1000000 * 16 * p.total_tokens) // t.tt - 1000000 AS BIGINT)
+           AS imbalance_ppm
+FROM per_shard p CROSS JOIN tot t
+ORDER BY p.shard
+"""

@@ -6497,3 +6497,57 @@ def q87_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query("p18_shard_manifest")
+def p18_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD MANIFEST — the deterministic doc→shard
+    assignment a distributed dataloader consumes (every worker must
+    independently compute the same mapping, so it is md5 arithmetic,
+    not partitioner state): 16 shards by md5 bucket of doc_id, each
+    shard reporting docs, whitespace tokens, byte mass, and its
+    token-balance deviation from the ideal 1/16 share in integer ppm
+    (the number that decides whether hash sharding suffices or p16's
+    length-aware batching must rebalance).
+
+    One scan → one 16-group decomposable groupBy; the balance check
+    is a cross-multiply against the window total. The md5 bucket is
+    the house p03/p07 discipline — engine-portable, split-invariant,
+    reshuffle-free on re-runs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sharded = docs.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6),"
+            " 16, 10) AS BIGINT) % 16"
+        ).alias("shard"),
+        F.expr(
+            "CASE WHEN text IS NULL OR text = '' THEN 0"
+            " ELSE size(split(text, ' ')) END"
+        ).alias("ws_tokens"),
+        F.expr(
+            "CASE WHEN text IS NULL THEN 0"
+            " ELSE octet_length(text) END"
+        ).alias("n_bytes"),
+    )
+    per_shard = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_shard.withColumn("__tt", F.sum("total_tokens").over(w_all))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "total_bytes",
+            F.expr(
+                "(1000000 * 16 * total_tokens) DIV __tt - 1000000"
+            ).alias("imbalance_ppm"),
+        )
+        .orderBy("shard")
+    )
