@@ -28,24 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # added after the r03 driver snapshot, plus anything round 4
 # touches (appended as it changes).
 _NEEDS_DRIVER_ROW = [
-    # never driver-checked (added after the r03 snapshot)
-    "q71_triangle_count", "q72_ewma_smoothing", "q73_drift_psi",
-    "q74_wilson_ci", "q75_chi_square", "p17_target_encoding",
-    # round-4 changes: shared kNN-graph artifact consumers (q68/p12;
-    # q71 above), fold rounding/guard (q61/q72 above), hierarchy
-    # dangling-parent pre-check (q66)
-    "q68_pagerank_centrality", "p12_density_prune",
-    "q61_capped_running_total", "q66_hierarchy_rollup",
-    # round-4 additions: native recursive CTE twin, staged-doc VARIANT,
-    # rank-test / graph / concentration / ANN-eval lanes
-    "q76_sql_recursive", "q69_variant_json",
-    "q77_mann_whitney", "q78_kcore", "q79_gini_concentration",
-    "s08_ann_recall_eval", "q80_cusum_changepoint",
-    "d19_containment_dedup", "t21_keyness_loglik",
-    "q81_bootstrap_ci", "m07_audio_vad",
-    "q82_seasonal_decompose", "q83_time_to_convert",
-    "q84_lift_gains", "q85_source_overlap", "q86_holt_forecast",
-    "q87_benford_audit", "p18_shard_manifest",
+    # round-5 changes: capped-fold HALF_UP helper rides Spark's
+    # Double.toString decimalization (q61), hierarchy validate gate +
+    # NULL-parent message (q66), kcore budget-vs-confirm fix (q78)
+    "q61_capped_running_total", "q66_hierarchy_rollup", "q78_kcore",
 ]
 
 

@@ -34,7 +34,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["capped_running_total", "ewma_stats"]
+__all__ = ["capped_running_total", "ewma_stats", "round_half_up"]
+
+
+def round_half_up(x: float, digits: int = 2) -> float:
+    """Replicate Spark ``F.round`` on DOUBLE exactly. Python
+    ``round()`` is banker's (half-even); Spark is HALF_UP — but on a
+    double Spark first routes through ``BigDecimal.valueOf`` /
+    ``Double.toString`` (the *shortest decimal representation* that
+    round-trips), THEN rounds. ``repr(float)`` is the same
+    shortest-repr decimalization in Python, so
+    ``Decimal(repr(x)).quantize(..., ROUND_HALF_UP)`` reproduces
+    Spark on every value, including ones like 1.005 whose stored
+    binary is 1.00499… (a naive ``floor(x*100+0.5)`` yields 1.00
+    there; Spark and this helper yield 1.01)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def capped_running_total(
@@ -90,16 +107,7 @@ def capped_running_total(
             F.round(F.least(F.lit(cap), F.max("__s")), 2).alias("final_balance"),
         )
 
-    import math
-
     import pandas as pd
-
-    def _round_half_up(x: float, digits: int = 2) -> float:
-        # Python round() is banker's (round-half-even); Spark F.round
-        # is HALF_UP. Match the window path so the two arms agree on
-        # exact .xx5 boundaries.
-        scale = 10.0 ** digits
-        return math.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order)
@@ -116,7 +124,7 @@ def capped_running_total(
                 key: [pdf[key].iloc[0]],
                 "n_events": [len(pdf)],
                 "n_capped": [ncap],
-                "final_balance": [_round_half_up(bal)],
+                "final_balance": [round_half_up(bal)],
             }
         )
 

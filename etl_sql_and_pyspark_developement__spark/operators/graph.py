@@ -156,7 +156,11 @@ def kcore(edges: DataFrame, k: int = 4, max_rounds: int = 8) -> DataFrame:
     """
     cur = undirect(edges).localCheckpoint()
     n_edges = cur.count()
-    for _ in range(max_rounds):
+    # max_rounds bounds PRODUCTIVE peels; the +1 iteration exists so a
+    # graph whose last productive peel lands exactly on round
+    # max_rounds can still observe the unchanged edge set and return
+    # (convergence is only detectable one round after the final peel).
+    for _ in range(max_rounds + 1):
         deg = (
             cur.select(F.col("a").alias("node"))
             .union(cur.select(F.col("b").alias("node")))

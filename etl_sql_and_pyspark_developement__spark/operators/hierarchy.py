@@ -25,6 +25,7 @@ def resolve_hierarchy(
     id_col: str = "node",
     parent_col: str = "parent",
     max_iterations: int = 30,
+    validate: bool = True,
 ) -> DataFrame:
     """(node, root, depth) for every node of a parent-pointer forest.
 
@@ -39,29 +40,40 @@ def resolve_hierarchy(
     the whole prefix each round (see dedup_components for the same
     pattern and the preemptible-executor caveat).
     """
-    # Pre-validate: every parent value must BE a node. A dangling
-    # parent would be dropped by the pointer-jump inner join after
-    # round 1, after which convergence can "pass" on a frame that is
-    # silently missing rows — violating the all-or-raise contract the
-    # cycle path already honors.
-    dangling = (
-        nodes.select(F.col(parent_col).alias("__p"))
-        .distinct()
-        .join(
-            nodes.select(F.col(id_col).alias("__n")),
-            F.col("__p") == F.col("__n"),
-            "left_anti",
+    # Pre-validate (opt-out with validate=False for known-good
+    # production inputs — it costs one eager distinct + anti-join job
+    # over the node set): every parent value must BE a node. A
+    # dangling parent would be dropped by the pointer-jump inner join
+    # after round 1, after which convergence can "pass" on a frame
+    # that is silently missing rows — violating the all-or-raise
+    # contract the cycle path already honors.
+    if validate:
+        dangling = (
+            nodes.select(F.col(parent_col).alias("__p"))
+            .distinct()
+            .join(
+                nodes.select(F.col(id_col).alias("__n")),
+                F.col("__p") == F.col("__n"),
+                "left_anti",
+            )
+            .limit(1)
+            .collect()
         )
-        .limit(1)
-        .collect()
-    )
-    if dangling:
-        raise ValueError(
-            f"resolve_hierarchy: parent value {dangling[0]['__p']!r} does "
-            f"not appear in the {id_col!r} node set — the input is not a "
-            "forest (dangling parent pointer); refusing to return a "
-            "partially-resolved labeling."
-        )
+        if dangling:
+            p = dangling[0]["__p"]
+            if p is None:
+                raise ValueError(
+                    "resolve_hierarchy: NULL parent pointer — this "
+                    "operator encodes roots as parent == node, not "
+                    "parent IS NULL; map NULL parents to self-pointers "
+                    "before calling."
+                )
+            raise ValueError(
+                f"resolve_hierarchy: parent value {p!r} does not appear "
+                f"in the {id_col!r} node set — the input is not a "
+                "forest (dangling parent pointer); refusing to return "
+                "a partially-resolved labeling."
+            )
     cur = nodes.select(
         F.col(id_col).alias("node"),
         F.col(parent_col).alias("anc"),

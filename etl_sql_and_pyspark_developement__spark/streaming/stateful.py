@@ -28,6 +28,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+from etl_sql_and_pyspark_developement__spark.operators.fold import round_half_up
+
+
+def _merge_chunks(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame | None:
+    """Concat a key's Arrow chunks into ONE frame (None if all empty).
+
+    Order-sensitive folds must sort the WHOLE micro-batch once: a
+    key's batch spanning multiple Arrow record batches (default 10k
+    rows) sorted per-chunk folds in a non-globally-sorted order and
+    diverges from the batch twin's IEEE sequence."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    return chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, mean_value double, std_value double, "
     "n_anomalies bigint"
@@ -112,12 +129,16 @@ def _make_budget_fn(budget: int):
         (source,) = key
         spent = state.get[0] if state.exists else 0
         out = {k: [] for k in ("doc_id", "source", "ws_tokens", "spent_after", "admitted")}
-        for pdf in pdfs:
-            # Deterministic intra-batch order: doc_id ascending (the
-            # stream's arrival order within a micro-batch is not
-            # contractual; sorting makes re-runs identical).
+        # Deterministic intra-batch order: doc_id ascending (the
+        # stream's arrival order within a micro-batch is not
+        # contractual; sorting makes re-runs identical). Merge ALL
+        # Arrow chunks first — admission is a prefix-dependent fold,
+        # so a per-chunk sort is not a global sort.
+        merged = _merge_chunks(pdfs)
+        if merged is not None:
             for doc_id, toks in sorted(
-                zip(pdf["doc_id"], pdf["ws_tokens"]), key=lambda t: t[0]
+                zip(merged["doc_id"], merged["ws_tokens"]),
+                key=lambda t: t[0],
             ):
                 toks = int(toks)
                 admitted = 1 if spent + toks <= budget else 0
@@ -173,10 +194,12 @@ def _locf_update(
     (user,) = key
     last_val = state.get[0] if state.exists else None
     out = {k: [] for k in ("event_id", "ts", "filled_value", "was_filled")}
-    for pdf in pdfs:
-        # Event-time order within the batch (arrival order is not
-        # contractual); cross-batch order is the file/source order.
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Event-time order within the batch (arrival order is not
+    # contractual); cross-batch order is the file/source order. Merge
+    # ALL Arrow chunks first — the carry is order-sensitive.
+    merged = _merge_chunks(pdfs)
+    if merged is not None:
+        pdf = merged.sort_values(["ts", "event_id"])
         for eid, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
             missing = pd.isna(val)
             if missing:
@@ -235,8 +258,12 @@ def _make_capped_fn(cap: float):
     ) -> Iterable[pd.DataFrame]:
         (user,) = key
         bal, n, ncap = state.get if state.exists else (0.0, 0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Merge ALL Arrow chunks, THEN sort once — the clamp fold is
+        # order-sensitive, so a per-chunk sort diverges from q61's
+        # batch fold when a key's batch spans chunks.
+        merged = _merge_chunks(pdfs)
+        if merged is not None:
+            pdf = merged.sort_values(["ts", "event_id"])
             for v in pdf["value"]:
                 if pd.isna(v):
                     continue
@@ -253,7 +280,9 @@ def _make_capped_fn(cap: float):
                 "user_id": [user],
                 "n_purchases": [n],
                 "n_capped": [ncap],
-                "balance": [round(bal, 2)],
+                # Same HALF_UP helper as q61's pandas arm (Spark
+                # F.round semantics), not Python banker's round().
+                "balance": [round_half_up(bal)],
             }
         )
 
@@ -551,8 +580,13 @@ class _CappedTotalProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         (user,) = key
         bal, n, ncap = self._state.get() if self._state.exists() else (0.0, 0, 0)
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Merge ALL Arrow chunks, THEN sort once (same discipline as
+        # _ewma_update / st21): per-chunk sorts are not a global sort
+        # when a key's batch spans record batches, and the clamp fold
+        # is order-sensitive.
+        merged = _merge_chunks(rows)
+        if merged is not None:
+            pdf = merged.sort_values(["ts", "event_id"])
             for v in pdf["value"]:
                 if pd.isna(v):
                     continue
@@ -569,7 +603,9 @@ class _CappedTotalProcessor(StatefulProcessor):
                 "user_id": [user],
                 "n_purchases": [n],
                 "n_capped": [ncap],
-                "balance": [round(bal, 2)],
+                # q61's HALF_UP (Spark F.round) helper — parity with
+                # the batch fold on exact half boundaries too.
+                "balance": [round_half_up(bal)],
             }
         )
 
