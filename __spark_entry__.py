@@ -32,6 +32,12 @@ _NEEDS_DRIVER_ROW = [
     # Double.toString decimalization (q61), hierarchy validate gate +
     # NULL-parent message (q66), kcore budget-vs-confirm fix (q78)
     "q61_capped_running_total", "q66_hierarchy_rollup", "q78_kcore",
+    # round-5 additions: survival / concentration / LATERAL surface /
+    # sweep-line / autocorr / KS lanes + curation audits
+    "q88_survival_km", "q89_hhi_concentration", "q90_lateral_topk",
+    "q91_interval_union", "q92_autocorr_daily", "q93_ks_two_sample",
+    "d20_dup_inflation_audit", "t22_term_burstiness",
+    "p19_privacy_noise", "s09_knn_label_vote",
 ]
 
 

@@ -5435,3 +5435,328 @@ SELECT p.shard,
 FROM per_shard p CROSS JOIN tot t
 ORDER BY p.shard
 """
+
+# ---------------------------------------------------------------------------
+# Round 5 oracles
+# ---------------------------------------------------------------------------
+
+# q88: same KM decomposition — suffix-sum risk set, integer hazard,
+# log-space ordered product. ln/exp run on identical doubles in
+# identical window order on both engines; 6dp rounding on exp.
+ORACLES["q88_survival_km"] = """
+WITH users AS (
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(ts) AS max_ts FROM events),
+lives AS (
+    SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+               AS t_days,
+           CASE WHEN last_ts < max_ts - INTERVAL 14 DAY THEN 1 ELSE 0 END
+               AS churned
+    FROM users CROSS JOIN horizon
+),
+per_t AS (
+    SELECT t_days, count(*) AS n_ending, sum(churned) AS n_churn
+    FROM lives GROUP BY t_days
+),
+risk AS (
+    SELECT t_days, n_churn,
+           sum(n_ending) OVER (ORDER BY t_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_at_risk
+    FROM per_t
+),
+cum AS (
+    SELECT t_days, n_churn, n_at_risk,
+           sum(ln(1.0 - CAST(n_churn AS DOUBLE)
+                  / CAST(n_at_risk AS DOUBLE)))
+               OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS log_surv
+    FROM risk
+)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_churn AS BIGINT) AS n_churn,
+       CAST((1000000 * n_churn) // n_at_risk AS BIGINT) AS hazard_ppm,
+       round(exp(log_surv), 6) AS survival
+FROM cum
+WHERE n_churn > 0
+ORDER BY t_days
+"""
+
+# q89: identical integer ten-thousandths revenue, ppm shares, squared-
+# share HHI. DuckDB sums promote to HUGEINT — cast back to BIGINT.
+ORACLES["q89_hhi_concentration"] = """
+WITH per_sup AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                    * 10000, 0) AS BIGINT)) AS BIGINT) AS sup_rev
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey, l.l_suppkey
+),
+shared AS (
+    SELECT s_nationkey,
+           CAST((1000000 * sup_rev)
+                // CAST(sum(sup_rev) OVER (PARTITION BY s_nationkey)
+                        AS BIGINT) AS BIGINT) AS share_ppm
+    FROM per_sup
+),
+per_nation AS (
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           max(share_ppm) AS top_share_ppm,
+           CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM shared GROUP BY s_nationkey
+)
+SELECT n.n_name AS nation,
+       CAST(p.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(p.top_share_ppm AS BIGINT) AS top_share_ppm,
+       p.hhi_ppm
+FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+# q90: the LATERAL text runs verbatim on DuckDB.
+ORACLES["q90_lateral_topk"] = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       t.o_totalprice, CAST(t.rnk AS BIGINT) AS rnk
+FROM customer c JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rnk
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+) t ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, t.rnk
+"""
+
+# q91: identical sweep-line in SQL window form; epoch seconds floor
+# identically (unix_timestamp vs date_part('epoch', ...)).
+ORACLES["q91_interval_union"] = """
+WITH iv AS (
+    -- floor(): DuckDB epoch keeps microseconds; Spark
+    -- unix_timestamp floors to whole seconds.
+    SELECT user_id, event_id,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS s,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) + 300 AS e
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s > max(e) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islanded AS (
+    SELECT user_id, s, e,
+           sum(new_island) OVER (PARTITION BY user_id
+               ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged
+),
+islands AS (
+    SELECT user_id, island, max(e) - min(s) AS covered,
+           count(*) AS n_events
+    FROM islanded GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(covered) AS BIGINT) AS covered_seconds,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# q92: identical daily-count lags + sample Pearson corr, 4dp with the
+# q15 -0.0 collapse.
+ORACLES["q92_autocorr_daily"] = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS cnt
+    FROM events GROUP BY event_type, day
+),
+lagged AS (
+    SELECT event_type,
+           CAST(cnt AS DOUBLE) AS c0,
+           CAST(lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day)
+                AS DOUBLE) AS c1,
+           CAST(lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+                AS DOUBLE) AS c7
+    FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(c0, c1), 4) + 0.0 AS ac_lag1,
+       round(corr(c0, c7), 4) + 0.0 AS ac_lag7
+FROM lagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# q93: identical integer ECDF cross-multiply; the argmax row is picked
+# by the same (d_num DESC, cents ASC) order.
+ORACLES["q93_ks_two_sample"] = """
+WITH segged AS (
+    SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+           c.c_mktsegment AS seg
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+),
+per_cents AS (
+    SELECT cents,
+           sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n2
+    FROM segged GROUP BY cents
+),
+gaps AS (
+    SELECT cents,
+           CAST(sum(n1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum1,
+           CAST(sum(n2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum2,
+           CAST(sum(n1) OVER () AS BIGINT) AS n1t,
+           CAST(sum(n2) OVER () AS BIGINT) AS n2t
+    FROM per_cents
+)
+SELECT n1t AS n_building,
+       n2t AS n_automobile,
+       CAST((1000000 * abs(cum1 * n2t - cum2 * n1t)) // (n1t * n2t)
+            AS BIGINT) AS ks_ppm,
+       cents AS at_cents
+FROM gaps
+ORDER BY abs(cum1 * n2t - cum2 * n1t) DESC, cents
+LIMIT 1
+"""
+
+# d20: identical two-level md5 hash-group audit; DuckDB hashes the
+# same coalesced text bytes.
+ORACLES["d20_dup_inflation_audit"] = """
+WITH per_text AS (
+    SELECT source, md5(coalesce(text, '')) AS h,
+           count(*) AS n_copies,
+           max(CASE WHEN text IS NULL OR text = '' THEN 0
+                    ELSE len(string_split(text, ' ')) END) AS toks
+    FROM documents GROUP BY source, h
+),
+per_source AS (
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n_copies * toks) AS BIGINT) AS total_tokens,
+           CAST(sum(toks) AS BIGINT) AS distinct_tokens
+    FROM per_text GROUP BY source
+)
+SELECT source, n_docs, n_distinct,
+       CAST((1000000 * n_docs) // n_distinct AS BIGINT)
+           AS doc_inflation_ppm,
+       CAST(CASE WHEN distinct_tokens = 0 THEN 1000000
+                 ELSE (1000000 * total_tokens) // distinct_tokens END
+            AS BIGINT) AS token_inflation_ppm
+FROM per_source
+ORDER BY source
+"""
+
+# t22: identical tokenization (split on ' ', len >= 3), identical
+# HUGEINT cross-multiplied VMR ppm.
+ORACLES["t22_term_burstiness"] = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+exploded AS (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
+    FROM documents
+),
+toks AS (SELECT doc_id, term FROM exploded WHERE len(term) >= 3),
+per_doc AS (
+    SELECT term, doc_id, count(*) AS cnt FROM toks GROUP BY term, doc_id
+),
+per_term AS (
+    SELECT term, count(*) AS df,
+           CAST(sum(cnt) AS BIGINT) AS total_cnt,
+           CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+    FROM per_doc GROUP BY term
+),
+top AS (
+    SELECT * FROM per_term ORDER BY total_cnt DESC, term LIMIT 40
+)
+SELECT term, CAST(df AS BIGINT) AS df, total_cnt,
+       CAST((1000000 * (CAST(n.n_docs AS HUGEINT) * sumsq
+                        - CAST(total_cnt AS HUGEINT) * total_cnt))
+            // (CAST(total_cnt AS HUGEINT) * (n.n_docs - 1))
+            AS BIGINT) AS vmr_ppm
+FROM top CROSS JOIN n
+ORDER BY total_cnt DESC, term
+"""
+
+# p19: identical md5-seeded uniform noise on [-10, 10] and clamp.
+ORACLES["p19_privacy_noise"] = """
+WITH cells AS (
+    SELECT source, lang, count(*) AS n_docs
+    FROM documents GROUP BY source, lang
+)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(CAST(('0x' || substr(md5('dp:' || source || ':' || lang),
+                  1, 6)) AS BIGINT) % 21 - 10 AS BIGINT) AS noise,
+       CAST(greatest(0, n_docs
+            + CAST(('0x' || substr(md5('dp:' || source || ':' || lang),
+                    1, 6)) AS BIGINT) % 21 - 10) AS BIGINT)
+           AS released_count
+FROM cells
+ORDER BY source, lang
+"""
+
+# s09: the graph replay CTEs + identical vote/tie-break/eval SQL.
+def _s09_oracle(n_bits: int = 8, k: int = 5) -> str:
+    return f"""{_knn_graph_ctes(n_bits, k)},
+tally AS (
+    SELECT g.query_id, e.label AS cand_label, count(*) AS n_votes
+    FROM knn g JOIN embeddings e ON e.vec_id = g.cand_id
+    GROUP BY g.query_id, e.label
+),
+pred AS (
+    SELECT query_id, cand_label AS pred_label
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, cand_label) AS rnk
+        FROM tally
+    ) WHERE rnk = 1
+),
+scored AS (
+    SELECT e.label, p.pred_label
+    FROM embeddings e LEFT JOIN pred p ON p.query_id = e.vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_class,
+       CAST(sum(CASE WHEN pred_label IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_predicted,
+       CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(CASE WHEN sum(CASE WHEN pred_label IS NOT NULL
+                               THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE (1000000 * sum(CASE WHEN pred_label = label
+                                     THEN 1 ELSE 0 END))
+                 // sum(CASE WHEN pred_label IS NOT NULL
+                             THEN 1 ELSE 0 END) END AS BIGINT)
+           AS accuracy_ppm
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
+ORACLES["s09_knn_label_vote"] = _s09_oracle()

@@ -6551,3 +6551,551 @@ def p18_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: survival / concentration / distribution-test / coverage lanes
+# ---------------------------------------------------------------------------
+
+
+@query("q88_survival_km")
+def q88_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimate of user lifetime — the censoring-
+    aware retention curve (q05's cohort grid assumes everyone's fate is
+    known; KM is what you report when the observation window cuts users
+    off mid-life). A user's lifetime is first→last event in days; users
+    still active in the final 14 days of the window are CENSORED (their
+    true lifetime exceeds what we saw), everyone else is a churn event.
+
+    Per distinct lifetime t: the risk set n(t) = users with lifetime
+    ≥ t (a suffix sum), churn events d(t), the exact integer hazard
+    d·1e6 DIV n, and the KM product S(t) = Π(1 − d/n) carried in
+    log-space by an ORDERED window sum (both engines fold the same
+    doubles in the same order; 6dp rounding on exp). The windows run
+    over the DISTINCT-lifetime frame — bounded by the day span of the
+    corpus (31 here, ≤ a few thousand at any horizon), never by users.
+
+    Reference parity: extends the churn lens of
+    pyspark/Customer Churn Risk Scoring.py (binary churn flags) to the
+    full time-to-event distribution.
+    """
+    ev = table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    lives = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+            "t_days"
+        ),
+        F.when(
+            F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 14 DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    per_t = lives.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum("churned").alias("n_churn"),
+    )
+    # Distinct-lifetime frame: bounded by the day domain, so the
+    # unpartitioned ordered windows are safe at any corpus size.
+    w_ord = Window.orderBy("t_days")
+    w_suffix = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_t.withColumn("n_at_risk", F.sum("n_ending").over(w_suffix))
+        .withColumn(
+            "__logterm",
+            F.log(
+                F.lit(1.0)
+                - F.col("n_churn").cast("double")
+                / F.col("n_at_risk").cast("double")
+            ),
+        )
+        .withColumn(
+            "survival", F.round(F.exp(F.sum("__logterm").over(w_prefix)), 6)
+        )
+        .filter(F.col("n_churn") > 0)
+        .select(
+            "t_days",
+            "n_at_risk",
+            "n_churn",
+            F.expr("(1000000 * n_churn) DIV n_at_risk").alias("hazard_ppm"),
+            "survival",
+        )
+        .orderBy("t_days")
+    )
+
+
+@query("q89_hhi_concentration")
+def q89_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN supplier-concentration index per nation —
+    the antitrust/supply-risk metric (sum of squared market shares):
+    a nation whose parts revenue concentrates in two suppliers scores
+    near 500000 ppm; perfectly split across k suppliers scores 1e6/k.
+
+    Exactness: revenue terms are exact 4-decimal values → one
+    round(·1e4) per line gives integer ten-thousandths summed as
+    BIGINT; shares are integer ppm cross-divides; HHI is the integer
+    sum of squared ppm shares DIV 1e6. One fact scan, one broadcast
+    each for supplier and nation, two decomposable groupBys.
+
+    Reference parity: the market-share rollups of
+    SQL/Competitive Content Benchmarking.txt, hardened to an exact
+    concentration statistic.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    per_sup = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "s_nationkey",
+            "l_suppkey",
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)"
+                " AS BIGINT)"
+            ).alias("rev_e4"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rev_e4").alias("sup_rev"))
+    )
+    shared = per_sup.withColumn(
+        "share_ppm", F.expr("(1000000 * sup_rev) DIV sum(sup_rev) OVER (PARTITION BY s_nationkey)")
+    )
+    per_nation = shared.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("share_ppm").alias("top_share_ppm"),
+        F.expr("sum(share_ppm * share_ppm) DIV 1000000").alias("hhi_ppm"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            per_nation.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "top_share_ppm",
+            "hhi_ppm",
+        )
+        .orderBy("nation")
+    )
+
+
+@query("q90_lateral_topk")
+def q90_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL-join surface: per customer, the top-3 orders by
+    price via a correlated LATERAL subquery with ORDER BY + LIMIT —
+    the SQL-text twin of q21's window top-k (like q47/q48/q49 are for
+    rollup/window/sessionize). Catalyst rewrites the correlated
+    LATERAL into the same join + ranking machinery; the point is the
+    SURFACE parity: a reference user's LATERAL query runs verbatim.
+
+    Spark 4 supports correlated ORDER BY/LIMIT in LATERAL subqueries
+    (probed live on this runtime); DuckDB runs the identical text.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+               t.o_totalprice, t.rnk
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rnk
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.rnk
+        """
+    )
+
+
+@query("q91_interval_union")
+def q91_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (sweep-line) — total covered time per user when
+    every event opens a 5-minute activity window and overlaps must not
+    double-count: the classic "merge overlapping intervals" operator,
+    done as one per-user ordered window instead of a self-join. The
+    running max of interval ends over PRECEDING rows detects island
+    starts (start > max end so far); islands are the running sum of
+    start flags; each island's coverage is max(end) − min(start),
+    exact epoch-second integers end to end.
+
+    Scale: one shuffle on user_id; the window is per-user (bounded
+    partitions), the island groupBy is decomposable. The self-join
+    formulation this replaces is quadratic per user.
+
+    Reference parity: the session-coverage arithmetic of
+    pyspark/Content Session Analysis.py, without its event-pair join.
+    """
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("s"),
+        (F.expr("CAST(unix_timestamp(ts) AS BIGINT)") + F.lit(300)).alias(
+            "e"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("covered").alias("covered_seconds"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("q92_autocorr_daily")
+def q92_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-k AUTOCORRELATION of the daily event series per event type
+    — the seasonality screen run before q82's decomposition is worth
+    its cost: ac_lag7 near 1 says "weekly cycle", ac_lag1 near 0 says
+    "noise, don't bother". Daily counts (exact ints) self-correlate
+    against their 1-day and 7-day lags via per-type ordered windows;
+    Pearson corr rounds at 4dp with the q15 −0.0 collapse.
+
+    Scale: daily-grain frame (types × days), window partitioned per
+    type — the heavy groupBy from raw events is the only fact-scale
+    stage and it is decomposable.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cnt").cast("double").alias("c0"),
+        F.lag("cnt", 1).over(w).cast("double").alias("c1"),
+        F.lag("cnt", 7).over(w).cast("double").alias("c7"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.round(F.corr("c0", "c1"), 4) + 0.0).alias("ac_lag1"),
+            (F.round(F.corr("c0", "c7"), 4) + 0.0).alias("ac_lag7"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("q93_ks_two_sample")
+def q93_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic comparing the order-
+    price distributions of two market segments — the distribution-
+    level A/B check (q13 compares means; KS catches shape drift a
+    t-test misses, the same statistic drift monitors threshold).
+
+    Exact integers end to end: prices become cents; the ECDF gap at
+    each distinct price is |cum1·n2 − cum2·n1| (cross-multiplied to
+    avoid division); D is the max gap reported in integer ppm with
+    the smallest achieving price as the tie-break witness. The
+    cumulative windows run over the DISTINCT-cents frame — bounded by
+    the price domain (≤ ~1e6 values at any corpus size), never by
+    order count, so the unpartitioned window is safe.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    segged = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    per_cents = segged.groupBy(
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        )
+    ).agg(
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        ).alias("n1"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0)
+        ).alias("n2"),
+    )
+    w_ord = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gaps = per_cents.select(
+        "cents",
+        F.sum("n1").over(w_ord).alias("cum1"),
+        F.sum("n2").over(w_ord).alias("cum2"),
+        F.sum("n1").over(w_all).alias("n1t"),
+        F.sum("n2").over(w_all).alias("n2t"),
+    ).select(
+        "cents",
+        "n1t",
+        "n2t",
+        F.abs(
+            F.col("cum1") * F.col("n2t") - F.col("cum2") * F.col("n1t")
+        ).alias("d_num"),
+    )
+    return (
+        gaps.orderBy(F.desc("d_num"), F.asc("cents"))
+        .limit(1)
+        .select(
+            F.col("n1t").alias("n_building"),
+            F.col("n2t").alias("n_automobile"),
+            F.expr("(1000000 * d_num) DIV (n1t * n2t)").alias("ks_ppm"),
+            F.col("cents").alias("at_cents"),
+        )
+    )
+
+
+@query("d20_dup_inflation_audit")
+def d20_dup_inflation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION-INFLATION audit per source — the number a corpus
+    owner reads BEFORE spending on MinHash machinery: how many bytes/
+    tokens/docs does each source inflate versus its exact-distinct
+    content? doc inflation = docs per distinct text (ppm), token
+    inflation weights the same ratio by whitespace tokens (a source
+    whose duplicates are its LONGEST docs wastes more budget than the
+    doc ratio shows). Drives the d01→d03 tiering decision: sources at
+    ~1e6 ppm skip dedup entirely.
+
+    Two decomposable groupBys (text-hash, then source); exact BIGINT
+    ratios. The md5 keyed first pass is the same shape the d01 exact
+    tier runs, so this audit's cost is a strict prefix of the dedup
+    it gates.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_text = (
+        docs.select(
+            "source",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+            F.expr(
+                "CASE WHEN text IS NULL OR text = '' THEN 0"
+                " ELSE size(split(text, ' ')) END"
+            ).alias("ws_tokens"),
+        )
+        .groupBy("source", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            # all copies share the text, hence the token count
+            F.max("ws_tokens").alias("toks"),
+        )
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("n_copies") * F.col("toks")).alias("total_tokens"),
+            F.sum("toks").alias("distinct_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.expr("(1000000 * n_docs) DIV n_distinct").alias(
+                "doc_inflation_ppm"
+            ),
+            F.expr(
+                "CASE WHEN distinct_tokens = 0 THEN 1000000"
+                " ELSE (1000000 * total_tokens) DIV distinct_tokens END"
+            ).alias("token_inflation_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("t22_term_burstiness")
+def t22_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS (variance-to-mean ratio) for the corpus's top
+    40 terms — the signal separating topical terms (bursty: absent
+    from most docs, dense where present — good dedup shingles, good
+    quality features) from function words (Poisson-like: VMR ≈ 1).
+    Complements t20's Zipf slope (rank-frequency SHAPE) with per-term
+    dispersion.
+
+    Zero-count docs are handled WITHOUT materializing them: over N
+    docs with per-doc counts x (zero for docs lacking the term),
+    Σx² is the sum over docs-containing only, so
+    VMR = (N·Σx² − (Σx)²) / (Σx · (N−1)) in exact integer ppm
+    (DECIMAL(38) cross-multiplies — N·Σx² overflows BIGINT at corpus
+    scale). One explode + two decomposable groupBys + a 40-row
+    TakeOrdered; the t05 tokenizer discipline (split-once, len ≥ 3).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = (
+        docs.select(
+            "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__toks")
+        )
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("cnt").alias("total_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    top = per_term.orderBy(F.desc("total_cnt"), F.asc("term")).limit(40)
+    return (
+        top.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            "total_cnt",
+            F.expr(
+                "CAST((1000000 * (CAST(n_docs AS DECIMAL(38,0))"
+                " * sumsq - CAST(total_cnt AS DECIMAL(38,0))"
+                " * total_cnt))"
+                " DIV (CAST(total_cnt AS DECIMAL(38,0)) * (n_docs - 1))"
+                " AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+        .orderBy(F.desc("total_cnt"), F.asc("term"))
+    )
+
+
+@query("p19_privacy_noise")
+def p19_privacy_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED-NOISE count release per (source, lang) — the plumbing of
+    a differential-privacy release (perturb small-cell counts before
+    publishing a dataset card) with a DETERMINISTIC md5-seeded noise
+    draw standing in for the calibrated Laplace sampler: noise is
+    uniform on [−10, 10] keyed by the cell, released = max(0, n +
+    noise). Deterministic so every worker/re-run/oracle agrees — the
+    same md5-arithmetic discipline as p03/p07/p18; swapping in a real
+    discrete-Laplace inverse-CDF on the same md5 uniform is a one-line
+    change and the plumbing (cell keying, clamping, exact replay) is
+    what this query pins.
+
+    One decomposable groupBy over a single scan; noise is codegen md5
+    arithmetic, no Python.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    noise = F.expr(
+        "CAST(conv(substring(md5(concat('dp:', source, ':', lang)),"
+        " 1, 6), 16, 10) AS BIGINT) % 21 - 10"
+    )
+    return (
+        cells.withColumn("noise", noise)
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "noise",
+            F.greatest(F.lit(0), F.col("n_docs") + F.col("noise")).alias(
+                "released_count"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@query("s09_knn_label_vote")
+def s09_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL-VOTE classifier evaluation over the shared graph
+    artifact — the fourth eval lane (t18 classifier PR, s08 ANN
+    recall, q84 ranking gains; this one scores the NEAREST-NEIGHBOR
+    rule itself): each vector's label is predicted by majority vote
+    of its kNN-graph neighbors (ties break to the smallest label —
+    deterministic), scored per true class. The number that says
+    whether the embedding space is label-coherent enough for s-lane
+    semantic dedup to respect class boundaries.
+
+    Consumes io.knn_graph_artifact (build-once, q68/q71/q78/p12's
+    graph); everything downstream is two equi-joins on vec ids + a
+    per-query tally window (≤ #distinct-labels rows per query) + one
+    per-class groupBy. Vectors with no graph neighbors are reported
+    in coverage, not silently dropped from the denominator.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        knn_graph_artifact,
+    )
+
+    edges = knn_graph_artifact(spark, sf_dir).select("query_id", "cand_id")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    tally = (
+        edges.join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("cand_label"),
+            ),
+            "cand_id",
+        )
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label")
+    )
+    pred = (
+        tally.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("cand_label").alias("pred_label"))
+    )
+    scored = emb.join(
+        pred, emb.vec_id == pred.query_id, "left"
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_class"),
+            F.sum(
+                F.when(F.col("pred_label").isNotNull(), 1).otherwise(0)
+            ).alias("n_predicted"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(
+                    0
+                )
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_class",
+            "n_predicted",
+            "n_correct",
+            F.expr(
+                "CASE WHEN n_predicted = 0 THEN 0"
+                " ELSE (1000000 * n_correct) DIV n_predicted END"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -1031,3 +1031,80 @@ def streaming_holt(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+COVERAGE_OUTPUT_SCHEMA = (
+    "user_id bigint, n_islands bigint, covered_seconds bigint, "
+    "n_events bigint"
+)
+COVERAGE_STATE_SCHEMA = (
+    "cur_start bigint, cur_end bigint, covered_closed bigint, "
+    "closed_islands bigint, n_events bigint"
+)
+
+
+def _coverage_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user,) = key
+    if state.exists:
+        cur_s, cur_e, covered, closed, n_ev = state.get
+    else:
+        cur_s, cur_e, covered, closed, n_ev = None, None, 0, 0, 0
+    merged = _merge_chunks(pdfs)
+    if merged is not None:
+        merged = merged.sort_values(["s", "event_id"])
+        for s, e in zip(merged["s"], merged["e"]):
+            s, e = int(s), int(e)
+            n_ev += 1
+            if cur_s is None:
+                cur_s, cur_e = s, e
+            elif s > cur_e:
+                # close the open island, start a new one
+                covered += cur_e - cur_s
+                closed += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+    state.update((cur_s, cur_e, covered, closed, n_ev))
+    open_len = (cur_e - cur_s) if cur_s is not None else 0
+    open_cnt = 1 if cur_s is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [user],
+            "n_islands": [closed + open_cnt],
+            "covered_seconds": [covered + open_len],
+            "n_events": [n_ev],
+        }
+    )
+
+
+def streaming_interval_union(events: DataFrame) -> DataFrame:
+    """st30: streaming INTERVAL-UNION coverage — q91's sweep-line
+    carried live: every arriving event opens a 5-minute activity
+    window; the per-user state is ONE open island (start, end) plus
+    two closed-island accumulators, so overlaps never double-count
+    and state is five scalars per user regardless of history length.
+    Each batch emits the user's running (n_islands, covered_seconds)
+    INCLUDING the still-open island — exactly q91's answer when
+    events arrive in event-time order across batches (parity tested
+    on ordered replays; a late event that would bridge two already-
+    closed islands cannot retro-merge them — the standard streaming
+    trade, same contract as st19's LOCF).
+
+    All integer epoch-second arithmetic (the q91 exactness
+    discipline); Arrow chunks merge before the fold (the st21
+    lesson — the sweep is order-sensitive)."""
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("s"),
+        (F.expr("CAST(unix_timestamp(ts) AS BIGINT)") + F.lit(300)).alias("e"),
+    )
+    return iv.groupBy("user_id").applyInPandasWithState(
+        _coverage_update,
+        COVERAGE_OUTPUT_SCHEMA,
+        COVERAGE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -767,3 +767,66 @@ def test_q78_kcore_reads_artifact_no_python(spark, sf_dir):
     assert "ExistingRDD" in plan or "Scan" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q90_lateral_rewrites_to_broadcast_join(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL ORDER BY/LIMIT subquery
+    into ordinary join + ranking machinery — no nested-loop replay of
+    orders per customer."""
+    plan = plan_of(spark, "q90_lateral_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q91_single_user_shuffle(spark, sf_dir):
+    """Sweep-line coverage: ONE hash shuffle on user_id serves the
+    window AND the island groupBy (same key); no join, no Python."""
+    plan = plan_of(spark, "q91_interval_union", sf_dir)
+    assert plan.count("hashpartitioning(user_id") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q93_windows_on_distinct_cents_only(spark, sf_dir):
+    """The unpartitioned ECDF windows must run AFTER the distinct-
+    cents aggregation (bounded frame), never over raw orders: exactly
+    one single-partition exchange, downstream of the cents groupBy."""
+    from etl_sql_and_pyspark_developement__spark.plans.inspect import (
+        plan_profile,
+    )
+
+    prof = plan_profile(QUERIES["q93_ks_two_sample"](spark, sf_dir))
+    assert prof["n_single_exchanges"] == 1
+    assert prof["n_python"] == 0
+
+
+def test_t22_explodes_projected_array_once(spark, sf_dir):
+    """Burstiness tokenization follows the t02/d18 lesson: split() is
+    projected to a column before explode (not re-evaluated inside a
+    lambda), and the whole lane is JVM-side."""
+    plan = plan_of(spark, "t22_term_burstiness", sf_dir)
+    # formatted explain prints the node once in the tree and once in
+    # the details; the explode expression itself appears exactly once
+    assert plan.count("explode(") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_p19_noise_is_codegen_md5(spark, sf_dir):
+    """The seeded noise must be in-plan md5 arithmetic (deterministic
+    on every worker), not a Python stage."""
+    plan = plan_of(spark, "p19_privacy_noise", sf_dir)
+    assert "md5" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_s09_vote_rides_artifact_equi_joins(spark, sf_dir):
+    """Label vote consumes the committed graph artifact (no inline
+    LSH rebuild) through equi-joins only — no cartesian, no Python."""
+    plan = plan_of(spark, "s09_knn_label_vote", sf_dir)
+    assert "knn_graph_" in plan, "must read the shared graph artifact"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

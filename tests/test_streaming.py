@@ -1824,3 +1824,53 @@ def test_st19_locf_fn_merges_arrow_chunks_before_sorting():
     got = dict(zip(out["event_id"], out["filled_value"]))
     assert got == {1: 7.0, 2: 7.0, 3: 7.0}
     assert state.get == (7.0,)
+
+
+def test_st30_streaming_interval_union_matches_q91(spark, sf_dir, tmp_path):
+    """Ordered 3-batch replay of the events table: the streaming
+    sweep-line's final per-user (n_islands, covered_seconds, n_events)
+    must equal q91's batch answer exactly — integer epoch arithmetic,
+    state carried across micro-batches."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_interval_union,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    src = tmp_path / "cov_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 9999)]):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_interval_union(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st30_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_islands, r.covered_seconds, r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) AS rn "
+            "FROM st30_out) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_islands, r.covered_seconds, r.n_events)
+        for r in QUERIES["q91_interval_union"](spark, sf_dir).collect()
+    }
+    assert got == want, "streaming sweep-line must equal q91's batch answer"
