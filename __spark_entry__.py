@@ -38,6 +38,9 @@ _NEEDS_DRIVER_ROW = [
     "q91_interval_union", "q92_autocorr_daily", "q93_ks_two_sample",
     "d20_dup_inflation_audit", "t22_term_burstiness",
     "p19_privacy_noise", "s09_knn_label_vote",
+    # round-5 Spark-4 SQL surfaces + lake-layout lane
+    "q94_sql_pipe", "q95_sql_udf", "q96_sql_variables",
+    "q97_partition_pruned_rollup",
 ]
 
 

@@ -5760,3 +5760,59 @@ ORDER BY label
 
 
 ORACLES["s09_knn_label_vote"] = _s09_oracle()
+
+# q94: the pipe chain lowered to classic SQL — value equality IS the
+# no-added-semantics demonstration.
+ORACLES["q94_sql_pipe"] = """
+WITH agg AS (
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_orderdate) AS first_order
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+       total_price,
+       strftime(first_order, '%Y-%m-%d') AS first_day
+FROM agg
+WHERE n_orders > 1
+ORDER BY o_orderpriority
+"""
+
+# q95: the SQL UDF bodies inlined — exactly what Spark's analyzer does.
+ORACLES["q95_sql_udf"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+           AS charged
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# q96: the session variables' values as literals — the analyzed form.
+ORACLES["q96_sql_variables"] = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 50000.0 AND c.c_mktsegment = 'MACHINERY'
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+# q97: same day-range rollup as a row filter over the flat table (the
+# artifact only changes the PHYSICAL layout, never values).
+ORACLES["q97_partition_pruned_rollup"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+GROUP BY event_day, event_type
+ORDER BY event_day, event_type
+"""

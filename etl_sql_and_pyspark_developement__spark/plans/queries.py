@@ -7099,3 +7099,145 @@ def s09_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("q94_sql_pipe")
+def q94_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE-SYNTAX surface (Spark 4's `|>` operator chain,
+    SPARK-49555): the linear FROM → WHERE → AGGREGATE → ORDER BY
+    pipeline a reference user migrating from dataframe-style thinking
+    writes — each stage reads top-to-bottom instead of inside-out.
+    Catalyst lowers it to the identical logical plan as the nested
+    form, so it is pure surface parity (the q30/q47 family extended
+    to Spark 4's newest dialect). The oracle is the equivalent
+    classic SQL — DuckDB has no pipe dialect, and value equality IS
+    the demonstration that `|>` adds no semantics.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price,
+                     min(o_orderdate) AS first_order
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 1
+        |> SELECT o_orderpriority, n_orders, total_price,
+                  date_format(first_order, 'yyyy-MM-dd') AS first_day
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query("q95_sql_udf")
+def q95_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF surface (Spark 4 `CREATE FUNCTION ... RETURN
+    <expr>`): business logic packaged as a catalog function instead of
+    a copy-pasted expression — the governed-semantics pattern (one
+    blessed `disc_price`, not N slightly-different inline formulas).
+    Because the body is a SQL EXPRESSION, Catalyst inlines it into the
+    calling plan (full codegen, pushdown through it — a Python UDF
+    here would wall off the optimizer). Oracle inlines the identical
+    expression, which is exactly what Spark's analyzer does.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, "
+        "t DOUBLE) RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(disc_price(l_extendedprice, l_discount)), 4)
+                   AS revenue,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 4)
+                   AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query("q96_sql_variables")
+def q96_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-VARIABLE surface (Spark 4 `DECLARE VARIABLE` /
+    `SET VAR`): the parameterized-report pattern — thresholds live in
+    typed session variables, the query text stays fixed, and the
+    analyzer folds the variable's VALUE into the plan as a literal
+    (so pushdown still reaches the scan; string-interpolating
+    parameters into SQL text — the injection-prone alternative — buys
+    nothing over this). Oracle carries the same values as literals,
+    which is precisely the analyzed form.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT 'BUILDING'")
+    spark.sql("SET VAR price_floor = 50000.0")
+    spark.sql("SET VAR seg = 'MACHINERY'")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > price_floor AND c.c_mktsegment = seg
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+@query("q97_partition_pruned_rollup")
+def q97_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-PRUNED day-range rollup over the Hive-layout events
+    artifact (io.partitioned_events_artifact) — the scan shape a
+    100 TB event lake lives or dies by: the day predicate resolves
+    against partition DIRECTORIES (PartitionFilters in-plan,
+    asserted), so pruned days cost zero IO — on the flat testdata
+    parquet the same predicate is a row filter over the full scan.
+    Static pruning here; the same layout is what runtime dynamic
+    partition pruning (spark.sql.optimizer.dynamicPartitionPruning,
+    on by default) keys on when the days come from a joined dim
+    filter instead of literals.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        partitioned_events_artifact,
+    )
+
+    ev = partitioned_events_artifact(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("event_day") >= "2024-01-08")
+            & (F.col("event_day") <= "2024-01-14")
+        )
+        # partition-type inference may read the directory values back
+        # as DATE; the output contract (and the oracle) is the string
+        .withColumn("event_day", F.col("event_day").cast("string"))
+        .groupBy("event_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_day", "event_type")
+    )

@@ -232,6 +232,7 @@ def _staged_artifact(
     params: str,
     build,
     artifact_dir: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Build-once / read-many parquet artifact with an atomic commit.
 
@@ -264,7 +265,12 @@ def _staged_artifact(
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         os.makedirs(root, exist_ok=True)
         tmp = os.path.join(root, f".{name}_{key}.tmp.{os.getpid()}")
-        build(spark).write.mode("overwrite").parquet(tmp)
+        writer = build(spark).write.mode("overwrite")
+        if partition_by:
+            # Hive-style layout (col=value dirs) so readers get
+            # partition pruning from directory listing alone.
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
             raise RuntimeError(
                 f"{name} artifact: build at {tmp} finished without a "
@@ -353,4 +359,41 @@ def json_docs_artifact(
         f"v={_JSON_DOCS_ARTIFACT_VERSION}",
         build,
         artifact_dir=artifact_dir,
+    )
+
+
+def partitioned_events_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> DataFrame:
+    """Staged DAY-PARTITIONED events table (Hive layout,
+    event_day=yyyy-MM-dd directories) — the physical shape a 100 TB
+    event lake actually has, which the flat testdata parquet cannot
+    exercise: with it, a day-range predicate becomes a PartitionFilter
+    resolved from the directory listing (zero data touched for pruned
+    days) instead of a row filter over the full scan. q97 asserts the
+    pruning in-plan; at the lake this is the difference between
+    reading 3 days and reading 3 years. Commit/caching contract: see
+    _staged_artifact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(s: SparkSession) -> DataFrame:
+        ev = s.read.parquet(src)
+        return ev.withColumn(
+            "event_day", F.date_format("ts", "yyyy-MM-dd")
+        )
+
+    return _staged_artifact(
+        spark,
+        "events_by_day",
+        src,
+        "v=1|layout=hive-day",
+        build,
+        artifact_dir=artifact_dir,
+        partition_by=["event_day"],
     )

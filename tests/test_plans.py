@@ -830,3 +830,31 @@ def test_s09_vote_rides_artifact_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q97_partition_filters_prune_days(spark, sf_dir):
+    """The day-range predicate must resolve against partition
+    directories (PartitionFilters), not as a row filter over a full
+    scan — the lake-layout contract."""
+    plan = plan_of(spark, "q97_partition_pruned_rollup", sf_dir)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "event_day" in seg, "day predicate must be a partition filter"
+    # the row-data filter section must NOT re-check event_day
+    assert "BatchEvalPython" not in plan
+
+
+def test_q95_sql_udf_inlined_no_python(spark, sf_dir):
+    """SQL UDFs must inline into codegen — no Python eval, no UDF
+    barrier node in the physical plan."""
+    plan = plan_of(spark, "q95_sql_udf", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q94_pipe_lowers_to_plain_agg(spark, sf_dir):
+    """Pipe syntax is surface only: the physical plan is one scan +
+    one partial/final aggregate, same as the classic form."""
+    plan = plan_of(spark, "q94_sql_pipe", sf_dir)
+    assert plan.count("Scan parquet") == 2  # one scan (tree + detail)
+    assert "BatchEvalPython" not in plan
