@@ -41,6 +41,8 @@ _NEEDS_DRIVER_ROW = [
     # round-5 Spark-4 SQL surfaces + lake-layout lane
     "q94_sql_pipe", "q95_sql_udf", "q96_sql_variables",
     "q97_partition_pruned_rollup",
+    # round-5 eval / multimodal-dedup additions
+    "d21_lsh_recall_eval", "m08_frame_dedup",
 ]
 
 

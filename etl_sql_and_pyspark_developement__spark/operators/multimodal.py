@@ -477,3 +477,39 @@ def modality_router(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+FRAME_HEX_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+
+
+def frame_hex_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_size: int = 32,
+    every_kth: int = 2,
+) -> DataFrame:
+    """Sampled frames as UPPERCASE HEX strings — the content-addressed
+    form of sample_frames: downstream exact frame dedup hashes these
+    JVM-side (md5), and the DuckDB oracle replays the identical
+    substring arithmetic on hex(encode(text)) (hex is 2 chars/byte, so
+    character substr stays byte-aligned where raw-text substr would
+    split multibyte runes). Uppercase matches DuckDB's hex().
+
+    Scale: mapInPandas, narrow, output rows ∝ payload/(frame_size·k) —
+    same contract as sample_frames.
+    """
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_hex")}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_kth):
+                    frame = data[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_hex"].append(frame.hex().upper())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(sampler, FRAME_HEX_SCHEMA)

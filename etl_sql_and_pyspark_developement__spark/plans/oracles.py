@@ -5816,3 +5816,81 @@ WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
 GROUP BY event_day, event_type
 ORDER BY event_day, event_type
 """
+
+
+# d21: the mirrored minhash/LSH CTEs retargeted at the same md5-ordered
+# 2000-doc sample, plus the exhaustive shared-shingle ground truth —
+# recall/precision in integer ppm.
+def _d21_oracle() -> str:
+    base = _minhash_pairs_sql(0.5).replace(
+        "FROM documents", "FROM docs_sample"
+    )
+    return f"""WITH docs_sample AS (
+    SELECT doc_id, text FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2000
+),
+{base},
+tinter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+),
+truth AS (
+    SELECT t.doc_a, t.doc_b
+    FROM tinter t
+    JOIN sizes sa ON t.doc_a = sa.doc
+    JOIN sizes sb ON t.doc_b = sb.doc
+    WHERE t.inter * 1.0 / (sa.n_sh + sb.n_sh - t.inter) >= 0.5
+),
+counts AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM verified) AS n_hits
+)
+SELECT CAST(50 AS BIGINT) AS threshold_pct,
+       CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_cand AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_true = 0 THEN 1000000
+            ELSE (1000000 * n_hits) // n_true END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_cand = 0 THEN 1000000
+            ELSE (1000000 * n_hits) // n_cand END AS BIGINT)
+           AS precision_ppm
+FROM counts
+"""
+
+
+ORACLES["d21_lsh_recall_eval"] = _d21_oracle()
+
+# m08: identical frame chunking replayed on hex(encode(text)) — 32
+# bytes = 64 hex chars, every 2nd frame, md5 over the hex string.
+ORACLES["m08_frame_dedup"] = """
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h FROM documents
+    WHERE text IS NOT NULL AND text <> ''
+),
+frames AS (
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(len(h) / 64.0) AS INT), 2))
+               AS frame_idx,
+           h
+    FROM hexed
+),
+hashed AS (
+    SELECT doc_id,
+           md5(substr(h, frame_idx * 64 + 1, 64)) AS fh
+    FROM frames
+),
+per_hash AS (
+    SELECT doc_id, fh, count(*) AS n_copies FROM hashed GROUP BY doc_id, fh
+)
+SELECT doc_id,
+       CAST(sum(n_copies) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_distinct_frames,
+       CAST(max(n_copies) AS BIGINT) AS max_frame_copies,
+       CAST((1000000 * sum(n_copies)) // count(*) AS BIGINT)
+           AS frame_dup_ppm
+FROM per_hash
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -7241,3 +7241,109 @@ def q97_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_day", "event_type")
     )
+
+
+@query("d21_lsh_recall_eval")
+def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH DEDUP-TUNING evaluation — recall AND precision of d03's
+    MinHash-LSH band candidates against EXACT threshold-Jaccard ground
+    truth (the s08 discipline applied to the dedup lane: measure the
+    band/row trade before trusting it on 100 TB). Ground truth runs
+    the LOSSLESS prefix-filtered AllPairs join (jaccard_pairs_prefix)
+    on a deterministic fixed-COUNT sample (2000 docs by md5 order —
+    fixed-count, not fixed-fraction, so the exact pair work stays
+    bounded at any corpus size; the s08 lesson), candidates run the
+    identical d03 machinery on the same sample, and hits are the
+    candidates that verify ≥ τ. recall < 1e6 ppm quantifies pairs the
+    band collision misses; precision says how much verify work each
+    candidate costs.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        lsh_candidate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sample = (
+        docs.select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(2000)
+    )
+    # one sample, three consumers (truth / candidates share scans
+    # internally; the sample itself is cheap but feeds both pipelines)
+    sample = sample.localCheckpoint()
+    truth = jaccard_pairs_prefix(
+        sample, "doc_id", "text", threshold=0.5, n=3
+    ).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(sample, "doc_id", "text", n=3)
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.lit(50).cast("bigint").alias("threshold_pct"),
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN 1000000"
+                " ELSE (1000000 * n_hits) DIV n_true_pairs END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN 1000000"
+                " ELSE (1000000 * n_hits) DIV n_candidates END"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+@query("m08_frame_dedup")
+def m08_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-LEVEL exact dedup per video — the multimodal twin of
+    d01's text tier (a screen recording or slideshow is mostly
+    REPEATED frames; its storage/training value is its distinct-frame
+    count): sample every 2nd 32-byte "frame" (m02's stub-decode
+    contract — payload is text's UTF-8 here, real codecs swap in),
+    content-address each frame (md5 over the uppercase-hex form so the
+    DuckDB oracle replays byte-exact substring arithmetic), and report
+    per doc the frame dup inflation plus its hottest frame's copy
+    count — what a video-curation pass reads before paying for
+    per-frame feature extraction.
+
+    Scale: the kernel is narrow mapInPandas (the only Python — same
+    lane as m02/m05); dedup is one decomposable (doc, hash) groupBy
+    then a per-doc rollup. No pairwise machinery anywhere.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        frame_hex_samples,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frames = frame_hex_samples(
+        with_binary_payload(docs), frame_size=32, every_kth=2
+    )
+    per_hash = frames.groupBy(
+        "doc_id", F.md5("frame_hex").alias("fh")
+    ).agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        per_hash.groupBy("doc_id")
+        .agg(
+            F.sum("n_copies").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_distinct_frames"),
+            F.max("n_copies").alias("max_frame_copies"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_distinct_frames",
+            "max_frame_copies",
+            F.expr(
+                "(1000000 * n_frames) DIV n_distinct_frames"
+            ).alias("frame_dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

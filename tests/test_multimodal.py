@@ -245,3 +245,25 @@ def test_modality_router_single_pass_plan(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, "router must be one scan"
     assert "hashpartitioning(" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_frame_hex_samples_alignment_and_empty(spark):
+    """Frame hex chunks must be byte-aligned 32-byte slices in
+    UPPERCASE hex (DuckDB hex() casing), every 2nd frame including a
+    short tail frame; NULL/empty payloads emit zero rows."""
+    from etl_sql_and_pyspark_developement__spark.operators.multimodal import (
+        frame_hex_samples,
+        with_binary_payload,
+    )
+
+    text = "a" * 70  # 3 frames of 32/32/6 bytes -> sampled idx 0, 2
+    df = spark.createDataFrame(
+        [(1, text), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    rows = frame_hex_samples(
+        with_binary_payload(df), frame_size=32, every_kth=2
+    ).collect()
+    got = {(r.doc_id, r.frame_idx): r.frame_hex for r in rows}
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)] == ("61" * 32).upper()
+    assert got[(1, 2)] == ("61" * 6).upper()
