@@ -43,6 +43,8 @@ _NEEDS_DRIVER_ROW = [
     "q97_partition_pruned_rollup",
     # round-5 eval / multimodal-dedup additions
     "d21_lsh_recall_eval", "m08_frame_dedup",
+    # round-5 change: d06/d15 consume the shared verified-pairs artifact
+    "d06_dedup_components", "d15_quality_keeper",
 ]
 
 

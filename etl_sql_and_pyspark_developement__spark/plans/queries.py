@@ -2141,14 +2141,20 @@ def d06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin mirrors the md5-based LSH pair generation and runs a
     recursive-CTE min-label walk for the components; graph invariants
     additionally tested in tests/test_dedup.py.
+
+    Pairs come from the SHARED verified-pairs artifact
+    (io.minhash_pairs_artifact — built once per corpus snapshot,
+    consumed here and by d15's keeper selection, the knn-graph
+    pattern applied to the text lane).
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         dedup_components,
-        minhash_lsh_pairs,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        minhash_pairs_artifact,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = minhash_pairs_artifact(spark, sf_dir, threshold=0.5)
     comps = dedup_components(pairs)
     return (
         comps.groupBy("component")
@@ -4052,21 +4058,25 @@ def d15_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per cluster the keeper, its score, member count, and chars
     dropped.
 
-    Scale: rides d06's bucketed machinery; the selection itself is
-    ONE shuffle on component (row_number + count/sum windows share
-    the same partitioning), never a per-cluster collect. Deterministic
-    tiebreak (score desc, doc asc) keeps the oracle bit-exact.
+    Scale: pairs come from the SHARED verified-pairs artifact
+    (io.minhash_pairs_artifact, built once per corpus snapshot with
+    d06); the selection itself is ONE shuffle on component
+    (row_number + count/sum windows share the same partitioning),
+    never a per-cluster collect. Deterministic tiebreak (score desc,
+    doc asc) keeps the oracle bit-exact.
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         dedup_components,
-        minhash_lsh_pairs,
     )
     from etl_sql_and_pyspark_developement__spark.operators.textstats import (
         classifier_score,
     )
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        minhash_pairs_artifact,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = minhash_pairs_artifact(spark, sf_dir, threshold=0.5)
     comps = dedup_components(pairs)
     scored = classifier_score(
         docs.select("doc_id", "text", "n_chars"), carry_cols=("n_chars",)

@@ -397,3 +397,38 @@ def partitioned_events_artifact(
         artifact_dir=artifact_dir,
         partition_by=["event_day"],
     )
+
+
+def minhash_pairs_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    artifact_dir: str | None = None,
+) -> DataFrame:
+    """Build-once / read-many MinHash-LSH verified-pairs artifact —
+    the knn_graph_artifact pattern applied to the TEXT dedup lane: the
+    signature groupBy + band self-join + Jaccard verify (the expensive
+    stages of d03's pipeline) run ONCE per corpus snapshot, and every
+    pair consumer (d06 components, d15 quality keeper — and any
+    downstream canonical-selection pass) reads the committed parquet.
+    d03 itself stays the inline machinery demonstration (and is the
+    builder whenever it runs first). Commit/caching contract: see
+    _staged_artifact."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    return _staged_artifact(
+        spark,
+        "minhash_pairs",
+        src,
+        f"t={threshold}|n={n}|v=1",
+        lambda s: minhash_lsh_pairs(
+            s.read.parquet(src), "doc_id", "text", n=n, threshold=threshold
+        ),
+        artifact_dir=artifact_dir,
+    )

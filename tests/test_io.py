@@ -318,3 +318,40 @@ def test_artifact_cache_key_tracks_source_identity(spark, sf_dir, tmp_path, monk
     os.utime(src / "embeddings.parquet", ns=(1, 1))
     knn_graph_artifact(spark, str(src))
     assert len(os.listdir(adir)) == 2, "changed source identity must rebuild"
+
+
+def test_minhash_pairs_artifact_builds_once_and_shares(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The verified-pairs artifact is built EXACTLY once per corpus
+    snapshot; d06 and d15 thereafter read the committed parquet —
+    proven by poisoning the builder after the first call (the
+    knn_graph_artifact contract applied to the text dedup lane)."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.operators import dedup
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        minhash_pairs_artifact,
+    )
+
+    adir = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    first = minhash_pairs_artifact(spark, sf_dir)
+    n = first.count()
+    assert n > 0
+    committed = [
+        d for d in os.listdir(adir) if d.startswith("minhash_pairs_")
+    ]
+    assert len(committed) == 1
+    assert os.path.exists(os.path.join(adir, committed[0], "_SUCCESS"))
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "minhash pairs rebuilt despite committed artifact"
+        )
+
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", _boom)
+    assert minhash_pairs_artifact(spark, sf_dir).count() == n
+    for key in ("d06_dedup_components", "d15_quality_keeper"):
+        assert QUERIES[key](spark, sf_dir).count() > 0
