@@ -233,6 +233,7 @@ def _staged_artifact(
     build,
     artifact_dir: str | None = None,
     partition_by: list[str] | None = None,
+    read_schema: StructType | None = None,
 ) -> DataFrame:
     """Build-once / read-many parquet artifact with an atomic commit.
 
@@ -284,6 +285,11 @@ def _staged_artifact(
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(dest, "_SUCCESS")):
                 raise
+    if read_schema is not None:
+        # Explicit schema: an EMPTY partitioned artifact has no data
+        # files to infer from (only _SUCCESS), and partition-column
+        # types stay as declared instead of directory-value inference.
+        return spark.read.schema(read_schema).parquet(dest)
     return spark.read.parquet(dest)
 
 
@@ -388,6 +394,9 @@ def partitioned_events_artifact(
             "event_day", F.date_format("ts", "yyyy-MM-dd")
         )
 
+    from pyspark.sql.types import StringType
+
+    schema = spark.read.parquet(src).schema.add("event_day", StringType())
     return _staged_artifact(
         spark,
         "events_by_day",
@@ -396,6 +405,7 @@ def partitioned_events_artifact(
         build,
         artifact_dir=artifact_dir,
         partition_by=["event_day"],
+        read_schema=schema,
     )
 
 
