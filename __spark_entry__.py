@@ -45,6 +45,8 @@ _NEEDS_DRIVER_ROW = [
     "d21_lsh_recall_eval", "m08_frame_dedup",
     # round-5 change: d06/d15 consume the shared verified-pairs artifact
     "d06_dedup_components", "d15_quality_keeper",
+    # round-5: exact-distinct bitmaps + CV-split lane
+    "q98_bitmap_exact_distinct", "p20_group_kfold",
 ]
 
 

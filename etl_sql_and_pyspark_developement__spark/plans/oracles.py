@@ -5894,3 +5894,67 @@ FROM per_hash
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# q98: identical word bucketing, bit_or merge, popcount, and the
+# day-over-day AND intersection.
+ORACLES["q98_bitmap_exact_distinct"] = """
+WITH words AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           user_id // 63 AS bucket,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+    FROM events
+    GROUP BY day, bucket
+),
+prev AS (
+    SELECT strftime(CAST(day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+           bucket, word AS prev_word
+    FROM words
+),
+joined AS (
+    SELECT w.day, w.word, p.prev_word
+    FROM words w LEFT JOIN prev p ON p.day = w.day AND p.bucket = w.bucket
+)
+SELECT day,
+       CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_users,
+       CAST(sum(bit_count(word & coalesce(prev_word, CAST(0 AS BIGINT))))
+            AS BIGINT) AS n_retained_from_prev_day
+FROM joined
+GROUP BY day
+ORDER BY day
+"""
+
+# p20: identical md5 fold bucketing, per-user rollup, leakage audit,
+# cross-multiplied imbalance ppm.
+ORACLES["p20_group_kfold"] = """
+WITH folded AS (
+    SELECT event_id, user_id,
+           CAST(('0x' || substr(md5('fold:' || CAST(user_id AS VARCHAR)),
+                 1, 6)) AS BIGINT) % 5 AS fold
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           count(DISTINCT fold) AS n_folds,
+           min(fold) AS fold,
+           count(*) AS n_events
+    FROM folded GROUP BY user_id
+),
+spanning AS (
+    SELECT sum(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END)
+        AS users_spanning_folds
+    FROM per_user
+),
+per_fold AS (
+    SELECT fold, count(*) AS n_users, sum(n_events) AS n_events
+    FROM per_user GROUP BY fold
+),
+tot AS (SELECT sum(n_events) AS t FROM per_fold)
+SELECT p.fold,
+       CAST(p.n_users AS BIGINT) AS n_users,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(s.users_spanning_folds AS BIGINT) AS users_spanning_folds,
+       CAST((1000000 * 5 * p.n_events) // t.t - 1000000 AS BIGINT)
+           AS imbalance_ppm
+FROM per_fold p CROSS JOIN spanning s CROSS JOIN tot t
+ORDER BY p.fold
+"""

@@ -7357,3 +7357,116 @@ def m08_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("q98_bitmap_exact_distinct")
+def q98_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per day via MERGEABLE BITMAPS — the
+    production alternative when q27's HLL error is unacceptable but
+    countDistinct's planner shape hurts: ids bucket into 64-bit words
+    (bucket = id DIV 63, bit = id MOD 63 — 63-bit words keep the
+    BIGINT sign bit clear on both engines), per (day, bucket) the words
+    BIT_OR together — an associative, partial-aggregable merge (a
+    re-aggregation over days reuses the same words, the roaring-bitmap
+    idea in its flat form) — and popcount sums recover exact counts.
+    Also emits the pairwise-day arithmetic this representation buys:
+    distinct users seen on BOTH the day and its predecessor via
+    bit_count(a AND b), an intersection countDistinct cannot express
+    without a self-join.
+
+    Scale: two decomposable groupBys + one 1-day lag join on the
+    (day, bucket) frame (bounded by days × active-id-range/64);
+    everything is integer codegen.
+    """
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            # 63-bit words: bit 63 is the BIGINT sign bit — Spark's
+            # shiftleft silently wraps into it and DuckDB refuses the
+            # shift outright, so ids pack 63 per word on both engines
+            F.expr("user_id DIV 63").alias("bucket"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+                " AS BIGINT)"
+            ).alias("bit"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    prev = words.select(
+        F.date_format(
+            F.date_add(F.to_date("day"), 1), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("bucket"),
+        F.col("word").alias("prev_word"),
+    )
+    joined = words.join(prev, ["day", "bucket"], "left")
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.sum(F.expr("bit_count(word)")).alias("n_distinct_users"),
+            F.sum(
+                F.expr(
+                    "bit_count(word & coalesce(prev_word, CAST(0 AS BIGINT)))"
+                )
+            ).alias("n_retained_from_prev_day"),
+        )
+        .orderBy("day")
+    )
+
+
+@query("p20_group_kfold")
+def p20_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE K-FOLD assignment with a leakage audit — the CV
+    split a training pipeline must get right: all of an entity's
+    events land in ONE fold (fold = md5 bucket of user_id, never of
+    event_id — splitting by row leaks a user's behavior across
+    train/validation), deterministic so every worker and every re-run
+    agrees (p03/p07 discipline). Emits per fold the event/user mass
+    and the audit numbers: users_spanning_folds MUST be 0 (asserted
+    in-contract by construction, surfaced as a column so a pipeline
+    can gate on it) and the fold's event-share deviation from the
+    ideal 1/5 in integer ppm.
+    """
+    ev = table(spark, sf_dir, "events")
+    folded = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('fold:', CAST(user_id AS"
+            " STRING))), 1, 6), 16, 10) AS BIGINT) % 5"
+        ).alias("fold"),
+    )
+    per_user = folded.groupBy("user_id").agg(
+        F.countDistinct("fold").alias("n_folds"),
+        F.first("fold").alias("fold"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spanning = per_user.agg(
+        F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0)).alias(
+            "users_spanning_folds"
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_user.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(spanning))
+        .withColumn("__tot", F.sum("n_events").over(w_all))
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            "users_spanning_folds",
+            F.expr(
+                "(1000000 * 5 * n_events) DIV __tot - 1000000"
+            ).alias("imbalance_ppm"),
+        )
+        .orderBy("fold")
+    )
