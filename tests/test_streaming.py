@@ -1874,3 +1874,60 @@ def test_st30_streaming_interval_union_matches_q91(spark, sf_dir, tmp_path):
         for r in QUERIES["q91_interval_union"](spark, sf_dir).collect()
     }
     assert got == want, "streaming sweep-line must equal q91's batch answer"
+
+
+@pytest.mark.parametrize("split_days", [[(0, 10), (10, 9999)],
+                                        [(0, 3), (3, 17), (17, 9999)]])
+def test_st31_streaming_bitmap_distinct_matches_batch(
+    spark, sf_dir, tmp_path, split_days
+):
+    """Final per-type distinct counts must equal batch countDistinct
+    under TWO different batch splits — BIT_OR's associative/
+    commutative/idempotent algebra makes the streaming state equal
+    the batch bitmap bit-for-bit regardless of how the stream is
+    chopped."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    src = tmp_path / f"bm_src_{len(split_days)}"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(split_days):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qname = f"st31_out_{len(split_days)}"
+    q = (
+        streaming_bitmap_distinct(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: r.total
+        for r in spark.sql(
+            f"SELECT event_type, sum(n_distinct) AS total FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY event_type, bucket "
+            f"ORDER BY n_distinct DESC) AS rn FROM {qname}) "
+            f"WHERE rn = 1 GROUP BY event_type"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want, "streaming bitmap distinct must equal batch exactly"
