@@ -47,6 +47,8 @@ _NEEDS_DRIVER_ROW = [
     "d06_dedup_components", "d15_quality_keeper",
     # round-5: exact-distinct bitmaps + CV-split lane
     "q98_bitmap_exact_distinct", "p20_group_kfold",
+    # round-5: directional as-of (q25's operator grew tiebreak+forward)
+    "q99_asof_directions", "q25_asof_attribution",
 ]
 
 

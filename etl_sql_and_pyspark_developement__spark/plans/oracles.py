@@ -5958,3 +5958,71 @@ SELECT p.fold,
 FROM per_fold p CROSS JOIN spanning s CROSS JOIN tot t
 ORDER BY p.fold
 """
+
+# q99: both as-of directions mirrored as tagged-union window passes —
+# identical (ts, side, event_id) orderings, IGNORE NULLS carries,
+# integer-second deltas, and the same nearest tie-break CASE.
+ORACLES["q99_asof_directions"] = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+back_u AS (
+    SELECT user_id AS k, ts, 1 AS side, event_id AS tb,
+           event_id, CAST(NULL AS TIMESTAMP) AS p_ts
+    FROM purchases
+    UNION ALL
+    SELECT user_id, ts, 0, event_id, NULL, ts FROM views
+),
+back AS (
+    SELECT event_id, k, ts,
+           last_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY ts, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS back_ts
+    FROM back_u
+    QUALIFY side = 1
+),
+fwd_u AS (
+    SELECT user_id AS k, ts, 0 AS side, event_id AS tb,
+           event_id, CAST(NULL AS TIMESTAMP) AS p_ts
+    FROM purchases
+    UNION ALL
+    SELECT user_id, ts, 1, event_id, NULL, ts FROM views
+),
+fwd AS (
+    SELECT event_id, k, ts,
+           first_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY ts, side, tb
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS fwd_ts
+    FROM fwd_u
+    QUALIFY side = 0
+),
+deltas AS (
+    SELECT b.event_id,
+           CAST(floor(date_part('epoch', b.ts))
+                - floor(date_part('epoch', b.back_ts)) AS BIGINT)
+               AS back_delta_s,
+           CAST(floor(date_part('epoch', f.fwd_ts))
+                - floor(date_part('epoch', f.ts)) AS BIGINT)
+               AS fwd_delta_s
+    FROM back b JOIN fwd f ON f.event_id = b.event_id
+)
+SELECT event_id, back_delta_s, fwd_delta_s,
+       CASE WHEN back_delta_s IS NULL AND fwd_delta_s IS NULL THEN NULL
+            WHEN fwd_delta_s IS NULL THEN back_delta_s
+            WHEN back_delta_s IS NULL THEN fwd_delta_s
+            WHEN back_delta_s <= fwd_delta_s THEN back_delta_s
+            ELSE fwd_delta_s END AS nearest_delta_s,
+       CASE WHEN back_delta_s IS NULL AND fwd_delta_s IS NULL THEN 'none'
+            WHEN fwd_delta_s IS NULL THEN 'back'
+            WHEN back_delta_s IS NULL THEN 'fwd'
+            WHEN back_delta_s <= fwd_delta_s THEN 'back'
+            ELSE 'fwd' END AS nearest_side
+FROM deltas
+ORDER BY event_id
+"""

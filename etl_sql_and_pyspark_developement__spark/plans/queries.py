@@ -7470,3 +7470,85 @@ def p20_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query("q99_asof_directions")
+def q99_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL AS-OF joins — pandas merge_asof's full direction
+    switch (backward / forward / nearest) as two one-shuffle window
+    passes: each purchase gets its user's latest view AT-OR-BEFORE
+    (backward, q25's op now with a deterministic event-id tiebreak)
+    and earliest view AT-OR-AFTER (forward, the new mirror operator);
+    nearest picks the smaller integer-second delta, ties to backward.
+    The attribution question q25 answers with one direction ("which
+    view caused this purchase") becomes symmetric ("or did the view
+    follow it — post-purchase browsing"), per-event.
+
+    Exactness: deltas are unix-second integers; the nearest CASE is
+    pure integer comparison. Scale: two tag+union+window passes, each
+    ONE hash shuffle on user_id; no range join, no explosion.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.asof import (
+        as_of_join,
+        as_of_join_forward,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    back = as_of_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"view_ts": "ts"},
+        tiebreak="event_id",
+    )
+    both = as_of_join_forward(
+        back,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"view_ts": "ts"},
+        tiebreak="event_id",
+    )
+    sec = "CAST(unix_timestamp({}) AS BIGINT)"
+    return (
+        both.select(
+            "event_id",
+            F.expr(
+                f"{sec.format('ts')} - {sec.format('asof_view_ts')}"
+            ).alias("back_delta_s"),
+            F.expr(
+                f"{sec.format('asof_fwd_view_ts')} - {sec.format('ts')}"
+            ).alias("fwd_delta_s"),
+        )
+        .select(
+            "event_id",
+            "back_delta_s",
+            "fwd_delta_s",
+            F.expr(
+                "CASE WHEN back_delta_s IS NULL AND fwd_delta_s IS NULL"
+                " THEN NULL"
+                " WHEN fwd_delta_s IS NULL THEN back_delta_s"
+                " WHEN back_delta_s IS NULL THEN fwd_delta_s"
+                " WHEN back_delta_s <= fwd_delta_s THEN back_delta_s"
+                " ELSE fwd_delta_s END"
+            ).alias("nearest_delta_s"),
+            F.expr(
+                "CASE WHEN back_delta_s IS NULL AND fwd_delta_s IS NULL"
+                " THEN 'none'"
+                " WHEN fwd_delta_s IS NULL THEN 'back'"
+                " WHEN back_delta_s IS NULL THEN 'fwd'"
+                " WHEN back_delta_s <= fwd_delta_s THEN 'back'"
+                " ELSE 'fwd' END"
+            ).alias("nearest_side"),
+        )
+        .orderBy("event_id")
+    )

@@ -882,3 +882,51 @@ def test_resolve_hierarchy_null_parent_message_and_validate_gate(spark):
         for r in resolve_hierarchy(good, validate=False).collect()
     }
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2)}
+
+
+def test_as_of_join_forward_and_tiebreak(spark):
+    """Forward direction: earliest right row AT-OR-AFTER the left ts
+    (equal ts matches); the tiebreak column makes duplicate-(key, ts)
+    right rows deterministic on both directions."""
+    from etl_sql_and_pyspark_developement__spark.operators.asof import (
+        as_of_join,
+        as_of_join_forward,
+    )
+
+    t = ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame(
+        [(1, t, 101, "p1"), (2, ts("2024-01-01 09:00:00"), 102, "p2")],
+        ["k", "lts", "event_id", "pid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t, 7, 10.0),              # equal ts -> forward matches
+            (1, ts("2024-01-01 11:00:00"), 8, 20.0),
+            (2, ts("2024-01-01 08:00:00"), 9, 30.0),  # before -> no fwd
+        ],
+        ["k", "rts", "event_id", "val"],
+    )
+    out = {
+        r.pid: r.asof_fwd_val
+        for r in as_of_join_forward(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            payload={"val": "val"}, tiebreak="event_id",
+        ).collect()
+    }
+    assert out["p1"] == 10.0  # at-or-after includes equality
+    assert out["p2"] is None
+    # duplicate (key, ts) right rows: tiebreak picks the smaller id
+    # as the FIRST following row / the larger id as the LAST preceding
+    dup = spark.createDataFrame(
+        [(1, t, 5, 1.0), (1, t, 6, 2.0)], ["k", "rts", "event_id", "val"]
+    )
+    fwd = as_of_join_forward(
+        left.filter("pid = 'p1'"), dup, key="k", left_ts="lts",
+        right_ts="rts", payload={"val": "val"}, tiebreak="event_id",
+    ).collect()[0]
+    assert fwd.asof_fwd_val == 1.0
+    back = as_of_join(
+        left.filter("pid = 'p1'"), dup, key="k", left_ts="lts",
+        right_ts="rts", payload={"val": "val"}, tiebreak="event_id",
+    ).collect()[0]
+    assert back.asof_val == 2.0
