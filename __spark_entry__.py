@@ -49,6 +49,8 @@ _NEEDS_DRIVER_ROW = [
     "q98_bitmap_exact_distinct", "p20_group_kfold",
     # round-5: directional as-of (q25's operator grew tiebreak+forward)
     "q99_asof_directions", "q25_asof_attribution",
+    # round-5: bucketed co-located join lane
+    "q100_bucketed_colocated_join",
 ]
 
 

@@ -6026,3 +6026,14 @@ SELECT event_id, back_delta_s, fwd_delta_s,
 FROM deltas
 ORDER BY event_id
 """
+
+# q100: the layout changes the plan, never the values — plain join.
+ORACLES["q100_bucketed_colocated_join"] = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""

@@ -7552,3 +7552,40 @@ def q99_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query("q100_bucketed_colocated_join")
+def q100_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE CO-LOCATED JOIN over bucketed tables — the 100 TB
+    join strategy the flat-parquet queries can only describe: orders
+    and customer staged once as catalog tables bucketed 16-way on the
+    customer key (io.bucketed_join_tables), so the fact-side join
+    reads bucket i against bucket i with ZERO Exchange on either side
+    (plan-asserted — the scan's reported output partitioning satisfies
+    the join's distribution requirement). The per-segment rollup
+    after the join is the only shuffle in the plan, and it moves
+    5 rows' worth of aggregate state per task.
+
+    At the lake this contract is Iceberg bucket transforms / Delta
+    clustering; the values are the oracle's plain-join answer — the
+    layout changes the PLAN, never the result.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        bucketed_join_tables,
+    )
+
+    orders_t, cust_t = bucketed_join_tables(spark, sf_dir, n_buckets=16)
+    o = spark.table(orders_t)
+    c = spark.table(cust_t)
+    joined = o.join(
+        c.hint("merge"), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -442,3 +442,53 @@ def minhash_pairs_artifact(
         ),
         artifact_dir=artifact_dir,
     )
+
+
+def bucketed_join_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 16,
+    artifact_dir: str | None = None,
+) -> tuple[str, str]:
+    """Ensure BUCKETED catalog twins of orders and customer exist
+    (bucketBy(custkey) + sortBy, external parquet under the artifact
+    root) and return their table names — the co-location strategy the
+    100 TB playbook names for repeatedly-joined fact tables: both
+    sides pre-hashed into the same bucket count on the join key, so
+    the join reads bucket i against bucket i with ZERO Exchange
+    (plan-asserted by q100's test). Build-once semantics keyed by the
+    source identity, the _staged_artifact contract expressed through
+    the catalog (saveAsTable is its own atomic commit).
+
+    At the lake this is table-format clustering (Iceberg bucket
+    partition transforms / Delta liquid clustering); here the same
+    contract through Spark's native bucketed tables."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|b={n_buckets}|v=1".encode()
+    ).hexdigest()[:12]
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    names = (f"orders_bkt_{key}", f"customer_bkt_{key}")
+    for name, src, bucket_col in (
+        (names[0], "orders.parquet", "o_custkey"),
+        (names[1], "customer.parquet", "c_custkey"),
+    ):
+        if spark.catalog.tableExists(name):
+            continue
+        (
+            spark.read.parquet(os.path.join(sf_dir, src))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+    return names

@@ -858,3 +858,19 @@ def test_q94_pipe_lowers_to_plain_agg(spark, sf_dir):
     plan = plan_of(spark, "q94_sql_pipe", sf_dir)
     assert plan.count("Scan parquet") == 2  # one scan (tree + detail)
     assert "BatchEvalPython" not in plan
+
+
+def test_q100_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    """Both sides are bucketed 16-way on the join key, so the
+    SortMergeJoin's distribution requirement is satisfied by the SCANS
+    — no Exchange may appear below the join (the co-location
+    contract); the only shuffles are the post-join 5-row rollup and
+    the final sort."""
+    plan = plan_of(spark, "q100_bucketed_colocated_join", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "_bkt_" in plan, "must read the bucketed catalog tables"
+    tree = plan.split("\n\n")[0]
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join, (
+        "bucketed join sides must not shuffle"
+    )
