@@ -28,28 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # added after the r03 driver snapshot, plus anything round 4
 # touches (appended as it changes).
 _NEEDS_DRIVER_ROW = [
-    # round-5 changes: capped-fold HALF_UP helper rides Spark's
-    # Double.toString decimalization (q61), hierarchy validate gate +
-    # NULL-parent message (q66), kcore budget-vs-confirm fix (q78)
-    "q61_capped_running_total", "q66_hierarchy_rollup", "q78_kcore",
-    # round-5 additions: survival / concentration / LATERAL surface /
-    # sweep-line / autocorr / KS lanes + curation audits
-    "q88_survival_km", "q89_hhi_concentration", "q90_lateral_topk",
-    "q91_interval_union", "q92_autocorr_daily", "q93_ks_two_sample",
-    "d20_dup_inflation_audit", "t22_term_burstiness",
-    "p19_privacy_noise", "s09_knn_label_vote",
-    # round-5 Spark-4 SQL surfaces + lake-layout lane
-    "q94_sql_pipe", "q95_sql_udf", "q96_sql_variables",
-    "q97_partition_pruned_rollup",
-    # round-5 eval / multimodal-dedup additions
-    "d21_lsh_recall_eval", "m08_frame_dedup",
-    # round-5 change: d06/d15 consume the shared verified-pairs artifact
-    "d06_dedup_components", "d15_quality_keeper",
-    # round-5: exact-distinct bitmaps + CV-split lane
-    "q98_bitmap_exact_distinct", "p20_group_kfold",
-    # round-5: directional as-of (q25's operator grew tiebreak+forward)
-    "q99_asof_directions", "q25_asof_attribution",
-    # round-5: bucketed co-located join lane
+    # round-6 change: q88 de-vacuated — data-derived mean-gap censor
+    # horizon (nonzero rows at every scale), terminal d=n bucket
+    # pinned to 0.0 instead of log(0), in-plan population-split guard
+    "q88_survival_km",
+    # round-6 change: DECIMAL(38,0)/HUGEINT cross-multiplies so
+    # neither engine overflows 2^63 at large scale factors
+    "q89_hhi_concentration", "q93_ks_two_sample",
+    # round-6 change: bucketed-twin cache key now carries EACH
+    # table's own source identity (v=2 — twins rebuilt)
     "q100_bucketed_colocated_join",
 ]
 

@@ -5440,21 +5440,36 @@ ORDER BY p.shard
 # Round 5 oracles
 # ---------------------------------------------------------------------------
 
-# q88: same KM decomposition — suffix-sum risk set, integer hazard,
-# log-space ordered product. ln/exp run on identical doubles in
-# identical window order on both engines; 6dp rounding on exp.
+# q88: same KM decomposition — mean-gap data-derived censor horizon
+# (exact integer sum/count, one IEEE double division), suffix-sum risk
+# set, integer hazard, log-space ordered product. ln/exp run on
+# identical doubles in identical window order on both engines; 6dp
+# rounding on exp. The d = n terminal bucket is guarded on BOTH sides
+# (DuckDB's ln(0) throws OutOfRange; Spark's log(0) is NULL and sum
+# would silently skip it): the log term is only defined where d < n
+# and a prefix-max dead flag pins survival to 0.0.
 ORACLES["q88_survival_km"] = """
 WITH users AS (
     SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
     FROM events GROUP BY user_id
 ),
-horizon AS (SELECT max(ts) AS max_ts FROM events),
-lives AS (
+horizon AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+gaps AS (
     SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
                AS t_days,
-           CASE WHEN last_ts < max_ts - INTERVAL 14 DAY THEN 1 ELSE 0 END
-               AS churned
+           date_diff('day', CAST(last_ts AS DATE), max_day) AS gap_days
     FROM users CROSS JOIN horizon
+),
+thresh AS (
+    SELECT CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_gap
+    FROM gaps
+),
+lives AS (
+    SELECT t_days,
+           CASE WHEN CAST(gap_days AS DOUBLE) > avg_gap THEN 1 ELSE 0 END
+               AS churned
+    FROM gaps CROSS JOIN thresh
 ),
 per_t AS (
     SELECT t_days, count(*) AS n_ending, sum(churned) AS n_churn
@@ -5469,25 +5484,32 @@ risk AS (
 ),
 cum AS (
     SELECT t_days, n_churn, n_at_risk,
-           sum(ln(1.0 - CAST(n_churn AS DOUBLE)
-                  / CAST(n_at_risk AS DOUBLE)))
+           sum(CASE WHEN n_churn < n_at_risk
+                    THEN ln(1.0 - CAST(n_churn AS DOUBLE)
+                            / CAST(n_at_risk AS DOUBLE)) END)
                OVER (ORDER BY t_days
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS log_surv
+               AS log_surv,
+           max(CASE WHEN n_churn = n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead
     FROM risk
 )
 SELECT CAST(t_days AS BIGINT) AS t_days,
        CAST(n_at_risk AS BIGINT) AS n_at_risk,
        CAST(n_churn AS BIGINT) AS n_churn,
        CAST((1000000 * n_churn) // n_at_risk AS BIGINT) AS hazard_ppm,
-       round(exp(log_surv), 6) AS survival
+       CAST(CASE WHEN dead = 1 THEN 0.0
+                 ELSE round(exp(log_surv), 6) END AS DOUBLE) AS survival
 FROM cum
 WHERE n_churn > 0
 ORDER BY t_days
 """
 
 # q89: identical integer ten-thousandths revenue, ppm shares, squared-
-# share HHI. DuckDB sums promote to HUGEINT — cast back to BIGINT.
+# share HHI. Cross-multiplied terms ride HUGEINT (Spark: DECIMAL(38,0))
+# so neither engine overflows 2^63 at large scale factors.
 ORACLES["q89_hhi_concentration"] = """
 WITH per_sup AS (
     SELECT s.s_nationkey, l.l_suppkey,
@@ -5498,16 +5520,17 @@ WITH per_sup AS (
 ),
 shared AS (
     SELECT s_nationkey,
-           CAST((1000000 * sup_rev)
+           CAST((1000000 * CAST(sup_rev AS HUGEINT))
                 // CAST(sum(sup_rev) OVER (PARTITION BY s_nationkey)
-                        AS BIGINT) AS BIGINT) AS share_ppm
+                        AS HUGEINT) AS BIGINT) AS share_ppm
     FROM per_sup
 ),
 per_nation AS (
     SELECT s_nationkey,
            count(*) AS n_suppliers,
            max(share_ppm) AS top_share_ppm,
-           CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+           CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm)
+                // 1000000 AS BIGINT) AS hhi_ppm
     FROM shared GROUP BY s_nationkey
 )
 SELECT n.n_name AS nation,
@@ -5636,11 +5659,15 @@ gaps AS (
 )
 SELECT n1t AS n_building,
        n2t AS n_automobile,
-       CAST((1000000 * abs(cum1 * n2t - cum2 * n1t)) // (n1t * n2t)
-            AS BIGINT) AS ks_ppm,
+       -- HUGEINT cross-multiplies (Spark: DECIMAL(38,0)) — cum x n
+       -- exceeds 2^63 once both samples pass ~3e9 rows.
+       CAST((1000000 * abs(CAST(cum1 AS HUGEINT) * n2t
+                           - CAST(cum2 AS HUGEINT) * n1t))
+            // (CAST(n1t AS HUGEINT) * n2t) AS BIGINT) AS ks_ppm,
        cents AS at_cents
 FROM gaps
-ORDER BY abs(cum1 * n2t - cum2 * n1t) DESC, cents
+ORDER BY abs(CAST(cum1 AS HUGEINT) * n2t
+             - CAST(cum2 AS HUGEINT) * n1t) DESC, cents
 LIMIT 1
 """
 

@@ -6573,70 +6573,83 @@ def q88_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER survival estimate of user lifetime — the censoring-
     aware retention curve (q05's cohort grid assumes everyone's fate is
     known; KM is what you report when the observation window cuts users
-    off mid-life). A user's lifetime is first→last event in days; users
-    still active in the final 14 days of the window are CENSORED (their
-    true lifetime exceeds what we saw), everyone else is a churn event.
+    off mid-life). A user's lifetime is first→last event in days.
 
-    Per distinct lifetime t: the risk set n(t) = users with lifetime
-    ≥ t (a suffix sum), churn events d(t), the exact integer hazard
-    d·1e6 DIV n, and the KM product S(t) = Π(1 − d/n) carried in
-    log-space by an ORDERED window sum (both engines fold the same
-    doubles in the same order; 6dp rounding on exp). The windows run
-    over the DISTINCT-lifetime frame — bounded by the day span of the
-    corpus (31 here, ≤ a few thousand at any horizon), never by users.
+    The censoring horizon is DATA-DERIVED, not a fixed constant: a user
+    is a churn event when their recency gap (days from last event to
+    corpus end) exceeds the population's MEAN gap; at-or-below-mean
+    users are censored (still active at the window edge). A fixed
+    "inactive ≥ 14 days" rule silently classifies EVERYONE censored
+    when the corpus span is short relative to the constant (this lane's
+    round-5 defect: 0 churn events at every shipped scale, so the
+    parity row verified nothing); the mean splits any population whose
+    gaps are not all identical — and an in-plan assert_true guard
+    RAISES if it ever fails to, rather than emitting a vacuous frame.
+
+    The KM table itself (suffix-sum risk set, exact integer hazard
+    d·1e6 DIV n, log-space ordered product over the bounded
+    distinct-lifetime frame, terminal d=n bucket pinned to 0.0 instead
+    of log(0)) lives in operators/survival.km_curve, where a
+    planted-data unit test asserts a hand-computed curve.
 
     Reference parity: extends the churn lens of
     pyspark/Customer Churn Risk Scoring.py (binary churn flags) to the
     full time-to-event distribution.
     """
+    from etl_sql_and_pyspark_developement__spark.operators.survival import (
+        km_curve,
+    )
+
     ev = table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
     )
-    horizon = ev.agg(F.max("ts").alias("max_ts"))
-    lives = users.crossJoin(F.broadcast(horizon)).select(
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    gaps = users.crossJoin(F.broadcast(horizon)).select(
         F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
             "t_days"
         ),
-        F.when(
-            F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 14 DAYS"),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
+        F.datediff(F.col("max_day"), F.to_date("last_ts")).alias("gap_days"),
+    )
+    # Mean recency gap as the churn threshold: exact integer sum/count,
+    # one IEEE double division — bit-identical in any engine.
+    thresh = gaps.agg(
+        (
+            F.sum("gap_days").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_gap")
+    )
+    lives = gaps.crossJoin(F.broadcast(thresh)).select(
+        "t_days",
+        (F.col("gap_days").cast("double") > F.col("avg_gap"))
+        .cast("int")
         .alias("churned"),
     )
-    per_t = lives.groupBy("t_days").agg(
-        F.count(F.lit(1)).alias("n_ending"),
-        F.sum("churned").alias("n_churn"),
-    )
-    # Distinct-lifetime frame: bounded by the day domain, so the
-    # unpartitioned ordered windows are safe at any corpus size.
-    w_ord = Window.orderBy("t_days")
-    w_suffix = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        per_t.withColumn("n_at_risk", F.sum("n_ending").over(w_suffix))
-        .withColumn(
-            "__logterm",
-            F.log(
-                F.lit(1.0)
-                - F.col("n_churn").cast("double")
-                / F.col("n_at_risk").cast("double")
-            ),
+    # In-plan population-split guard (q61's discipline): churned AND
+    # censored users must BOTH exist, else the KM frame is vacuous —
+    # raise loudly instead. assert_true yields NULL on pass; the
+    # isNull filter forces its evaluation (column pruning cannot drop
+    # a filter input), then the helper column is dropped.
+    split_ok = (
+        lives.agg(
+            F.sum("churned").alias("__nc"), F.count(F.lit(1)).alias("__nu")
         )
-        .withColumn(
-            "survival", F.round(F.exp(F.sum("__logterm").over(w_prefix)), 6)
-        )
-        .filter(F.col("n_churn") > 0)
         .select(
-            "t_days",
-            "n_at_risk",
-            "n_churn",
-            F.expr("(1000000 * n_churn) DIV n_at_risk").alias("hazard_ppm"),
-            "survival",
+            F.assert_true(
+                (F.col("__nc") > 0) & (F.col("__nc") < F.col("__nu")),
+                F.lit(
+                    "q88: mean-gap censoring horizon failed to split the "
+                    "population into churned and censored users"
+                ),
+            ).alias("__split_ok")
         )
-        .orderBy("t_days")
     )
+    guarded = (
+        lives.crossJoin(F.broadcast(split_ok))
+        .filter(F.col("__split_ok").isNull())
+        .drop("__split_ok")
+    )
+    return km_curve(guarded)
 
 
 @query("q89_hhi_concentration")
@@ -6675,13 +6688,24 @@ def q89_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum("rev_e4").alias("sup_rev"))
     )
+    # DECIMAL(38,0) on the cross-multiplied terms (t22's discipline):
+    # 1e6 x a nation's revenue ten-thousandths exceeds 2^63 at large
+    # scale factors, where non-ANSI Spark would wrap silently while
+    # the oracle errors. DIV returns BIGINT; the quotients are small.
     shared = per_sup.withColumn(
-        "share_ppm", F.expr("(1000000 * sup_rev) DIV sum(sup_rev) OVER (PARTITION BY s_nationkey)")
+        "share_ppm",
+        F.expr(
+            "(1000000 * CAST(sup_rev AS DECIMAL(38,0)))"
+            " DIV sum(sup_rev) OVER (PARTITION BY s_nationkey)"
+        ),
     )
     per_nation = shared.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.max("share_ppm").alias("top_share_ppm"),
-        F.expr("sum(share_ppm * share_ppm) DIV 1000000").alias("hhi_ppm"),
+        F.expr(
+            "sum(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm)"
+            " DIV 1000000"
+        ).alias("hhi_ppm"),
     )
     return (
         per_nation.join(
@@ -6874,8 +6898,12 @@ def q93_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "n1t",
         "n2t",
+        # DECIMAL(38,0) cross-multiplies (t22's discipline): cum x n
+        # exceeds 2^63 once both samples pass ~3e9 rows, where
+        # non-ANSI Spark wraps silently while the oracle errors.
         F.abs(
-            F.col("cum1") * F.col("n2t") - F.col("cum2") * F.col("n1t")
+            F.col("cum1").cast("decimal(38,0)") * F.col("n2t")
+            - F.col("cum2").cast("decimal(38,0)") * F.col("n1t")
         ).alias("d_num"),
     )
     return (
@@ -6884,7 +6912,10 @@ def q93_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n1t").alias("n_building"),
             F.col("n2t").alias("n_automobile"),
-            F.expr("(1000000 * d_num) DIV (n1t * n2t)").alias("ks_ppm"),
+            F.expr(
+                "(1000000 * d_num)"
+                " DIV (CAST(n1t AS DECIMAL(38,0)) * n2t)"
+            ).alias("ks_ppm"),
             F.col("cents").alias("at_cents"),
         )
     )

@@ -467,10 +467,17 @@ def bucketed_join_tables(
     import os
     import tempfile
 
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    # Per-source identity for EVERY table the key covers (the
+    # _staged_artifact contract): a regenerated customer.parquet with
+    # an unchanged orders.parquet must miss the cache and rebuild —
+    # keying on orders alone would silently serve stale customer rows.
+    stats = "|".join(
+        f"{src}:{s.st_mtime_ns}:{s.st_size}"
+        for src in ("orders.parquet", "customer.parquet")
+        for s in (os.stat(os.path.join(sf_dir, src)),)
+    )
     key = hashlib.sha1(
-        f"{os.path.realpath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|b={n_buckets}|v=1".encode()
+        f"{os.path.realpath(sf_dir)}|{stats}|b={n_buckets}|v=2".encode()
     ).hexdigest()[:12]
     root = artifact_dir or os.environ.get(
         "SPARK_GRAFT_ARTIFACT_DIR",

@@ -320,6 +320,37 @@ def test_artifact_cache_key_tracks_source_identity(spark, sf_dir, tmp_path, monk
     assert len(os.listdir(adir)) == 2, "changed source identity must rebuild"
 
 
+def test_bucketed_tables_key_covers_every_source(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The bucketed-twin cache key must carry EACH table's own source
+    identity: regenerating customer.parquet while orders.parquet is
+    unchanged must produce NEW table names (a key derived from orders
+    alone would serve stale customer rows through the catalog hit)."""
+    import os
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        bucketed_join_tables,
+    )
+
+    adir = str(tmp_path / "bkt_artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    src = tmp_path / "corpus_bkt"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/orders.parquet", src / "orders.parquet")
+    shutil.copy(f"{sf_dir}/customer.parquet", src / "customer.parquet")
+    first = bucketed_join_tables(spark, str(src))
+    # Same bytes, new customer mtime -> new identity -> new twins.
+    os.utime(src / "customer.parquet", ns=(1, 1))
+    second = bucketed_join_tables(spark, str(src))
+    assert first != second, (
+        "regenerated customer.parquet must miss the bucketed-table cache"
+    )
+    for name in (*first, *second):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_minhash_pairs_artifact_builds_once_and_shares(
     spark, sf_dir, tmp_path, monkeypatch
 ):

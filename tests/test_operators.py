@@ -930,3 +930,85 @@ def test_as_of_join_forward_and_tiebreak(spark):
         right_ts="rts", payload={"val": "val"}, tiebreak="event_id",
     ).collect()[0]
     assert back.asof_val == 2.0
+
+
+def test_km_curve_planted_hand_computed(spark):
+    """Hand-computed KM table for 5 planted subjects: lifetimes
+    (2,1) (2,0) (5,1) (5,1) (8,0). Risk sets 5/3/1, events 1/2/0 →
+    S(2) = 1 - 1/5 = 0.8, S(5) = 0.8 * (1 - 2/3) = 0.266667, and t=8
+    (zero events) is not emitted. Exercises the suffix-sum risk set,
+    the exact integer hazard, and the log-space ordered product that
+    the round-5 driver rows never reached (the lane was vacuous)."""
+    from etl_sql_and_pyspark_developement__spark.operators.survival import (
+        km_curve,
+    )
+
+    lives = spark.createDataFrame(
+        [(2, 1), (2, 0), (5, 1), (5, 1), (8, 0)],
+        "t_days INT, churned INT",
+    )
+    rows = [
+        (r.t_days, r.n_at_risk, r.n_churn, r.hazard_ppm, r.survival)
+        for r in km_curve(lives).collect()
+    ]
+    assert rows == [
+        (2, 5, 1, 200000, 0.8),
+        (5, 3, 2, 666666, 0.266667),
+    ]
+
+
+def test_km_curve_terminal_bucket_is_zero_not_log0(spark):
+    """When the largest lifetime bucket is fully churned (d = n, the
+    standard KM terminal event), survival must be exactly 0.0 — not
+    exp(prior terms). Spark's log(0) is NULL and F.sum silently skips
+    NULLs, so an unguarded fold would report S = 0.666667 here."""
+    from etl_sql_and_pyspark_developement__spark.operators.survival import (
+        km_curve,
+    )
+
+    lives = spark.createDataFrame(
+        [(2, 1), (4, 1), (4, 1)], "t_days INT, churned INT"
+    )
+    rows = [
+        (r.t_days, r.n_at_risk, r.n_churn, r.hazard_ppm, r.survival)
+        for r in km_curve(lives).collect()
+    ]
+    assert rows == [
+        (2, 3, 1, 333333, 0.666667),
+        (4, 2, 2, 1000000, 0.0),
+    ]
+
+
+def test_q88_is_not_vacuous_and_guard_raises_on_degenerate_data(
+    spark, sf_dir, tmp_path
+):
+    """The round-5 defect: q88 emitted 0 rows at every shipped scale,
+    so its green parity row verified nothing. The mean-gap horizon must
+    yield a NON-EMPTY KM table on the shipped testdata, and the in-plan
+    assert_true guard must RAISE (not emit an empty frame) when the
+    horizon cannot split the population (all gaps identical)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    out = QUERIES["q88_survival_km"](spark, sf_dir).collect()
+    assert len(out) > 0, "q88 must produce churn-event rows on testdata"
+    assert any(r.survival < 1.0 for r in out)
+
+    # Degenerate corpus: every user's last event on the same day →
+    # identical gaps → no user strictly above the mean → guard raises.
+    degenerate = str(tmp_path / "degenerate")
+    spark.createDataFrame(
+        [
+            ("u1", "e1", "view", "2024-01-01 10:00:00", 1.0),
+            ("u2", "e2", "view", "2024-01-01 11:00:00", 1.0),
+        ],
+        "user_id STRING, event_id STRING, event_type STRING, "
+        "ts STRING, value DOUBLE",
+    ).selectExpr(
+        "user_id", "event_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts", "value",
+    ).write.mode("overwrite").parquet(f"{degenerate}/events.parquet")
+    with pytest.raises(SparkRuntimeException, match="failed to split"):
+        QUERIES["q88_survival_km"](spark, degenerate).collect()
