@@ -38,6 +38,8 @@ _NEEDS_DRIVER_ROW = [
     # round-6 change: bucketed-twin cache key now carries EACH
     # table's own source identity (v=2 — twins rebuilt)
     "q100_bucketed_colocated_join",
+    # round-6 addition: AQE runtime skew-split demonstration lane
+    "q101_aqe_skew_join",
 ]
 
 

@@ -6064,3 +6064,32 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+# ---------------------------------------------------------------------------
+# Round 6 oracles
+# ---------------------------------------------------------------------------
+
+# q101: runtime skew re-planning changes the PLAN, never the values —
+# the oracle is the plain hot-keyed join rollup. NULL keys drop on
+# both sides (inner join); max (not sum) keeps outputs bounded.
+ORACLES["q101_aqe_skew_join"] = """
+WITH left_side AS (
+    SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+           event_type
+    FROM events
+),
+right_roll AS (
+    SELECT CASE WHEN o_custkey % 10 < 9 THEN 0 ELSE o_custkey END AS k,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders GROUP BY 1
+)
+SELECT l.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(r.n_orders) AS BIGINT) AS max_key_orders,
+       CAST(max(r.rev_cents) AS BIGINT) AS max_key_rev_cents
+FROM left_side l JOIN right_roll r ON l.k = r.k
+GROUP BY l.event_type
+ORDER BY l.event_type
+"""

@@ -7585,6 +7585,71 @@ def q99_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q101_aqe_skew_join")
+def q101_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW-JOIN demonstration lane — the third 100 TB join
+    defense, completing the set (q42 salts hot-key AGGREGATIONS, q100
+    co-locates repeat joins via bucketing; this lane shows Spark's
+    RUNTIME answer for a hot-key fact join you didn't pre-layout for):
+    a deliberately skewed key routes ~90% of events to one join
+    partition, and AQE's OptimizeSkewedJoin splits that partition by
+    map-output ranges at runtime, replicating the matching right rows
+    — no salting code, no relayout.
+
+    Plan-shape requirements the test pins (each one learned the hard
+    way): (1) the skewed side must have REAL map-side parallelism —
+    a single-row-group parquet file reads as ONE map task no matter
+    what maxPartitionBytes says, and a one-mapper hot partition
+    cannot be split by map ranges, so the fact side repartitions
+    first (standing in for the thousands of scan tasks a 100 TB scan
+    has naturally); (2) the dim side is materialized (localCheckpoint
+    — at the lake, a staged table) because OptimizeSkewedJoin only
+    matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) and a final
+    HashAggregate between Sort and stage breaks the pattern; (3) the
+    merge hint keeps the tiny local dim from broadcasting so the
+    demonstrated plan is the one a 100 TB run (unbroadcastable dim)
+    would produce. The skew split itself fires when partition sizes
+    exceed the session thresholds (production: 256 MB / 5x median —
+    right for real data; the plan test scales them to the local
+    corpus and asserts skew=true in the final adaptive plan).
+
+    The oracle is the plain join rollup — layout and runtime
+    re-planning change the PLAN, never the result (q100's
+    discipline). max (not sum) aggregates over the joined dim
+    metrics keep every output bounded at any corpus size.
+    """
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    hot = "CASE WHEN pmod({c}, 10) < 9 THEN 0 ELSE {c} END"
+    left = ev.repartition(16).select(
+        F.expr(hot.format(c="user_id")).alias("k"), "event_type"
+    )
+    right = (
+        orders.select(
+            F.expr(hot.format(c="o_custkey")).alias("k"), "o_totalprice"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("rev_cents"),
+        )
+        .localCheckpoint()
+    )
+    joined = left.join(right.hint("merge"), "k", "inner")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("n_orders").alias("max_key_orders"),
+            F.max("rev_cents").alias("max_key_rev_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("q100_bucketed_colocated_join")
 def q100_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHUFFLE-FREE CO-LOCATED JOIN over bucketed tables — the 100 TB

@@ -874,3 +874,30 @@ def test_q100_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert "Exchange" not in below_join, (
         "bucketed join sides must not shuffle"
     )
+
+
+def test_q101_aqe_splits_skewed_partition(spark, sf_dir):
+    """With the skew thresholds scaled to the local corpus (production
+    values are 256 MB / 5x median — right for real data, unreachable
+    on KB-sized test parquet), AQE must mark the hot-key join skewed:
+    the final adaptive plan shows SortMergeJoin(skew=true) over an
+    AQEShuffleRead with skewed splits. The VALUES are config-invariant
+    (the driver row proves them against the plain-join oracle)."""
+    scaled = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+    }
+    old = {k: spark.conf.get(k) for k in scaled}
+    for k, v in scaled.items():
+        spark.conf.set(k, v)
+    try:
+        df = QUERIES["q101_aqe_skew_join"](spark, sf_dir)
+        rows = df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE must split the skewed partition"
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+        assert len(rows) > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
