@@ -40,6 +40,11 @@ _NEEDS_DRIVER_ROW = [
     "q100_bucketed_colocated_join",
     # round-6 addition: AQE runtime skew-split demonstration lane
     "q101_aqe_skew_join",
+    # round-6 additions: in-flight observe() quality counters (q33
+    # refactored to share the check list), iterated BPE trainer,
+    # OR-merged bitmap rolling distinct
+    "q102_observed_quality", "q33_data_quality",
+    "t23_bpe_train_iterations", "q103_rolling_bitmap_distinct",
 ]
 
 

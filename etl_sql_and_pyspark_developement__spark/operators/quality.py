@@ -63,3 +63,41 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
             "violation_pct"
         ),
     )
+
+
+def lineitem_checks() -> list[Check]:
+    """The standard lineitem expectation set (q33's checks; shared by
+    the in-flight observation lane so both surfaces count violations
+    with the SAME predicates)."""
+    return [
+        not_null("l_orderkey"),
+        not_null("l_shipdate"),
+        in_range("l_discount", 0.0, 0.5),
+        in_range("l_quantity", 1.0, 50.0),
+        in_range("l_extendedprice", 0.0, 200000.0),
+        matches("l_returnflag", "^[ANR]$"),
+    ]
+
+
+def observe_checks(df: DataFrame, checks: list[Check], observation=None):
+    """Attach IN-FLIGHT quality counters to a frame: the same
+    conditional aggregates validate() computes, but riding whatever
+    scan the consuming query already performs (CollectMetrics — ZERO
+    extra passes, no second job), instead of a dedicated validation
+    pass. The production shape for "validate while you compute" at
+    100 TB: the business query runs exactly as before and the
+    violation counters fall out of the same executors' row stream.
+
+    Pass a pyspark.sql.Observation to read the counters after the
+    consuming action (observation.get blocks until the action
+    finishes); omit it when the metrics ride along unread (the
+    counters then cost a handful of longs per task)."""
+    if observation is None:
+        from pyspark.sql import Observation
+
+        observation = Observation()
+    metrics = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.when(c.predicate, 1).otherwise(0)).alias(c.name)
+        for c in checks
+    ]
+    return df.observe(observation, *metrics)

@@ -809,3 +809,89 @@ def hash_embed(
         for i in range(dim)
     ]
     return sums.select(F.col("doc").alias(id_col), *out_cols)
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """ITERATED BPE tokenizer training (Sennrich et al. 2016): k rounds
+    of count-pairs -> pick-top-merge -> re-segment, returning the merge
+    TABLE (step, lhs, rhs, merged, pair_count) — the trained artifact a
+    tokenizer ships. bpe_merge_counts above is ONE round's counting;
+    this is the full training loop with the kcore/pagerank iterative
+    discipline (fixed budget, raise when the corpus runs dry,
+    localCheckpoint per round so lineage stays flat).
+
+    Representation: each dictionary word is a PREFIX-separated symbol
+    string '|h|e|l|l|o' (symbols are [a-z0-9]+ after the standard BPE
+    pre-tokenization filter, so '|' is unambiguous). Re-segmentation
+    for merge (l, r) is then one codegen string op:
+    replace(s, '|l|r', '|lr') — left-to-right non-overlapping
+    replacement IS greedy BPE application, and the prefix form keeps
+    consecutive occurrences mergeable ('|a|b|a|b' -> '|ab|ab', where a
+    both-sides-delimited form would consume the shared boundary and
+    miss the second pair).
+
+    Scale: the loop runs over the DISTINCT-word dictionary x freq
+    (~1e7 rows for a 1e12-token corpus), never the corpus; each round
+    is one pair-keyed shuffle + a TakeOrdered(1) reduction + one
+    codegen replace; per-round state is checkpointed so the k-round
+    lineage never re-reads the corpus. The driver holds exactly k
+    1-row results (k-seeds-bounded collect discipline).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2)
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("regexp_replace(word, '(.)', '|$1')").alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        # Project the split array to a column FIRST: codegen
+        # subexpression elimination does not reach inside
+        # higher-order-function lambdas (t02/d18 lesson).
+        pair_counts = (
+            words.withColumn("a", F.expr("split(substring(s, 2), '[|]')"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(a) >= 2 THEN"
+                        " transform(sequence(1, size(a) - 1),"
+                        " i -> struct(element_at(a, i) AS l,"
+                        " element_at(a, i + 1) AS r))"
+                        " ELSE array() END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("pair_count"), "l", "r"
+        ).limit(1).collect()
+        if not top:
+            raise RuntimeError(
+                f"bpe_train: corpus ran dry after {step - 1} merges "
+                f"(asked for {n_merges}); lower n_merges or grow the "
+                "corpus"
+            )
+        l, r, cnt = top[0].l, top[0].r, int(top[0].pair_count)
+        merges.append((step, l, r, l + r, cnt))
+        words = words.select(
+            F.expr(f"replace(s, '|{l}|{r}', '|{l}{r}')").alias("s"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "step INT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count BIGINT",
+    )

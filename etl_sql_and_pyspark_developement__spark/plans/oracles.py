@@ -6093,3 +6093,102 @@ FROM left_side l JOIN right_roll r ON l.k = r.k
 GROUP BY l.event_type
 ORDER BY l.event_type
 """
+
+# t23: the same 4 BPE training rounds unrolled as staged MATERIALIZED
+# CTEs (q78's pattern). Count/pick/re-segment algebra is identical:
+# prefix-separated symbol strings, left-to-right non-overlapping
+# replace = greedy merge application, (count DESC, l, r) tie-break.
+def _t23_bpe_oracle(n_merges: int = 4) -> str:
+    stages = [
+        """w0 AS MATERIALIZED (
+    SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS s,
+           CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE regexp_full_match(word, '[a-z0-9]+') AND length(word) >= 2
+    GROUP BY s
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        stages.append(f"""p{k} AS MATERIALIZED (
+    SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM (
+        SELECT a[i] AS l, a[i + 1] AS r, freq
+        FROM (SELECT string_split(substr(s, 2), '|') AS a, freq
+              FROM w{k - 1}) t,
+             unnest(range(1, len(a))) AS u(i)
+    )
+    GROUP BY l, r
+)""")
+        stages.append(f"""m{k} AS MATERIALIZED (
+    SELECT l, r, pair_count FROM p{k}
+    ORDER BY pair_count DESC, l, r LIMIT 1
+)""")
+        if k < n_merges:
+            stages.append(f"""w{k} AS MATERIALIZED (
+    SELECT replace(s, '|' || m.l || '|' || m.r, '|' || m.l || m.r) AS s,
+           freq
+    FROM w{k - 1}, m{k} m
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs,"
+        f" l || r AS merged, pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT * FROM (\n{finals}\n) ORDER BY step"
+    )
+
+
+ORACLES["t23_bpe_train_iterations"] = _t23_bpe_oracle(4)
+
+# q102: the observation is plan instrumentation — the RESULT is the
+# plain rollup; counters are pytest-asserted against q33's validate().
+ORACLES["q102_observed_quality"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# q103: identical word build (q98's 63-bit discipline), 7-way fanout,
+# OR-merge per target day, popcount sums. Day strings both sides.
+ORACLES["q103_rolling_bitmap_distinct"] = """
+WITH words AS (
+    SELECT CAST(ts AS DATE) AS d,
+           user_id // 63 AS bucket,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+    FROM events
+    GROUP BY d, bucket
+),
+days AS (SELECT DISTINCT d FROM words),
+fanout AS (
+    SELECT CAST(w.d + u.off * INTERVAL 1 DAY AS DATE) AS d,
+           w.bucket, w.word
+    FROM words w, unnest(range(0, 7)) AS u(off)
+),
+rolled AS (
+    SELECT d, CAST(sum(bit_count(word7)) AS BIGINT) AS n_distinct_7d
+    FROM (
+        SELECT d, bucket, bit_or(word) AS word7
+        FROM fanout
+        WHERE d IN (SELECT d FROM days)
+        GROUP BY d, bucket
+    )
+    GROUP BY d
+),
+daily AS (
+    SELECT d, CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_1d
+    FROM words GROUP BY d
+)
+SELECT strftime(r.d, '%Y-%m-%d') AS day,
+       dd.n_distinct_1d,
+       r.n_distinct_7d
+FROM rolled r JOIN daily dd ON r.d = dd.d
+ORDER BY day
+"""

@@ -1837,22 +1837,12 @@ def q33_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over lineitem, evaluated
     as one pass of conditional aggregates (operators/quality.py)."""
     from etl_sql_and_pyspark_developement__spark.operators.quality import (
-        in_range,
-        matches,
-        not_null,
+        lineitem_checks,
         validate,
     )
 
     li = table(spark, sf_dir, "lineitem")
-    checks = [
-        not_null("l_orderkey"),
-        not_null("l_shipdate"),
-        in_range("l_discount", 0.0, 0.5),
-        in_range("l_quantity", 1.0, 50.0),
-        in_range("l_extendedprice", 0.0, 200000.0),
-        matches("l_returnflag", "^[ANR]$"),
-    ]
-    return validate(li, checks).orderBy("check_name")
+    return validate(li, lineitem_checks()).orderBy("check_name")
 
 
 @query("q34_interval_attribution")
@@ -4279,6 +4269,11 @@ def q52_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct per window day — two shuffles total, never a
     per-day self-join or a window over raw facts. Window days are
     clipped to the observed [min, max] day span.
+
+    When the id domain is BOUNDED, q103_rolling_bitmap_distinct is
+    the cheaper form: per-day 63-bit words OR-merge across the window
+    (rows ~ days x id-range/63, independent of membership volume) and
+    the same words answer any window length with one more BIT_OR.
 
     Reference parity: R16's viral-velocity windows count rolling
     reach; R3's churn windows count recently-active users — both are
@@ -7684,4 +7679,132 @@ def q100_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query("t23_bpe_train_iterations")
+def t23_bpe_train_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATED BPE merge training over the corpus — t13 counts ONE
+    merge round; real tokenizer training iterates merge -> re-segment
+    k times, and the merge TABLE (step, lhs, rhs, merged, pair_count)
+    is the artifact a tokenizer ships. Four rounds here, each one
+    pair-keyed shuffle over the distinct-word dictionary + a
+    TakeOrdered(1) + one codegen replace (operators/textstats.
+    bpe_train — the kcore iterative discipline: fixed budget, raise
+    on a dry corpus, per-round localCheckpoint).
+
+    The DuckDB oracle unrolls the same four rounds as staged
+    MATERIALIZED CTEs (q78's pattern): the count/pick/re-segment
+    algebra is identical, so the merge table matches bit-for-bit.
+
+    Reference parity: extends the tokenizer-training inner loop of
+    t13 (pyspark/Content-Based Recommendation Engine.py's token
+    pipelines) to the full iterated trainer.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=4).orderBy("step")
+
+
+@query("q102_observed_quality")
+def q102_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-FLIGHT data-quality observation riding a business rollup —
+    q33 runs validation as its own pass; at 100 TB you can't afford a
+    second scan just to count violations, so this lane attaches q33's
+    SIX expectation counters to the rollup's own scan via
+    df.observe() (CollectMetrics: a handful of longs per task, zero
+    extra jobs). The query's RESULT is the per-returnflag revenue
+    rollup (oracle-verified); the observed counters are asserted
+    equal to q33's validate() output in pytest — same predicates,
+    same counts, one pass.
+
+    Exact integers in the rollup (quantity and 4-decimal revenue ride
+    BIGINT) so the oracle matches bit-for-bit.
+
+    Reference parity: the quality-gate + aggregate pipelines of
+    pyspark/Data Quality Validation.py, fused into one scan.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.quality import (
+        lineitem_checks,
+        observe_checks,
+    )
+
+    li = observe_checks(
+        table(spark, sf_dir, "lineitem"), lineitem_checks()
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("sum_qty"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+                " * 10000, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("revenue_e4"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q103_rolling_bitmap_distinct")
+def q103_rolling_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-7-DAY exact distinct users per day via MERGEABLE
+    bitmap words — the cheaper form of q52's rolling distinct when the
+    id domain is bounded: q52 explodes every (user, day) membership
+    across its window days (rows ~ users x days x 7), while here the
+    per-day words q98 already builds are simply OR-merged across the
+    window (rows ~ days x id-range/63 x 7, INDEPENDENT of how many
+    users repeat). Re-aggregation reuses words — the mergeable
+    property IS the point: the same per-day frame answers 1-day,
+    7-day, 28-day windows with one more BIT_OR each.
+
+    Plan: one (day, bucket) groupBy builds the words, a 7-way
+    sequence explode re-keys each word to the target days it covers,
+    one more BIT_OR + popcount per target day. All integer codegen;
+    the explode factor is the window length, applied to the BOUNDED
+    words frame, never to events.
+    """
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.expr("user_id DIV 63").alias("bucket"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 63 AS INT)) AS BIGINT)"
+            ).alias("bit"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    days = words.select("d").distinct()
+    fanout = words.select(
+        F.expr("explode(sequence(0, 6))").alias("off"),
+        "d",
+        "bucket",
+        "word",
+    ).select(F.expr("date_add(d, off)").alias("d"), "bucket", "word")
+    rolled = (
+        fanout.join(days, "d", "semi")  # windows ending on REAL days only
+        .groupBy("d", "bucket")
+        .agg(F.expr("bit_or(word)").alias("word7"))
+        .groupBy("d")
+        .agg(F.sum(F.expr("bit_count(word7)")).alias("n_distinct_7d"))
+    )
+    daily = words.groupBy("d").agg(
+        F.sum(F.expr("bit_count(word)")).alias("n_distinct_1d")
+    )
+    return (
+        rolled.join(daily, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_distinct_1d",
+            "n_distinct_7d",
+        )
+        .orderBy("day")
     )

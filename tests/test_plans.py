@@ -901,3 +901,58 @@ def test_q101_aqe_splits_skewed_partition(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q102_observation_equals_q33_batch_rollup(spark, sf_dir):
+    """The in-flight counters must equal q33's dedicated validation
+    pass exactly — same predicates, same counts — AND ride the
+    rollup's own scan (one FileScan in the plan, no second job)."""
+    from pyspark.sql import Observation
+
+    from etl_sql_and_pyspark_developement__spark.operators.quality import (
+        lineitem_checks,
+        observe_checks,
+    )
+
+    checks = lineitem_checks()
+    obs = Observation()
+    li = observe_checks(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), checks, obs
+    )
+    rollup = li.groupBy("l_returnflag").count()
+    rollup.collect()  # the business action; counters fall out of it
+    got = obs.get
+    batch = {
+        r.check_name: r.n_violations
+        for r in QUERIES["q33_data_quality"](spark, sf_dir).collect()
+    }
+    assert got["__total"] == sum(
+        r["count"] for r in rollup.collect()
+    )
+    for c in checks:
+        assert got[c.name] == batch[c.name], c.name
+
+    plan = plan_of(spark, "q102_observed_quality", sf_dir)
+    assert plan.count("Scan parquet") == 2  # ONE scan (tree + detail)
+    assert "CollectMetrics" in plan
+
+
+def test_q103_bitmap_window_equals_explode_form(spark, sf_dir):
+    """The OR-merged-words rolling distinct must agree with q52's
+    explode-per-membership form on every day both emit — two
+    independent decompositions of the same trailing-7-day set."""
+    bitmap = {
+        r.day: r.n_distinct_7d
+        for r in QUERIES["q103_rolling_bitmap_distinct"](
+            spark, sf_dir
+        ).collect()
+    }
+    explode_form = {
+        r.day.strftime("%Y-%m-%d") if hasattr(r.day, "strftime") else r.day:
+            r.active_users_7d
+        for r in QUERIES["q52_rolling_distinct"](spark, sf_dir).collect()
+    }
+    shared = set(bitmap) & set(explode_form)
+    assert len(shared) > 0
+    for day in shared:
+        assert bitmap[day] == explode_form[day], day

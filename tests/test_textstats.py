@@ -350,3 +350,66 @@ def test_hash_embed_properties(spark):
         assert abs(norm2 - 1.0) < 1e-3, norm2
     out2 = {r.doc_id: [r[f"d{i:02d}"] for i in range(16)] for r in hash_embed(df).collect()}
     assert out == out2
+
+
+def test_bpe_train_planted_merge_sequence(spark):
+    """Hand-computed 4-merge trainer on 'the the cat': words the(x2),
+    cat(x1). Round 1 pairs (t,h):2 (h,e):2 (c,a):1 (a,t):1 -> tie at 2
+    broken lexicographically -> (h,e). Round 2: (t,he):2. Round 3:
+    (a,t) vs (c,a) at 1 -> (a,t). Round 4: (c,at). Exercises the
+    greedy re-segmentation, the (count, l, r) tie-break, and the
+    prefix-separator representation."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([("the the cat",)], "text STRING")
+    rows = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=4).orderBy("step").collect()
+    ]
+    assert rows == [
+        (1, "h", "e", "he", 2),
+        (2, "t", "he", "the", 2),
+        (3, "a", "t", "at", 1),
+        (4, "c", "at", "cat", 1),
+    ]
+
+
+def test_bpe_train_consecutive_occurrences_both_merge(spark):
+    """The prefix-separator representation must merge BOTH pairs in
+    'abab' ('|a|b|a|b' -> '|ab|ab') — a both-sides-delimited replace
+    would consume the shared boundary and miss the second one. Also
+    pins greedy left-to-right on overlapping runs: 'aaa' -> [aa, a]."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([("abab abab aaa",)], "text STRING")
+    # round 1: pairs (a,b):4, (b,a):2, (a,a):2 -> merge (a,b) cnt 4
+    # round 2: words |ab|ab x2, |a|a|a -> pairs (ab,ab):2, (a,a):2
+    #          -> tie at 2 -> lex: (a,a) < (ab,ab) -> merge (a,a)
+    # round 3: |ab|ab x2, |aa|a -> (ab,ab):2, (aa,a):1 -> (ab,ab)
+    rows = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert rows == [
+        (1, "a", "b", 4),
+        (2, "a", "a", 2),
+        (3, "ab", "ab", 2),
+    ]
+
+
+def test_bpe_train_raises_when_corpus_runs_dry(spark):
+    """Iterative-budget discipline: asking for more merges than the
+    corpus can yield must RAISE, not silently return fewer rows."""
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([("ab ab",)], "text STRING")
+    with pytest.raises(RuntimeError, match="ran dry"):
+        bpe_train(docs, n_merges=2)
