@@ -47,6 +47,12 @@ def build(out: str, n: int, sf: str, tables: list[str]) -> None:
                    o_custkey + c * 10000000 AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM read_parquet('{sf}/orders.parquet'), copies""",
+        "lineitem": """
+            SELECT l_orderkey + c * 100000000 AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{sf}/lineitem.parquet'), copies""",
         "customer": """
             SELECT c_custkey + c * 10000000 AS c_custkey,
                    c_name, c_nationkey, c_acctbal, c_mktsegment
