@@ -45,6 +45,10 @@ _NEEDS_DRIVER_ROW = [
     # OR-merged bitmap rolling distinct
     "q102_observed_quality", "q33_data_quality",
     "t23_bpe_train_iterations", "q103_rolling_bitmap_distinct",
+    # round-6 addition: runtime dynamic-partition-pruning lane
+    "q104_dynamic_partition_pruning",
+    # round-6 addition: A-Res weighted reservoir sample
+    "p21_weighted_reservoir",
 ]
 
 

@@ -439,3 +439,62 @@ def temperature_mix(
         % 1000000
     )
     return df.join(F.broadcast(rates), group_col).filter(bucket < F.col("rate_ppm"))
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement via the A-Res order
+    statistic (Efraimidis & Spirakis 2006): each row gets an
+    exponential race score s = -ln(u) / w with u a DETERMINISTIC
+    md5 uniform in strictly-(0,1) (the +1/1000001 form — u=1 would
+    score an unweighted 0 and beat any weight), and the k SMALLEST
+    scores ARE the sample — inclusion probability proportional to
+    weight, no replacement, no sequential reservoir.
+
+    This is the weighted twin of p15's systematic PPS with a
+    different distribution contract: PPS fixes per-stratum counts;
+    A-Res draws one global sample whose composition is itself random
+    (but deterministic here via md5) — the form that MERGES: the
+    global top-k equals the top-k of any partition-wise top-k union
+    (split-invariance tested), so a 100 TB corpus samples as
+    per-partition TakeOrdered(k) + a k-sized driver merge, zero
+    shuffles of the frame itself.
+
+    p03/p07's md5 discipline: every engine and every re-run agrees.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"res:{seed}:"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+            + 1
+        ).cast("double")
+        / F.lit(1000001.0)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            (-F.log(u) / F.col(weight_col).cast("double")).alias("score"),
+        )
+        .orderBy("score", id_col)
+        .limit(k)
+    )

@@ -879,6 +879,12 @@ def bpe_train(
             F.desc("pair_count"), "l", "r"
         ).limit(1).collect()
         if not top:
+            if step == 1:
+                # Empty dictionary (every length>=2 word starts with
+                # >=1 pair, so no pairs at step 1 means NO words):
+                # "trained on nothing" is an empty merge table, not an
+                # error — the empty-input contract every query keeps.
+                break
             raise RuntimeError(
                 f"bpe_train: corpus ran dry after {step - 1} merges "
                 f"(asked for {n_merges}); lower n_merges or grow the "

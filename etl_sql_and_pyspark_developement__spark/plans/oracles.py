@@ -6192,3 +6192,46 @@ SELECT strftime(r.d, '%Y-%m-%d') AS day,
 FROM rolled r JOIN daily dd ON r.d = dd.d
 ORDER BY day
 """
+
+# q104: pruning changes IO, never values — plain busy-days join rollup
+# derived from flat events (the artifact IS events + a day column).
+ORACLES["q104_dynamic_partition_pruning"] = """
+WITH dim AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_day
+),
+mx AS (SELECT max(n_users) AS max_users FROM dim),
+busy AS (
+    SELECT event_day, n_users FROM dim, mx
+    WHERE 10 * n_users >= 8 * max_users
+),
+fact AS (SELECT strftime(ts, '%Y-%m-%d') AS event_day FROM events)
+SELECT f.event_day,
+       CAST(count(*) AS BIGINT) AS n_events_on_day,
+       CAST(max(b.n_users) AS BIGINT) AS n_users
+FROM fact f JOIN busy b ON f.event_day = b.event_day
+GROUP BY f.event_day
+ORDER BY f.event_day
+"""
+
+# p21: identical md5-rational uniforms, identical -ln(u)/w doubles,
+# identical (score, id) order; floor-ppb output (rounding-mode-free).
+ORACLES["p21_weighted_reservoir"] = """
+WITH scored AS (
+    SELECT doc_id,
+           n_chars AS weight,
+           -ln((CAST(('0x' || substr(md5('res:7:'
+                       || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                % 1000000 + 1) / 1000001.0)
+               / CAST(n_chars AS DOUBLE) AS score
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id,
+       weight,
+       CAST(floor(score * 1000000000) AS BIGINT) AS score_ppb
+FROM scored
+ORDER BY score, doc_id
+LIMIT 50
+"""

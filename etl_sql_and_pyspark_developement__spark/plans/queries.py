@@ -7808,3 +7808,75 @@ def q103_rolling_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query("q104_dynamic_partition_pruning")
+def q104_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING over the day-partitioned events lake
+    — q97 prunes on a LITERAL day predicate; the production query
+    selects days by ATTRIBUTE ("the busy days") through a dim join,
+    and only a RUNTIME subquery can turn that into partition pruning:
+    Spark evaluates the dim side first (reusing its broadcast) and
+    skips the fact partitions whose event_day never joins — zero IO
+    for quiet days, no literal day list anywhere.
+
+    Shape requirements (measured, each pinned by the plan test): the
+    dim filter must be a plain column COMPARISON over one scanned
+    relation (io.day_dim_artifact denormalizes the corpus max so
+    '10*n_users >= 8*max_users' is scale-free AND likely-selective —
+    a bare boolean column or a cross-relation comparison makes DPP
+    decline), and the join key must be the fact's PARTITION column.
+
+    The oracle is the plain join rollup over flat events — pruning
+    changes IO, never values (q97/q100/q101's discipline).
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        day_dim_artifact,
+        partitioned_events_artifact,
+    )
+
+    fact = partitioned_events_artifact(spark, sf_dir)
+    busy = day_dim_artifact(spark, sf_dir).filter(
+        F.expr("10 * n_users >= 8 * max_users")
+    )
+    return (
+        fact.join(busy.select("event_day", "n_users"), "event_day")
+        .groupBy("event_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_on_day"),
+            F.max("n_users").alias("n_users"),
+        )
+        .orderBy("event_day")
+    )
+
+
+@query("p21_weighted_reservoir")
+def p21_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED corpus sample (50 docs, probability ~ length) via the
+    A-Res order statistic (operators/sampling.weighted_reservoir) —
+    the one-pass weighted-without-replacement draw a curation
+    pipeline uses to eyeball or evaluate a corpus without loading it:
+    p15's PPS fixes per-stratum counts; this draws one global sample
+    whose k smallest exponential-race scores are provably
+    weight-proportional, and whose top-k MERGES across partitions
+    (split-invariance pytest-asserted) — at 100 TB it is
+    per-partition TakeOrdered + a k-row driver merge, no shuffle.
+
+    Scores emitted as exact floor-ppb integers (floor is
+    rounding-mode-free on both engines; both compute ln on the SAME
+    md5-rational doubles).
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_reservoir(
+        docs, "n_chars", 50, id_col="doc_id", seed=7
+    ).select(
+        "doc_id",
+        "weight",
+        F.expr("CAST(floor(score * 1000000000) AS BIGINT)").alias(
+            "score_ppb"
+        ),
+    )

@@ -444,6 +444,42 @@ def minhash_pairs_artifact(
     )
 
 
+def day_dim_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> DataFrame:
+    """Staged per-day calendar/dim table over events: (event_day,
+    n_users, n_events, max_users) — the small dimension a lake keeps
+    beside a day-partitioned fact so queries can select days by
+    ATTRIBUTE ("busy days", "release days") instead of by literal
+    ranges. max_users is denormalized onto every row at build time so
+    a scale-free selectivity filter (10*n_users >= 8*max_users) is a
+    plain column COMPARISON over one scan — the shape Spark's
+    dynamic-partition-pruning rule recognizes as a selective
+    predicate (a bare boolean column or a cross-relation comparison
+    is not "likely selective" and DPP declines — measured).
+    Commit/caching contract: see _staged_artifact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(s: SparkSession) -> DataFrame:
+        ev = s.read.parquet(src)
+        per_day = ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day")
+        ).agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        mx = per_day.agg(F.max("n_users").alias("max_users"))
+        return per_day.crossJoin(F.broadcast(mx))
+
+    return _staged_artifact(spark, "day_dim", src, "v=1", build, artifact_dir)
+
+
 def bucketed_join_tables(
     spark: SparkSession,
     sf_dir: str,

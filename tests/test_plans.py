@@ -956,3 +956,26 @@ def test_q103_bitmap_window_equals_explode_form(spark, sf_dir):
     assert len(shared) > 0
     for day in shared:
         assert bitmap[day] == explode_form[day], day
+
+
+def test_q104_dynamic_pruning_reaches_partition_filters(spark, sf_dir):
+    """The busy-days dim join must prune fact partitions at RUNTIME:
+    a dynamicpruningexpression on event_day must appear in the fact
+    scan's PartitionFilters (DPP declines on bare-boolean or
+    cross-relation dim filters — the artifact's denormalized
+    max_users keeps the filter a one-relation comparison)."""
+    plan = plan_of(spark, "q104_dynamic_partition_pruning", sf_dir)
+    assert "dynamicpruningexpression" in plan.lower()
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "dynamicpruning" in seg.lower(), (
+        "the runtime filter must land on the PARTITION column"
+    )
+
+
+def test_p21_reservoir_is_takeordered_no_shuffle(spark, sf_dir):
+    """A-Res sampling must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge) with ZERO Exchange — the no-shuffle
+    execution shape that makes it viable over a 100 TB corpus."""
+    plan = plan_of(spark, "p21_weighted_reservoir", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -416,3 +416,35 @@ def test_temperature_mix_rebalances_and_is_deterministic(spark, sf_dir):
     # deterministic: identical kept set on re-run
     again = temperature_mix(docs, "doc_id", "lang", budget_divisor=2)
     assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in rows)
+
+
+def test_weighted_reservoir_merges_and_prefers_heavy(spark):
+    """A-Res contract: (1) split-invariance — the global top-k equals
+    the top-k of the union of per-half top-ks (the property that makes
+    it per-partition TakeOrdered + k-row merge at scale); (2) an
+    extremely heavy row is sampled (score <= 13.8/w ~ 1.4e-11 beats
+    any weight-1 row, whose u < 1 strictly keeps scores > 0);
+    (3) deterministic across runs."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    rows = [(i, 1) for i in range(100)] + [(1000, 10**12)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, w BIGINT")
+    got = weighted_reservoir(df, "w", 10, id_col="doc_id").collect()
+    ids = [r.doc_id for r in got]
+    assert len(ids) == 10
+    assert 1000 in ids, "the ~1e12-weight row must be in the sample"
+    assert ids == [
+        r.doc_id for r in weighted_reservoir(df, "w", 10, id_col="doc_id").collect()
+    ], "must be deterministic"
+
+    halves = [df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")]
+    merged = (
+        weighted_reservoir(halves[0], "w", 10, id_col="doc_id")
+        .unionAll(weighted_reservoir(halves[1], "w", 10, id_col="doc_id"))
+        .orderBy("score", "doc_id")
+        .limit(10)
+        .collect()
+    )
+    assert [r.doc_id for r in merged] == ids, "top-k must merge"
