@@ -1160,3 +1160,95 @@ def streaming_bitmap_distinct(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+RES_OUTPUT_SCHEMA = (
+    "source string, doc_id bigint, weight bigint, score_ppb bigint, "
+    "n_seen bigint"
+)
+RES_STATE_SCHEMA = (
+    "ids array<bigint>, weights array<bigint>, scores array<double>, "
+    "n bigint"
+)
+
+_RES_K = 10
+
+
+def _res_score(doc_id: int, weight: int) -> float:
+    """p21's A-Res exponential race score, computed on the SAME
+    md5-rational uniform the batch operator uses (strictly inside
+    (0,1): u = (m+1)/1000001 — u = 1 would score 0 and beat any
+    weight)."""
+    import hashlib
+
+    m = (
+        int(hashlib.md5(f"res:7:{doc_id}".encode()).hexdigest()[:6], 16)
+        % 1000000
+    )
+    return -math.log((m + 1) / 1000001.0) / weight
+
+
+def _res_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (source,) = key
+    if state.exists:
+        ids, weights, scores, n = state.get
+        triples = list(zip(scores, ids, weights))
+    else:
+        triples, n = [], 0
+    for pdf in pdfs:
+        for did, w in zip(pdf["doc_id"], pdf["n_chars"]):
+            did, w = int(did), int(w)
+            if w <= 0:
+                continue
+            n += 1
+            triples.append((_res_score(did, w), did, w))
+    # Min-k of the (score, id, weight) SET: associative, commutative,
+    # idempotent — any batch split, arrival order, or replay converges
+    # to the same k triples (the st27 algebra, weighted).
+    triples = sorted(set(triples))[:_RES_K]
+    state.update(
+        (
+            [t[1] for t in triples],
+            [t[2] for t in triples],
+            [t[0] for t in triples],
+            n,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "source": [source] * len(triples),
+            "doc_id": [t[1] for t in triples],
+            "weight": [t[2] for t in triples],
+            "score_ppb": [int(math.floor(t[0] * 1_000_000_000)) for t in triples],
+            "n_seen": [n] * len(triples),
+        }
+    )
+
+
+def streaming_weighted_reservoir(docs: DataFrame) -> DataFrame:
+    """st32: streaming WEIGHTED sample per source — p21's A-Res order
+    statistic maintained as keyed state (st27's bottom-k, weighted):
+    each arriving document's exponential race score -ln(u)/w uses the
+    same md5-rational uniform as the batch operator, and the state
+    keeps the k smallest (score, id, weight) triples. Min-k over a
+    set is associative/commutative/idempotent, so the live sample
+    equals the batch weighted_reservoir over everything ingested —
+    under ANY batch split, arrival order, or replay (parity tested
+    under two splits against the batch operator per source).
+
+    The curation use: a live, length-weighted 'what does this
+    source's ingest look like' peek whose inclusion probabilities
+    match the batch pipeline's sampling exactly — no separate
+    sampling logic to drift. State: k triples + one counter per
+    source, bounded for any stream length."""
+    return docs.select("source", "doc_id", "n_chars").groupBy(
+        "source"
+    ).applyInPandasWithState(
+        _res_update,
+        RES_OUTPUT_SCHEMA,
+        RES_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

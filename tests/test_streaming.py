@@ -1931,3 +1931,78 @@ def test_st31_streaming_bitmap_distinct_matches_batch(
         .collect()
     }
     assert got == want, "streaming bitmap distinct must equal batch exactly"
+
+
+def test_st32_weighted_reservoir_equals_batch_any_split(
+    spark, sf_dir, tmp_path
+):
+    """Min-k over (score, id, weight) triples is a set-fold, so the
+    streaming weighted sample must equal batch weighted_reservoir
+    per source — under two DIFFERENT micro-batch splits. Scores are
+    compared at floor-ppb (identical md5-rational uniforms; Python
+    and JVM ln agree on them — a disagreement would fail here)."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_reservoir,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _RES_K,
+        streaming_weighted_reservoir,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    def run(splits, name):
+        src = tmp_path / name
+        src.mkdir()
+        for i, (lo, hi) in enumerate(splits):
+            docs.filter(
+                (F.col("doc_id") % 100 >= lo) & (F.col("doc_id") % 100 < hi)
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_weighted_reservoir(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"{name}_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            f"SELECT * FROM (SELECT *, max(n_seen) OVER "
+            f"(PARTITION BY source) AS mx FROM {name}_out) "
+            f"WHERE n_seen = mx"
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.source, set()).add(
+                (r.doc_id, r.weight, r.score_ppb)
+            )
+        return out
+
+    a = run([(0, 30), (30, 60), (60, 100)], "st32a")
+    b = run([(0, 80), (80, 90), (90, 100)], "st32b")
+    assert a == b, "sample must be split-invariant"
+
+    for source in [r.source for r in docs.select("source").distinct().collect()]:
+        batch = weighted_reservoir(
+            docs.filter(F.col("source") == source),
+            "n_chars",
+            _RES_K,
+            id_col="doc_id",
+        ).select(
+            "doc_id",
+            "weight",
+            F.expr("CAST(floor(score * 1000000000) AS BIGINT)").alias(
+                "score_ppb"
+            ),
+        )
+        want = {(r.doc_id, r.weight, r.score_ppb) for r in batch.collect()}
+        assert a[source] == want, f"streaming != batch for {source}"
