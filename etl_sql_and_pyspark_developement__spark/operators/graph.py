@@ -17,10 +17,10 @@ found exactly once, and the wedge fan-out of a hub collapses from d²
 to at most m. Both steps are plain equi-join shuffles; nothing is
 collected.
 
-Reference scope: the reference's co-watch / co-engagement analyses
-(pyspark/Content Consumption Pattern Mining.py) stop at pairwise
-counts; triangle closure is the 3-way generalization a recommender's
-"tight community" signal needs.
+Reference scope: the reference's co-watch / network analyses
+(pyspark/Social Network Effects on Content Virality.py) stop at
+pairwise counts; triangle closure is the 3-way generalization a
+recommender's "tight community" signal needs.
 """
 
 from __future__ import annotations

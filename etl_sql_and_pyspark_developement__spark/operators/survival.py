@@ -21,7 +21,7 @@ Here the log term is only defined where d < n, and a prefix-max "dead"
 flag pins survival to 0.0 from the first fully-churned bucket onward.
 
 Reference parity: extends the churn lens of
-pyspark/Customer Churn Risk Scoring.py (binary churn flags) to the
+pyspark/Churn Prediction and Risk Analysis.py (binary churn flags) to the
 full censoring-aware time-to-event distribution.
 """
 

@@ -22,12 +22,10 @@ normalization bounds come from a 1-row aggregate broadcast back onto
 the scan (never collected through the driver beyond Spark's own
 range-boundary sampling).
 
-Reference scope: the reference repo's partition-by-date writes
-(pyspark/Data Engineering Pipeline for Viewing Analytics.py —
-partitioned fact layout) cluster on ONE key; this operator is the
-multi-dimension generalization its cost-optimization queries
-(Infrastructure Cost Optimization by Content Type.py) would want for
-content_type × region scans.
+Reference scope: the reference's analyses cluster/partition on ONE
+key at a time; this operator is the multi-dimension generalization
+its cost-optimization queries (SQL/Infrastructure Cost Optimization
+by Content Type.txt) would want for content_type × region scans.
 """
 
 from __future__ import annotations

@@ -5116,10 +5116,10 @@ def q70_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     win a single-column sort cannot deliver (it leaves the other
     dim's span at full width).
 
-    The reference's layout story is single-key partitioned writes
-    (pyspark/Data Engineering Pipeline for Viewing Analytics.py);
-    this is the two-dimension generalization its content_type ×
-    region cost scans want.
+    The reference's cost scans filter on content_type × region
+    (SQL/Infrastructure Cost Optimization by Content Type.txt);
+    this is the two-dimension layout those scans want — a single-key
+    sort leaves the other dimension's span at full width.
 
     Scale: the z-value is one whole-stage-codegen integer projection
     (operators/zorder.py — DIV/%/× by power-of-two literals, no
@@ -6588,7 +6588,7 @@ def q88_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-data unit test asserts a hand-computed curve.
 
     Reference parity: extends the churn lens of
-    pyspark/Customer Churn Risk Scoring.py (binary churn flags) to the
+    pyspark/Churn Prediction and Risk Analysis.py (binary churn flags) to the
     full time-to-event distribution.
     """
     from etl_sql_and_pyspark_developement__spark.operators.survival import (
@@ -6769,8 +6769,9 @@ def q91_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions), the island groupBy is decomposable. The self-join
     formulation this replaces is quadratic per user.
 
-    Reference parity: the session-coverage arithmetic of
-    pyspark/Content Session Analysis.py, without its event-pair join.
+    Reference parity: the session-coverage arithmetic behind
+    pyspark/Binge-Watching Behavior Analysis.py's viewing sessions,
+    without its event-pair join.
     """
     ev = table(spark, sf_dir, "events")
     iv = ev.select(
@@ -7698,8 +7699,9 @@ def t23_bpe_train_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra is identical, so the merge table matches bit-for-bit.
 
     Reference parity: extends the tokenizer-training inner loop of
-    t13 (pyspark/Content-Based Recommendation Engine.py's token
-    pipelines) to the full iterated trainer.
+    t13's one-round merge counting (itself a corpus-pipeline
+    extension beyond the reference's 20 workloads) to the full
+    iterated trainer.
     """
     from etl_sql_and_pyspark_developement__spark.operators.textstats import (
         bpe_train,
@@ -7724,8 +7726,10 @@ def q102_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers in the rollup (quantity and 4-decimal revenue ride
     BIGINT) so the oracle matches bit-for-bit.
 
-    Reference parity: the quality-gate + aggregate pipelines of
-    pyspark/Data Quality Validation.py, fused into one scan.
+    Reference parity: the reference's analytics (e.g.
+    pyspark/User Engagement Funnel Analysis.py) aggregate raw event
+    tables and implicitly assume clean inputs — this lane is that
+    assumption made checkable without a second scan.
     """
     from etl_sql_and_pyspark_developement__spark.operators.quality import (
         lineitem_checks,
