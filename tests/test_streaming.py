@@ -2006,3 +2006,89 @@ def test_st32_weighted_reservoir_equals_batch_any_split(
         )
         want = {(r.doc_id, r.weight, r.score_ppb) for r in batch.collect()}
         assert a[source] == want, f"streaming != batch for {source}"
+
+
+def test_st32_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Fault-tolerance contract: stop the query after the first
+    micro-batches, START A NEW QUERY on the same checkpoint with MORE
+    data, and the recovered state must continue the fold — the final
+    sample still equals batch weighted_reservoir over everything
+    (state-store round trip, not just in-memory accumulation)."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        weighted_reservoir,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        _RES_K,
+        streaming_weighted_reservoir,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    out_dir = str(tmp_path / "restart_out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+        def sink(bdf, epoch_id):
+            # memory sinks cannot recover from a checkpoint; a
+            # foreachBatch parquet append is the restartable form
+            bdf.write.mode("append").parquet(out_dir)
+
+        return (
+            streaming_weighted_reservoir(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Phase 1: first half of the corpus, then a clean stop.
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b0"))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # Phase 2: new query object, same checkpoint, rest of the corpus.
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b1"))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.read.parquet(out_dir)
+    emitted.createOrReplaceTempView("st32_restart_out")
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, max(n_seen) OVER "
+        "(PARTITION BY source) AS mx FROM st32_restart_out) "
+        "WHERE n_seen = mx"
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.source, set()).add(
+            (r.doc_id, r.weight, r.score_ppb)
+        )
+    for source in [r.source for r in docs.select("source").distinct().collect()]:
+        batch = weighted_reservoir(
+            docs.filter(F.col("source") == source),
+            "n_chars",
+            _RES_K,
+            id_col="doc_id",
+        ).select(
+            "doc_id",
+            "weight",
+            F.expr("CAST(floor(score * 1000000000) AS BIGINT)").alias(
+                "score_ppb"
+            ),
+        )
+        want = {(r.doc_id, r.weight, r.score_ppb) for r in batch.collect()}
+        assert got[source] == want, (
+            f"recovered state must continue the fold for {source}"
+        )
