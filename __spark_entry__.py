@@ -49,6 +49,8 @@ _NEEDS_DRIVER_ROW = [
     "q104_dynamic_partition_pruning",
     # round-6 addition: A-Res weighted reservoir sample
     "p21_weighted_reservoir",
+    # round-6 addition: Python Data Source API connector surface
+    "q105_python_datasource",
 ]
 
 

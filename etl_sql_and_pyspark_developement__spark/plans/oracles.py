@@ -6235,3 +6235,31 @@ FROM scored
 ORDER BY score, doc_id
 LIMIT 50
 """
+
+# q105: the Python data source generates md5('synth:<i>') arithmetic
+# per row index — DuckDB replays the whole table from generate_series
+# (langs via %5, tokens via hex[7..10], score via hex[11..16]).
+ORACLES["q105_python_datasource"] = """
+WITH ids AS (
+    SELECT unnest(range(0, (SELECT count(*) * 2 FROM documents))) AS i
+),
+rows_src AS (
+    SELECT i AS doc_id,
+           ['en', 'de', 'fr', 'es', 'und'][
+               CAST(CAST(('0x' || substr(md5('synth:' || i), 1, 6))
+                    AS BIGINT) % 5 AS INTEGER) + 1] AS lang,
+           20 + CAST(('0x' || substr(md5('synth:' || i), 7, 4))
+                AS BIGINT) % 481 AS n_tokens,
+           CAST(('0x' || substr(md5('synth:' || i), 11, 6))
+                AS BIGINT) % 1000000 AS score_ppm
+    FROM ids
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(score_ppm) AS BIGINT) AS max_score_ppm,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+FROM rows_src
+GROUP BY lang
+ORDER BY lang
+"""

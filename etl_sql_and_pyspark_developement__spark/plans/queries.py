@@ -7884,3 +7884,44 @@ def p21_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_ppb"
         ),
     )
+
+
+@query("q105_python_datasource")
+def q105_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE surface (Spark 4 Python Data Source
+    API, sources/pyds.py): a deterministic synthetic-documents
+    generator registered as a real format and read with PARTITIONED
+    parallelism (8 generator slices scheduled like any scan) — the
+    "bespoke connector without a JVM jar" capability, sized to the
+    corpus (n = 2x the documents table so the lane scales with sf).
+    Every generated field is md5 arithmetic on the row index, so the
+    DuckDB oracle replays the entire table from generate_series and
+    the rollup matches bit-for-bit — the source is VERIFIED, not just
+    demonstrated.
+
+    Integration surface, not a hot path (rows cross the Python
+    worker boundary — right for simulation/backfill/prototyping,
+    wrong for a 100 TB scan; the parquet lanes are the hot path).
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    n = table(spark, sf_dir, "documents").count() * 2
+    synth = (
+        spark.read.format("graft_synth_docs")
+        .option("n", str(n))
+        .option("parts", "8")
+        .load()
+    )
+    return (
+        synth.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("score_ppm").alias("max_score_ppm"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )

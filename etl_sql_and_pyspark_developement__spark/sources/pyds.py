@@ -1,0 +1,78 @@
+"""Custom PYTHON DATA SOURCE (Spark 4 Python Data Source API): a
+deterministic synthetic-documents generator registered as a real
+DataSource V2 format — the "write a connector without a JVM jar"
+surface a reference user migrating a bespoke feed needs. The reader
+declares PARTITIONS, so Spark schedules the generation across
+executors like any other scan (parallelism asserted in tests), and
+every column is md5 arithmetic on the row index — the p03/p07
+determinism discipline — so a DuckDB oracle replays the whole "table"
+from generate_series bit-for-bit.
+
+This is an integration/simulation surface, not a hot path: rows cross
+the Python worker boundary (the API's contract), which is exactly
+right for test corpora, backfill simulation, and connector prototyping
+— and exactly wrong for a 100 TB scan (use parquet). The docstring is
+the warning label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SYNTH_DOCS_SCHEMA = (
+    "doc_id BIGINT, lang STRING, n_tokens BIGINT, score_ppm BIGINT"
+)
+
+_LANGS = ["en", "de", "fr", "es", "und"]
+
+
+def synth_doc_row(i: int) -> tuple:
+    """The generator kernel, importable so tests and oracles can
+    replay it: every field is md5('synth:<i>') arithmetic."""
+    import hashlib
+
+    h = hashlib.md5(f"synth:{i}".encode()).hexdigest()
+    return (
+        i,
+        _LANGS[int(h[:6], 16) % 5],
+        20 + int(h[6:10], 16) % 481,
+        int(h[10:16], 16) % 1000000,
+    )
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        per = (self.n + self.parts - 1) // self.parts
+        return [
+            InputPartition((lo, min(lo + per, self.n)))
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield synth_doc_row(i)
+
+
+class SynthDocsDataSource(DataSource):
+    """spark.read.format("graft_synth_docs").option("n", ...)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_synth_docs"
+
+    def schema(self) -> str:
+        return SYNTH_DOCS_SCHEMA
+
+    def reader(self, schema):
+        return SynthDocsReader(self.options)
+
+
+def register_python_sources(spark: SparkSession) -> None:
+    """Idempotent registration of the engine's Python data sources."""
+    spark.dataSource.register(SynthDocsDataSource)

@@ -386,3 +386,27 @@ def test_minhash_pairs_artifact_builds_once_and_shares(
     assert minhash_pairs_artifact(spark, sf_dir).count() == n
     for key in ("d06_dedup_components", "d15_quality_keeper"):
         assert QUERIES[key](spark, sf_dir).count() > 0
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The Python Data Source must (1) schedule its declared generator
+    slices as real scan partitions (parallelism, not a driver loop),
+    (2) generate identically across reads, and (3) match the
+    importable row kernel bit-for-bit."""
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        register_python_sources,
+        synth_doc_row,
+    )
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("graft_synth_docs")
+        .option("n", "100")
+        .option("parts", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [synth_doc_row(i) for i in range(100)]
+    again = sorted(tuple(r) for r in df.collect())
+    assert rows == again, "generator must be deterministic"
