@@ -18,7 +18,12 @@ the warning label.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYNTH_DOCS_SCHEMA = (
     "doc_id BIGINT, lang STRING, n_tokens BIGINT, score_ppm BIGINT"
@@ -76,3 +81,61 @@ class SynthDocsDataSource(DataSource):
 def register_python_sources(spark: SparkSession) -> None:
     """Idempotent registration of the engine's Python data sources."""
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthEventsStreamDataSource)
+
+
+SYNTH_EVENTS_SCHEMA = "event_id BIGINT, bucket BIGINT, cents BIGINT"
+
+
+def synth_event_row(i: int) -> tuple:
+    """The stream generator kernel, importable so tests replay the
+    exact rows the source emitted: md5('sev:<i>') arithmetic."""
+    import hashlib
+
+    h = hashlib.md5(f"sev:{i}".encode()).hexdigest()
+    return (i, int(h[:6], 16) % 5, int(h[6:12], 16) % 100000)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch stream: offset = the next row index;
+    each trigger emits up to rows_per_batch rows until stop_at.
+    readBetweenOffsets replays any committed range exactly (the
+    recovery contract: a restarted query re-reads the uncommitted
+    range and gets the SAME rows)."""
+
+    def __init__(self, options: dict):
+        self.rate = int(options.get("rows_per_batch", 20))
+        self.stop_at = int(options.get("stop_at", 200))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.rate, self.stop_at)
+        return (
+            iter([synth_event_row(i) for i in range(lo, hi)]),
+            {"i": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [synth_event_row(i) for i in range(start["i"], end["i"])]
+        )
+
+
+class SynthEventsStreamDataSource(DataSource):
+    """spark.readStream.format("graft_synth_stream")... — the
+    STREAMING half of the Python Data Source API: a deterministic
+    replayable event feed for simulation and streaming tests at any
+    rate, with exact offset-range replay for checkpoint recovery."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_synth_stream"
+
+    def schema(self) -> str:
+        return SYNTH_EVENTS_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)

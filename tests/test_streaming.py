@@ -2092,3 +2092,54 @@ def test_st32_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
         assert got[source] == want, (
             f"recovered state must continue the fold for {source}"
         )
+
+
+def test_st33_python_stream_source_exact_totals(spark, tmp_path):
+    """The streaming Python Data Source must deliver EXACTLY the
+    kernel's rows — per-bucket counts and cent totals equal a direct
+    replay of synth_event_row over [0, stop_at), no loss, no dupes —
+    across multiple micro-batches (rate < stop_at forces several)."""
+    import time
+
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        register_python_sources,
+        synth_event_row,
+    )
+
+    register_python_sources(spark)
+    stop_at = 200
+    stream = (
+        spark.readStream.format("graft_synth_stream")
+        .option("rows_per_batch", "25")
+        .option("stop_at", str(stop_at))
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("st33_out")
+        .option("checkpointLocation", str(tmp_path / "st33_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.sql("SELECT sum(n) AS t FROM st33_out").collect()
+            if rows and rows[0].t == stop_at:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        r.bucket: (r.n, r.total_cents)
+        for r in spark.sql("SELECT * FROM st33_out").collect()
+    }
+    want = {}
+    for i in range(stop_at):
+        _, b, c = synth_event_row(i)
+        n, t = want.get(b, (0, 0))
+        want[b] = (n + 1, t + c)
+    assert got == want, "stream must equal the kernel replay exactly"
