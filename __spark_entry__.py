@@ -51,6 +51,8 @@ _NEEDS_DRIVER_ROW = [
     "p21_weighted_reservoir",
     # round-6 addition: Python Data Source API connector surface
     "q105_python_datasource",
+    # round-6 addition: incremental index-vs-delta ingestion dedup
+    "d22_incremental_dedup",
 ]
 
 

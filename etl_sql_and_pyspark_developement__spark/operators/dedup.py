@@ -1318,3 +1318,88 @@ def containment_pairs(
         )
     )
     return scored.filter(F.col("containment_ppm") >= threshold_ppm)
+
+
+def delta_dedup_matches(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    base_bands: DataFrame | None = None,
+) -> DataFrame:
+    """INDEX-vs-DELTA near-dup matching — the INCREMENTAL ingestion
+    shape: a new batch (delta) is screened against an already-ingested
+    corpus (base) whose LSH band index was built ONCE (pass
+    `base_bands`, e.g. io.minhash_index_artifact's committed table;
+    omitted, it is computed here). minhash_lsh_pairs answers "which
+    pairs inside ONE corpus are near-dups"; this answers the
+    production question "which of today's documents are near-dups of
+    anything we already have" WITHOUT touching the base corpus's
+    signatures again.
+
+    Scale shape: the delta side (small) is signed fresh; candidates
+    are one equi-join of delta bands against the index; and the exact
+    Jaccard verify SHINGLES ONLY THE BASE DOCS THAT MATCHED A BAND
+    (semi-join before shingling) — base-side verify work is
+    proportional to candidate count, not corpus size. Returns
+    (delta_doc, base_doc, jaccard) for verified matches.
+    """
+    sh_d = _materialize(shingle_df(delta, id_col, text_col, n))
+    if base_bands is None:
+        sh_b_full = shingle_df(base, id_col, text_col, n)
+        base_bands = _banded(
+            _with_base_fingerprint(sh_b_full).groupBy("doc").agg(*_minhash_aggs())
+        )
+    delta_bands = _banded(
+        _with_base_fingerprint(sh_d).groupBy("doc").agg(*_minhash_aggs())
+    )
+    cand = (
+        delta_bands.alias("d")
+        .join(
+            base_bands.alias("b"),
+            (F.col("d.band_id") == F.col("b.band_id"))
+            & (F.col("d.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("d.doc").alias("delta_doc"),
+            F.col("b.doc").alias("base_doc"),
+        )
+        .distinct()
+    )
+    cand = _materialize(cand)
+    # Verify-side base shingles: ONLY candidate base docs.
+    base_needed = base.join(
+        cand.select(F.col("base_doc").alias(id_col)).distinct(),
+        id_col,
+        "semi",
+    )
+    sh_b = _materialize(shingle_df(base_needed, id_col, text_col, n))
+    sizes_d = sh_d.groupBy("doc").agg(F.count("*").alias("n_d"))
+    sizes_b = sh_b.groupBy("doc").agg(F.count("*").alias("n_b"))
+    inter = (
+        cand.join(sh_d.withColumnRenamed("doc", "delta_doc"), "delta_doc")
+        .join(
+            sh_b.withColumnRenamed("doc", "base_doc"),
+            ["base_doc", "shingle"],
+        )
+        .groupBy("delta_doc", "base_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes_d.withColumnRenamed("doc", "delta_doc"), "delta_doc"
+        )
+        .join(sizes_b.withColumnRenamed("doc", "base_doc"), "base_doc")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_d") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_doc", "base_doc", "jaccard")
+    )

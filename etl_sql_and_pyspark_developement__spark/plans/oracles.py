@@ -2058,7 +2058,9 @@ ORACLES["d04_dedup_simhash"] = _d04_oracle()
 # same two 32-bit halves, same 128 (a1*hi + a2*lo + b) mod p mixes,
 # same band-tuple keys, same Jaccard verification — so even the
 # probabilistic LSH path is value-verified (pattern of d04/d08/s02).
-def _minhash_pairs_sql(threshold: float) -> str:
+def _minhash_pairs_sql(
+    threshold: float, cand_cond: str = "a.doc < b.doc"
+) -> str:
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         N_BANDS,
         N_MINHASH,
@@ -2113,7 +2115,7 @@ cand AS (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM banded a
     JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                 AND a.doc < b.doc
+                 AND ({cand_cond})
 ),
 sizes AS (
     SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
@@ -6263,3 +6265,24 @@ FROM rows_src
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# d22: the same minhash machinery with the candidate join flipped to
+# delta-vs-base (doc_a = the new batch, doc_b = the ingested corpus);
+# best match per delta doc by (jaccard DESC, base id ASC).
+def _d22_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_sql(0.5, cand_cond="a.doc % 10 = 7 AND b.doc % 10 != 7")},
+best AS (
+    SELECT doc_a AS delta_doc, doc_b AS base_doc, jaccard,
+           row_number() OVER (PARTITION BY doc_a
+               ORDER BY jaccard DESC, doc_b) AS rnk
+    FROM verified
+)
+SELECT delta_doc, base_doc, jaccard
+FROM best WHERE rnk = 1
+ORDER BY delta_doc
+"""
+
+
+ORACLES["d22_incremental_dedup"] = _d22_oracle()

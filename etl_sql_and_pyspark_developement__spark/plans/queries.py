@@ -7925,3 +7925,52 @@ def q105_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("d22_incremental_dedup")
+def d22_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the production question d03
+    cannot answer: "which of TODAY'S documents are near-dups of
+    anything ALREADY INGESTED", without re-signing the corpus. The
+    base corpus's LSH band index is a build-once artifact
+    (io.minhash_index_artifact); the delta batch (doc_id % 10 = 7 —
+    the held-out tenth standing in for today's crawl) is signed
+    fresh, candidates are ONE equi-join of delta bands against the
+    committed index, and the exact-Jaccard verify shingles ONLY the
+    base docs that matched a band (semi-join first) — verify work
+    proportional to candidates, never to corpus size
+    (operators/dedup.delta_dedup_matches).
+
+    Emits each rejected delta doc with its BEST base match (max
+    jaccard, min base id tie-break) — the admission decision + the
+    evidence. At 100 TB this is the daily-crawl gate: index amortized
+    across every batch, per-batch cost ~ batch size.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        delta_dedup_matches,
+    )
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        minhash_index_artifact,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 7")
+    delta = docs.filter("doc_id % 10 = 7")
+    matches = delta_dedup_matches(
+        base,
+        delta,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        base_bands=minhash_index_artifact(spark, sf_dir),
+    )
+    w = Window.partitionBy("delta_doc").orderBy(
+        F.desc("jaccard"), F.asc("base_doc")
+    )
+    return (
+        matches.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("delta_doc", "base_doc", "jaccard")
+        .orderBy("delta_doc")
+    )

@@ -444,6 +444,50 @@ def minhash_pairs_artifact(
     )
 
 
+def minhash_index_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> DataFrame:
+    """Staged LSH BAND INDEX (doc, band_id, band_hash) of the BASE
+    corpus (documents with doc_id % 10 != 7 — the already-ingested
+    side of the incremental-dedup split): the expensive
+    shingle→sign→band pipeline runs ONCE per corpus snapshot, and
+    every delta batch screens against the committed parquet (d22).
+    The same build-once contract as minhash_pairs_artifact, holding
+    the INDEX instead of the verified pairs — pairs answer batch
+    dedup inside a snapshot; the index answers ingestion dedup
+    against it. Commit/caching contract: see _staged_artifact."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(s: SparkSession) -> DataFrame:
+        from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+            _banded,
+            _minhash_aggs,
+            _with_base_fingerprint,
+            shingle_df,
+        )
+
+        base = s.read.parquet(src).filter("doc_id % 10 != 7")
+        sigs = (
+            _with_base_fingerprint(shingle_df(base, "doc_id", "text", 3))
+            .groupBy("doc")
+            .agg(*_minhash_aggs())
+        )
+        return _banded(sigs)
+
+    return _staged_artifact(
+        spark,
+        "minhash_index",
+        src,
+        "v=1|split=mod10ne7|n=3",
+        build,
+        artifact_dir,
+    )
+
+
 def day_dim_artifact(
     spark: SparkSession,
     sf_dir: str,

