@@ -53,6 +53,8 @@ _NEEDS_DRIVER_ROW = [
     "q105_python_datasource",
     # round-6 addition: incremental index-vs-delta ingestion dedup
     "d22_incremental_dedup",
+    # round-6 addition: BPE train->apply->measure compression lane
+    "t24_bpe_compression",
 ]
 
 

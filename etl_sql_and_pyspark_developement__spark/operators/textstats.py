@@ -811,6 +811,25 @@ def hash_embed(
     return sums.select(F.col("doc").alias(id_col), *out_cols)
 
 
+def _bpe_dictionary(df: DataFrame, text_col: str) -> DataFrame:
+    """The BPE word dictionary: distinct [a-z0-9]{2,} words x corpus
+    frequency, each word as a prefix-separated symbol string
+    '|h|e|l|l|o' (the standard pre-tokenization normalization; the
+    '|' separator is unambiguous under the alphabet filter)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2)
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("regexp_replace(word, '(.)', '|$1')").alias("s"),
+            "freq",
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame, text_col: str = "text", n_merges: int = 4
 ) -> DataFrame:
@@ -840,19 +859,7 @@ def bpe_train(
     1-row results (k-seeds-bounded collect discipline).
     """
     spark = df.sparkSession
-    words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .filter(
-            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") >= 2)
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .select(
-            F.expr("regexp_replace(word, '(.)', '|$1')").alias("s"),
-            "freq",
-        )
-        .localCheckpoint()
-    )
+    words = _bpe_dictionary(df, text_col).localCheckpoint()
     merges = []
     for step in range(1, n_merges + 1):
         # Project the split array to a column FIRST: codegen
@@ -900,4 +907,49 @@ def bpe_train(
         merges,
         "step INT, lhs STRING, rhs STRING, merged STRING,"
         " pair_count BIGINT",
+    )
+
+
+def bpe_compression(
+    df: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """TRAIN -> APPLY -> MEASURE: the tokenizer-compression number a
+    BPE budget decision needs (chars per symbol). Trains n_merges
+    merges (bpe_train), applies them to the dictionary as ONE chained
+    codegen replace projection (the same greedy prefix-separator
+    application the trainer used, so apply == training's final
+    segmentation by construction), and aggregates corpus-weighted
+    chars vs symbols into a single exact-integer row.
+
+    compression_ppm rides DECIMAL(38,0) (the t22 discipline: 1e6 x
+    corpus characters passes 2^63 at large corpora).
+
+    Scope: a k-merge chain is k codegen string ops per dictionary
+    word — right for the small-k training loop this measures; a
+    production 32k-merge vocabulary would apply as a trie-walk
+    Pandas UDF instead (one pass per word, not 32k replaces).
+    """
+    merges = sorted(
+        bpe_train(df, text_col, n_merges).collect(), key=lambda r: r.step
+    )
+    expr = "s"
+    for m in merges:
+        expr = f"replace({expr}, '|{m.lhs}|{m.rhs}', '|{m.merged}')"
+    applied = _bpe_dictionary(df, text_col).select(
+        F.expr(expr).alias("s"), "freq"
+    )
+    return applied.agg(
+        F.count(F.lit(1)).alias("n_vocab_words"),
+        F.expr(
+            "CAST(sum(freq * length(replace(s, '|', ''))) AS BIGINT)"
+        ).alias("corpus_chars"),
+        F.expr(
+            "CAST(sum(freq * (length(s) - length(replace(s, '|', ''))))"
+            " AS BIGINT)"
+        ).alias("corpus_syms"),
+        F.expr(
+            "CAST((1000000 * CAST(sum(freq * (length(s)"
+            " - length(replace(s, '|', '')))) AS DECIMAL(38,0)))"
+            " DIV sum(freq * length(replace(s, '|', ''))) AS BIGINT)"
+        ).alias("compression_ppm"),
     )

@@ -6100,7 +6100,7 @@ ORDER BY l.event_type
 # CTEs (q78's pattern). Count/pick/re-segment algebra is identical:
 # prefix-separated symbol strings, left-to-right non-overlapping
 # replace = greedy merge application, (count DESC, l, r) tie-break.
-def _t23_bpe_oracle(n_merges: int = 4) -> str:
+def _t23_bpe_oracle(n_merges: int = 4, with_final_dict: bool = False) -> str:
     stages = [
         """w0 AS MATERIALIZED (
     SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS s,
@@ -6125,12 +6125,30 @@ def _t23_bpe_oracle(n_merges: int = 4) -> str:
     SELECT l, r, pair_count FROM p{k}
     ORDER BY pair_count DESC, l, r LIMIT 1
 )""")
-        if k < n_merges:
+        if k < n_merges or with_final_dict:
             stages.append(f"""w{k} AS MATERIALIZED (
     SELECT replace(s, '|' || m.l || '|' || m.r, '|' || m.l || m.r) AS s,
            freq
     FROM w{k - 1}, m{k} m
 )""")
+    if with_final_dict:
+        # t24: aggregate the FULLY-APPLIED dictionary w{n} — chars vs
+        # symbols, corpus-weighted; 1e6 x corpus chars rides HUGEINT
+        # (Spark: DECIMAL(38,0)) per the t22 discipline.
+        return (
+            "WITH " + ",\n".join(stages)
+            + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+       CAST(sum(freq * length(replace(s, '|', ''))) AS BIGINT)
+           AS corpus_chars,
+       CAST(sum(freq * (length(s) - length(replace(s, '|', ''))))
+           AS BIGINT) AS corpus_syms,
+       CAST((1000000 * CAST(sum(freq * (length(s)
+                - length(replace(s, '|', '')))) AS HUGEINT))
+            // sum(freq * length(replace(s, '|', ''))) AS BIGINT)
+           AS compression_ppm
+FROM w{n_merges}"""
+        )
     finals = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs,"
         f" l || r AS merged, pair_count FROM m{k}"
@@ -6143,6 +6161,7 @@ def _t23_bpe_oracle(n_merges: int = 4) -> str:
 
 
 ORACLES["t23_bpe_train_iterations"] = _t23_bpe_oracle(4)
+ORACLES["t24_bpe_compression"] = _t23_bpe_oracle(4, with_final_dict=True)
 
 # q102: the observation is plan instrumentation — the RESULT is the
 # plain rollup; counters are pytest-asserted against q33's validate().

@@ -7974,3 +7974,22 @@ def d22_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_doc", "base_doc", "jaccard")
         .orderBy("delta_doc")
     )
+
+
+@query("t24_bpe_compression")
+def t24_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAIN -> APPLY -> MEASURE: the compression number (corpus
+    chars per merged symbol) that decides whether a merge budget is
+    worth its vocab slots — t23 ships the merge table; this lane
+    applies it back to the dictionary as ONE chained codegen replace
+    projection and aggregates corpus-weighted chars vs symbols into a
+    single exact-integer row (operators/textstats.bpe_compression;
+    DECIMAL(38)/HUGEINT on the ppm cross-multiply). The DuckDB oracle
+    extends t23's staged unroll with the applied-dictionary aggregate,
+    so train AND apply are value-verified end to end.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_compression,
+    )
+
+    return bpe_compression(table(spark, sf_dir, "documents"), n_merges=4)

@@ -413,3 +413,21 @@ def test_bpe_train_raises_when_corpus_runs_dry(spark):
     docs = spark.createDataFrame([("ab ab",)], "text STRING")
     with pytest.raises(RuntimeError, match="ran dry"):
         bpe_train(docs, n_merges=2)
+
+
+def test_bpe_compression_planted_exact(spark):
+    """'the the cat' trained 4 merges: every word becomes ONE symbol
+    (the, the, cat), so corpus syms = 3, corpus chars = 9,
+    compression_ppm = 3e6 DIV 9 = 333333; vocab = 2 distinct words."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_compression,
+    )
+
+    docs = spark.createDataFrame([("the the cat",)], "text STRING")
+    r = bpe_compression(docs, n_merges=4).collect()[0]
+    assert (
+        r.n_vocab_words,
+        r.corpus_chars,
+        r.corpus_syms,
+        r.compression_ppm,
+    ) == (2, 9, 3, 333333)
