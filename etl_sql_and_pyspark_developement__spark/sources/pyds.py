@@ -52,6 +52,10 @@ class SynthDocsReader(DataSourceReader):
         self.parts = int(options.get("parts", 8))
 
     def partitions(self):
+        if self.n <= 0:
+            # An empty generator still needs ONE (empty) partition:
+            # range(0, 0, 0) raises, and Spark requires >= 1 split.
+            return [InputPartition((0, 0))]
         per = (self.n + self.parts - 1) // self.parts
         return [
             InputPartition((lo, min(lo + per, self.n)))

@@ -360,6 +360,7 @@ def test_minhash_pairs_artifact_builds_once_and_shares(
     knn_graph_artifact contract applied to the text dedup lane)."""
     import os
 
+    from etl_sql_and_pyspark_developement__spark.operators import dedup
     from etl_sql_and_pyspark_developement__spark.plans import QUERIES
     from etl_sql_and_pyspark_developement__spark.sources.io import (
         minhash_pairs_artifact,
