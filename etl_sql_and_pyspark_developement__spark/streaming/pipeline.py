@@ -786,3 +786,35 @@ def read_sketch_state(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def stream_observed_ingest(doc_stream: DataFrame) -> DataFrame:
+    """st34: IN-FLIGHT quality observation on a STREAMING ingest —
+    q102's CollectMetrics surface in its streaming mode: the document
+    quality counters (length/emptiness expectations) ride the ingest
+    query's own micro-batches as a NAMED observation, surfaced per
+    batch in StreamingQueryProgress.observedMetrics["ingest_quality"]
+    — the live data-quality monitor a 100 TB ingest pipeline reads
+    from query progress instead of running a second scan. The
+    transformation itself is a plain per-doc projection (the thing
+    the pipeline was already doing); the counters are free riders.
+
+    Named observation (not pyspark.sql.Observation) because streaming
+    queries report metrics through progress events, once per batch —
+    the parity test sums them across batches and asserts equality
+    with the batch aggregate over the same files."""
+    observed = doc_stream.observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("text").isNull() | (F.length("text") == 0)).cast("bigint")
+        ).alias("n_empty"),
+        F.sum((F.length("text") < 20).cast("bigint")).alias("n_short"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    return observed.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+    )

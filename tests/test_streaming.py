@@ -2143,3 +2143,64 @@ def test_st33_python_stream_source_exact_totals(spark, tmp_path):
         n, t = want.get(b, (0, 0))
         want[b] = (n + 1, t + c)
     assert got == want, "stream must equal the kernel replay exactly"
+
+
+def test_st34_observed_metrics_ride_streaming_ingest(spark, sf_dir, tmp_path):
+    """q102's in-flight observation in STREAMING mode: the quality
+    counters must arrive through StreamingQueryProgress.observedMetrics
+    once per micro-batch, and their across-batch sums must equal the
+    batch aggregate over the same files — zero extra scans, the live
+    ingest-quality monitor."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        stream_observed_ingest,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    src = tmp_path / "st34_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 40), (40, 70), (70, 100)]):
+        docs.filter(
+            (F.col("doc_id") % 100 >= lo) & (F.col("doc_id") % 100 < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_observed_ingest(stream)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress]
+    q.stop()
+    got = {"n_docs": 0, "n_empty": 0, "n_short": 0, "total_chars": 0}
+    n_batches = 0
+    for p in progresses:
+        om = p["observedMetrics"].get("ingest_quality") if p.get(
+            "observedMetrics"
+        ) else None
+        if om and om["n_docs"]:
+            n_batches += 1
+            for k in got:
+                got[k] += om[k] or 0
+    assert n_batches >= 3, "each file micro-batch must report metrics"
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("text").isNull() | (F.length("text") == 0)).cast("bigint")
+        ).alias("n_empty"),
+        F.sum((F.length("text") < 20).cast("bigint")).alias("n_short"),
+        F.sum(F.length("text")).alias("total_chars"),
+    ).collect()[0]
+    assert got == {
+        "n_docs": want.n_docs,
+        "n_empty": want.n_empty or 0,
+        "n_short": want.n_short or 0,
+        "total_chars": want.total_chars,
+    }
