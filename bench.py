@@ -25,6 +25,28 @@ def main() -> None:
     # plan, not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    def calibration() -> float:
+        """Fixed data-independent CPU probe: sum over a 20M range.
+        Its wall time on an idle box is stable (~envelope/2); when the
+        box is busy the probe slows with it, so a probe outside the
+        committed envelope marks the WHOLE run's timings as
+        load-contaminated (two rounds were spent disproving phantom
+        regressions that were exactly this)."""
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    # Committed envelope (seconds) for the calibration probe on THIS
+    # container unloaded, measured solo best-of-3 ~0.07s; ~3x
+    # headroom. min(start, end) above it => flag the run as loaded.
+    cal_envelope = float(
+        os.environ.get("SPARK_GRAFT_CAL_ENVELOPE", "0.2")
+    )
+    calibration()  # warm the range/codegen path once, untimed
+    cal_start = min(calibration() for _ in range(3))
+
     # Best-of-N per query (default 2): the first execution pays
     # per-query codegen/planning (~1-2s of JVM work unrelated to the
     # data plan) and this box's load is spiky; the min reflects the
@@ -78,6 +100,12 @@ def main() -> None:
         timings[key] = round(best, 3)
         print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
 
+    cal_end = min(calibration() for _ in range(3))
+    calibration_s = round(min(cal_start, cal_end), 3)
+    try:
+        loadavg_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_1m = None
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     record = {
@@ -93,6 +121,14 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
+        # Load guard: calibration_s = best of 3 runs of a fixed CPU
+        # probe at start and end; loaded_box means even the best
+        # exceeded the committed unloaded envelope — treat this run's
+        # timings as load-contaminated, don't chase "regressions".
+        "calibration_s": calibration_s,
+        "calibration_envelope_s": cal_envelope,
+        "loadavg_1m": loadavg_1m,
+        "loaded_box": bool(calibration_s > cal_envelope),
     }
     # Persist the FULL per-query record to a file: with 140+ queries the
     # one-line record exceeds the driver's stdout tail capture, so
@@ -105,7 +141,9 @@ def main() -> None:
     # ...and stdout gets ONE compact machine-parseable line, printed
     # LAST so a tail capture always sees it whole.
     compact = {k: record[k] for k in
-               ("metric", "value", "unit", "action", "n_queries", "sf")}
+               ("metric", "value", "unit", "action", "n_queries", "sf",
+                "calibration_s", "calibration_envelope_s", "loadavg_1m",
+                "loaded_box")}
     compact["queries"] = {"see": "BENCH_full.json"}
     print(json.dumps(compact))
     spark.stop()
