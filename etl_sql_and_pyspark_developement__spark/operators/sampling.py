@@ -441,6 +441,65 @@ def temperature_mix(
     return df.join(F.broadcast(rates), group_col).filter(bucket < F.col("rate_ppm"))
 
 
+# --- A-Res score kernel, ONE definition for batch and streaming ----
+# The md5-rational uniform and the exponential race score are shared
+# by batch weighted_reservoir (column-expression form) and st32's
+# streaming reservoir (Python form, streaming/stateful._res_score):
+# two hand-maintained copies could silently drift apart (seed prefix,
+# modulus, the strictly-(0,1) +1 shift) — the split-parity test
+# asserts == but only for the corpora it samples.
+
+RES_SEED_PREFIX = "res:{seed}:"
+RES_UNIFORM_MOD = 1_000_000
+RES_UNIFORM_DEN = 1_000_001.0
+
+
+def res_uniform_expr(id_col: str, seed: int = 7):
+    """Deterministic md5-rational uniform STRICTLY inside (0,1):
+    u = (m + 1) / 1000001 with m = first-6-hex-digits(md5) % 1e6.
+    u = 1 would score an unweighted 0 and beat any weight; u = 0
+    would make -ln(u) infinite."""
+    prefix = RES_SEED_PREFIX.format(seed=seed)
+    return (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % RES_UNIFORM_MOD
+            + 1
+        ).cast("double")
+        / F.lit(RES_UNIFORM_DEN)
+    )
+
+
+def res_score_py(doc_id: int, weight: int, seed: int = 7) -> float:
+    """The SAME score as the column form, in Python for streaming
+    state kernels: Python math.log == JVM log at floor-ppb precision
+    on these md5 rationals (st32's split-parity test proves it per
+    corpus)."""
+    import hashlib
+    import math
+
+    prefix = RES_SEED_PREFIX.format(seed=seed)
+    m = (
+        int(
+            hashlib.md5(f"{prefix}{doc_id}".encode()).hexdigest()[:6], 16
+        )
+        % RES_UNIFORM_MOD
+    )
+    return -math.log((m + 1) / RES_UNIFORM_DEN) / weight
+
+
 def weighted_reservoir(
     df: DataFrame,
     weight_col: str,
@@ -467,27 +526,7 @@ def weighted_reservoir(
 
     p03/p07's md5 discipline: every engine and every re-run agrees.
     """
-    u = (
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"res:{seed}:"),
-                            F.col(id_col).cast("string"),
-                        )
-                    ),
-                    1,
-                    6,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000000
-            + 1
-        ).cast("double")
-        / F.lit(1000001.0)
-    )
+    u = res_uniform_expr(id_col, seed)
     return (
         df.filter(F.col(weight_col) > 0)
         .select(

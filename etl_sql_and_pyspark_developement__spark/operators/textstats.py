@@ -813,9 +813,13 @@ def hash_embed(
 
 def _bpe_dictionary(df: DataFrame, text_col: str) -> DataFrame:
     """The BPE word dictionary: distinct [a-z0-9]{2,} words x corpus
-    frequency, each word as a prefix-separated symbol string
-    '|h|e|l|l|o' (the standard pre-tokenization normalization; the
-    '|' separator is unambiguous under the alphabet filter)."""
+    frequency, each word as a BOTH-sides-delimited symbol string
+    '|h|e|l|l|o|' (the standard pre-tokenization normalization; the
+    '|' separator is unambiguous under the alphabet filter). The
+    trailing delimiter lets merge application match '|l|r|' exactly —
+    a prefix-only form's replace(s, '|l|r', ..) also fires where the
+    FOLLOWING symbol merely starts with r (e.g. after merging (b,c),
+    applying (a,b) would corrupt '|a|bc' into '|abc')."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(
@@ -824,10 +828,27 @@ def _bpe_dictionary(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select(
-            F.expr("regexp_replace(word, '(.)', '|$1')").alias("s"),
+            F.expr("regexp_replace(word, '(.)', '|$1') || '|'").alias(
+                "s"
+            ),
             "freq",
         )
     )
+
+
+def _bpe_apply_expr(col_sql: str, l: str, r: str) -> str:
+    """SQL expression applying merge (l, r) to a both-delimited symbol
+    string: TWO passes of replace(s, '|l|r|', '|lr|'). One pass misses
+    every second occurrence in a RUN of consecutive pairs (the match
+    consumes the delimiter the next occurrence needs: '|a|b|a|b|' ->
+    '|ab|a|b|'); but pass-1 misses are never adjacent (two adjacent
+    misses would mean 4 consecutive unmerged symbols l r l r, and the
+    left-to-right scan would have merged the first), so every miss is
+    fully delimited after pass 1 and pass 2 reaches the fixpoint.
+    Symbols never contain '|', so '|l|r|' matches exactly the symbol
+    pair (l, r) — no prefix-extension false merges."""
+    once = f"replace({col_sql}, '|{l}|{r}|', '|{l}{r}|')"
+    return f"replace({once}, '|{l}|{r}|', '|{l}{r}|')"
 
 
 def bpe_train(
@@ -841,15 +862,17 @@ def bpe_train(
     discipline (fixed budget, raise when the corpus runs dry,
     localCheckpoint per round so lineage stays flat).
 
-    Representation: each dictionary word is a PREFIX-separated symbol
-    string '|h|e|l|l|o' (symbols are [a-z0-9]+ after the standard BPE
-    pre-tokenization filter, so '|' is unambiguous). Re-segmentation
-    for merge (l, r) is then one codegen string op:
-    replace(s, '|l|r', '|lr') — left-to-right non-overlapping
-    replacement IS greedy BPE application, and the prefix form keeps
-    consecutive occurrences mergeable ('|a|b|a|b' -> '|ab|ab', where a
-    both-sides-delimited form would consume the shared boundary and
-    miss the second pair).
+    Representation: each dictionary word is a BOTH-sides-delimited
+    symbol string '|h|e|l|l|o|' (symbols are [a-z0-9]+ after the
+    standard BPE pre-tokenization filter, so '|' is unambiguous).
+    Re-segmentation for merge (l, r) is a TWO-pass codegen
+    replace(s, '|l|r|', '|lr|') (_bpe_apply_expr): the end delimiter
+    makes the match exact (a prefix-only '|l|r' also fires where the
+    following symbol merely STARTS with r, fusing symbols no merge
+    produced), and the second pass picks up the alternating misses in
+    consecutive runs ('|a|b|a|b|' -> pass 1 '|ab|a|b|' -> pass 2
+    '|ab|ab|'; misses are never adjacent, so two passes reach the
+    fixpoint).
 
     Scale: the loop runs over the DISTINCT-word dictionary x freq
     (~1e7 rows for a 1e12-token corpus), never the corpus; each round
@@ -866,7 +889,10 @@ def bpe_train(
         # subexpression elimination does not reach inside
         # higher-order-function lambdas (t02/d18 lesson).
         pair_counts = (
-            words.withColumn("a", F.expr("split(substring(s, 2), '[|]')"))
+            words.withColumn(
+                "a",
+                F.expr("split(substring(s, 2, length(s) - 2), '[|]')"),
+            )
             .select(
                 "freq",
                 F.explode(
@@ -900,7 +926,7 @@ def bpe_train(
         l, r, cnt = top[0].l, top[0].r, int(top[0].pair_count)
         merges.append((step, l, r, l + r, cnt))
         words = words.select(
-            F.expr(f"replace(s, '|{l}|{r}', '|{l}{r}')").alias("s"),
+            F.expr(_bpe_apply_expr("s", l, r)).alias("s"),
             "freq",
         ).localCheckpoint()
     return spark.createDataFrame(
@@ -914,17 +940,20 @@ def bpe_compression(
     df: DataFrame, text_col: str = "text", n_merges: int = 4
 ) -> DataFrame:
     """TRAIN -> APPLY -> MEASURE: the tokenizer-compression number a
-    BPE budget decision needs (chars per symbol). Trains n_merges
-    merges (bpe_train), applies them to the dictionary as ONE chained
-    codegen replace projection (the same greedy prefix-separator
-    application the trainer used, so apply == training's final
-    segmentation by construction), and aggregates corpus-weighted
-    chars vs symbols into a single exact-integer row.
+    BPE budget decision needs. compression_ppm = 1e6 * corpus_syms
+    DIV corpus_chars — SYMBOLS PER CHAR scaled to ppm, so LOWER means
+    better compression (an untrained corpus sits at 1e6; each merge
+    pushes it down). Trains n_merges merges (bpe_train), applies them
+    to the dictionary as ONE chained codegen replace projection (the
+    same two-pass both-delimited application the trainer used, so
+    apply == training's final segmentation by construction), and
+    aggregates corpus-weighted chars vs symbols into a single
+    exact-integer row.
 
     compression_ppm rides DECIMAL(38,0) (the t22 discipline: 1e6 x
     corpus characters passes 2^63 at large corpora).
 
-    Scope: a k-merge chain is k codegen string ops per dictionary
+    Scope: a k-merge chain is 2k codegen string ops per dictionary
     word — right for the small-k training loop this measures; a
     production 32k-merge vocabulary would apply as a trie-walk
     Pandas UDF instead (one pass per word, not 32k replaces).
@@ -934,22 +963,23 @@ def bpe_compression(
     )
     expr = "s"
     for m in merges:
-        expr = f"replace({expr}, '|{m.lhs}|{m.rhs}', '|{m.merged}')"
+        expr = _bpe_apply_expr(expr, m.lhs, m.rhs)
     applied = _bpe_dictionary(df, text_col).select(
         F.expr(expr).alias("s"), "freq"
     )
+    # Both-delimited form carries n_syms + 1 pipes per word, hence -1.
     return applied.agg(
         F.count(F.lit(1)).alias("n_vocab_words"),
         F.expr(
             "CAST(sum(freq * length(replace(s, '|', ''))) AS BIGINT)"
         ).alias("corpus_chars"),
         F.expr(
-            "CAST(sum(freq * (length(s) - length(replace(s, '|', ''))))"
-            " AS BIGINT)"
+            "CAST(sum(freq * (length(s) - length(replace(s, '|', ''))"
+            " - 1)) AS BIGINT)"
         ).alias("corpus_syms"),
         F.expr(
             "CAST((1000000 * CAST(sum(freq * (length(s)"
-            " - length(replace(s, '|', '')))) AS DECIMAL(38,0)))"
+            " - length(replace(s, '|', '')) - 1)) AS DECIMAL(38,0)))"
             " DIV sum(freq * length(replace(s, '|', ''))) AS BIGINT)"
         ).alias("compression_ppm"),
     )

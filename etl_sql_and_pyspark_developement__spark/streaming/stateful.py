@@ -1175,17 +1175,14 @@ _RES_K = 10
 
 
 def _res_score(doc_id: int, weight: int) -> float:
-    """p21's A-Res exponential race score, computed on the SAME
-    md5-rational uniform the batch operator uses (strictly inside
-    (0,1): u = (m+1)/1000001 — u = 1 would score 0 and beat any
-    weight)."""
-    import hashlib
-
-    m = (
-        int(hashlib.md5(f"res:7:{doc_id}".encode()).hexdigest()[:6], 16)
-        % 1000000
+    """p21's A-Res exponential race score — the ONE shared kernel
+    (operators/sampling.res_score_py), so the batch column expression
+    and this streaming fold can't drift apart."""
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        res_score_py,
     )
-    return -math.log((m + 1) / 1000001.0) / weight
+
+    return res_score_py(doc_id, weight, seed=7)
 
 
 def _res_update(

@@ -377,10 +377,11 @@ def test_bpe_train_planted_merge_sequence(spark):
 
 
 def test_bpe_train_consecutive_occurrences_both_merge(spark):
-    """The prefix-separator representation must merge BOTH pairs in
-    'abab' ('|a|b|a|b' -> '|ab|ab') — a both-sides-delimited replace
-    would consume the shared boundary and miss the second one. Also
-    pins greedy left-to-right on overlapping runs: 'aaa' -> [aa, a]."""
+    """Merge application must catch BOTH pairs in 'abab'
+    ('|a|b|a|b|' -> '|ab|ab|'): a single both-delimited replace pass
+    consumes the shared boundary and misses the second occurrence —
+    the second pass of _bpe_apply_expr picks it up. Also pins greedy
+    left-to-right on overlapping runs: 'aaa' -> [aa, a]."""
     from etl_sql_and_pyspark_developement__spark.operators.textstats import (
         bpe_train,
     )
@@ -398,6 +399,33 @@ def test_bpe_train_consecutive_occurrences_both_merge(spark):
         (1, "a", "b", 4),
         (2, "a", "a", 2),
         (3, "ab", "ab", 2),
+    ]
+
+
+def test_bpe_train_no_prefix_extension_false_merge(spark):
+    """A prior merge's symbol that is a PROPER EXTENSION of a later
+    rhs must not be fused: corpus 'bc bc bc abc ab' trains (b,c) cnt 4
+    first; applying round-2's (a,b) to '|a|bc|' must NOT produce
+    '|abc|' (an end-delimiter-less replace('|a|b', '|ab') would).
+    With the bug, round 3 finds no pairs and raises 'ran dry'; correct
+    greedy BPE still has (a,bc):1 to merge."""
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([("bc bc bc abc ab",)], "text STRING")
+    # round 1: (b,c): 3 + 1 (inside abc) = 4, (a,b): 2 -> merge (b,c)
+    # round 2: words |bc| x3, |a|bc|, |a|b| -> (a,bc):1, (a,b):1
+    #          -> tie at 1 -> lex: 'b' < 'bc' -> merge (a,b)
+    # round 3: |a|bc| is the only multi-symbol word -> merge (a,bc)
+    rows = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert rows == [
+        (1, "b", "c", "bc", 4),
+        (2, "a", "b", "ab", 1),
+        (3, "a", "bc", "abc", 1),
     ]
 
 
