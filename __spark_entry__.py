@@ -28,33 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # added after the r03 driver snapshot, plus anything round 4
 # touches (appended as it changes).
 _NEEDS_DRIVER_ROW = [
-    # round-6 change: q88 de-vacuated — data-derived mean-gap censor
-    # horizon (nonzero rows at every scale), terminal d=n bucket
-    # pinned to 0.0 instead of log(0), in-plan population-split guard
-    "q88_survival_km",
-    # round-6 change: DECIMAL(38,0)/HUGEINT cross-multiplies so
-    # neither engine overflows 2^63 at large scale factors
-    "q89_hhi_concentration", "q93_ks_two_sample",
-    # round-6 change: bucketed-twin cache key now carries EACH
-    # table's own source identity (v=2 — twins rebuilt)
-    "q100_bucketed_colocated_join",
-    # round-6 addition: AQE runtime skew-split demonstration lane
-    "q101_aqe_skew_join",
-    # round-6 additions: in-flight observe() quality counters (q33
-    # refactored to share the check list), iterated BPE trainer,
-    # OR-merged bitmap rolling distinct
-    "q102_observed_quality", "q33_data_quality",
-    "t23_bpe_train_iterations", "q103_rolling_bitmap_distinct",
-    # round-6 addition: runtime dynamic-partition-pruning lane
-    "q104_dynamic_partition_pruning",
-    # round-6 addition: A-Res weighted reservoir sample
-    "p21_weighted_reservoir",
-    # round-6 addition: Python Data Source API connector surface
-    "q105_python_datasource",
-    # round-6 addition: incremental index-vs-delta ingestion dedup
-    "d22_incremental_dedup",
-    # round-6 addition: BPE train->apply->measure compression lane
-    "t24_bpe_compression",
+    # round-7 change: BPE re-segmentation rebuilt on both-delimited
+    # symbol strings + two-pass replace (end delimiter kills the
+    # prefix-extension false merge; pass 2 catches consecutive runs)
+    # — operator AND oracle moved together, so fresh rows are needed
+    "t23_bpe_train_iterations", "t24_bpe_compression",
+    # round-7 change: q89's window denominator now DECIMAL(38,0)
+    # (the nation-total sum itself passes 2^63 at big SF)
+    "q89_hhi_concentration",
+    # round-7 additions: explicit salted-join lane and the native
+    # batch session_window twin of q03
+    "q107_salted_join", "q109_session_window",
+    # round-7 addition: ANALYZE TABLE + CBO stats-driven planning lane
+    "q106_cbo_stats_join",
+    # round-7 addition: zone-map / row-group skipping measurement lane
+    "q108_rowgroup_skipping",
 ]
 
 

@@ -6098,24 +6098,34 @@ ORDER BY l.event_type
 
 # t23: the same 4 BPE training rounds unrolled as staged MATERIALIZED
 # CTEs (q78's pattern). Count/pick/re-segment algebra is identical:
-# prefix-separated symbol strings, left-to-right non-overlapping
-# replace = greedy merge application, (count DESC, l, r) tie-break.
+# BOTH-sides-delimited symbol strings ('|h|e|l|l|o|'), TWO passes of
+# left-to-right non-overlapping replace('|l|r|' -> '|lr|') = greedy
+# merge application (pass 2 picks up the alternating misses in
+# consecutive runs; end delimiter prevents prefix-extension false
+# merges — see operators/textstats._bpe_apply_expr),
+# (count DESC, l, r) tie-break.
 def _t23_bpe_oracle(n_merges: int = 4, with_final_dict: bool = False) -> str:
     stages = [
         """w0 AS MATERIALIZED (
-    SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS s,
+    SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS s,
            CAST(count(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     WHERE regexp_full_match(word, '[a-z0-9]+') AND length(word) >= 2
     GROUP BY s
 )"""
     ]
+    resegment = (
+        "replace(replace(s, '|' || m.l || '|' || m.r || '|',"
+        " '|' || m.l || m.r || '|'), '|' || m.l || '|' || m.r || '|',"
+        " '|' || m.l || m.r || '|')"
+    )
     for k in range(1, n_merges + 1):
         stages.append(f"""p{k} AS MATERIALIZED (
     SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_count
     FROM (
         SELECT a[i] AS l, a[i + 1] AS r, freq
-        FROM (SELECT string_split(substr(s, 2), '|') AS a, freq
+        FROM (SELECT string_split(substr(s, 2, length(s) - 2), '|') AS a,
+                     freq
               FROM w{k - 1}) t,
              unnest(range(1, len(a))) AS u(i)
     )
@@ -6127,7 +6137,7 @@ def _t23_bpe_oracle(n_merges: int = 4, with_final_dict: bool = False) -> str:
 )""")
         if k < n_merges or with_final_dict:
             stages.append(f"""w{k} AS MATERIALIZED (
-    SELECT replace(s, '|' || m.l || '|' || m.r, '|' || m.l || m.r) AS s,
+    SELECT {resegment} AS s,
            freq
     FROM w{k - 1}, m{k} m
 )""")
@@ -6141,10 +6151,10 @@ def _t23_bpe_oracle(n_merges: int = 4, with_final_dict: bool = False) -> str:
 SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
        CAST(sum(freq * length(replace(s, '|', ''))) AS BIGINT)
            AS corpus_chars,
-       CAST(sum(freq * (length(s) - length(replace(s, '|', ''))))
+       CAST(sum(freq * (length(s) - length(replace(s, '|', '')) - 1))
            AS BIGINT) AS corpus_syms,
        CAST((1000000 * CAST(sum(freq * (length(s)
-                - length(replace(s, '|', '')))) AS HUGEINT))
+                - length(replace(s, '|', '')) - 1)) AS HUGEINT))
             // sum(freq * length(replace(s, '|', ''))) AS BIGINT)
            AS compression_ppm
 FROM w{n_merges}"""
@@ -6305,3 +6315,87 @@ ORDER BY delta_doc
 
 
 ORACLES["d22_incremental_dedup"] = _d22_oracle()
+
+# q107: the PLAIN unsalted join — salting changes the plan, never the
+# result (q100/q101's discipline). pmod == % here (o_custkey > 0).
+ORACLES["q107_salted_join"] = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM (SELECT CASE WHEN o_custkey % 10 < 4 THEN 1
+                  ELSE o_custkey END AS acct_key,
+             o_totalprice
+      FROM orders) f
+JOIN customer ON f.acct_key = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# q109: LAG-based sessionization with the SAME boundary semantics as
+# Spark's session_window — an event at EXACTLY prev + gap MERGES
+# (touching windows coalesce; measured, pinned by
+# test_q109_exact_gap_boundary_merges), i.e. break on diff > 1800 —
+# identical to q03's oracle, then q03's per-user rollup shape.
+ORACLES["q109_session_window"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR (epoch_us(ts) / 1000000.0
+                         - epoch_us(prev_ts) / 1000000.0) > 1800
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sess AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq,
+        count(*) AS n_events,
+        (max(epoch_us(ts) / 1000000.0) - min(epoch_us(ts) / 1000000.0))
+            / 60.0 AS minutes,
+        sum(value) AS sess_value
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(avg(n_events), 4) AS avg_session_events,
+       round(avg(minutes), 4) AS avg_session_minutes,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(sum(sess_value), 2) AS total_value
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+# q106: the plain filtered join — statistics change the PLAN (when
+# the planner can broadcast), never the result.
+ORACLES["q106_cbo_stats_join"] = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                AS BIGINT)) AS BIGINT) AS rev_e4
+FROM lineitem
+JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 3) p
+  ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+# q108: plain orders — the clustered layout changes IO, never values.
+ORACLES["q108_rowgroup_skipping"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_totalprice < 2000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -6683,15 +6683,19 @@ def q89_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum("rev_e4").alias("sup_rev"))
     )
-    # DECIMAL(38,0) on the cross-multiplied terms (t22's discipline):
-    # 1e6 x a nation's revenue ten-thousandths exceeds 2^63 at large
-    # scale factors, where non-ANSI Spark would wrap silently while
-    # the oracle errors. DIV returns BIGINT; the quotients are small.
+    # DECIMAL(38,0) on the cross-multiplied terms AND the window
+    # denominator (t22's discipline): 1e6 x a nation's revenue
+    # ten-thousandths exceeds 2^63 at large scale factors — and the
+    # nation-total sum itself passes 2^63 two orders of magnitude
+    # later still — where non-ANSI Spark would wrap silently while
+    # the oracle's HUGEINT sum stays exact. DIV returns BIGINT; the
+    # quotients are small.
     shared = per_sup.withColumn(
         "share_ppm",
         F.expr(
             "(1000000 * CAST(sup_rev AS DECIMAL(38,0)))"
-            " DIV sum(sup_rev) OVER (PARTITION BY s_nationkey)"
+            " DIV sum(CAST(sup_rev AS DECIMAL(38,0)))"
+            " OVER (PARTITION BY s_nationkey)"
         ),
     )
     per_nation = shared.groupBy("s_nationkey").agg(
@@ -7978,9 +7982,10 @@ def d22_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("t24_bpe_compression")
 def t24_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE TRAIN -> APPLY -> MEASURE: the compression number (corpus
-    chars per merged symbol) that decides whether a merge budget is
-    worth its vocab slots — t23 ships the merge table; this lane
+    """BPE TRAIN -> APPLY -> MEASURE: the compression number (merged
+    symbols per corpus char, ppm — lower = better compression) that
+    decides whether a merge budget is worth its vocab slots — t23
+    ships the merge table; this lane
     applies it back to the dictionary as ONE chained codegen replace
     projection and aggregates corpus-weighted chars vs symbols into a
     single exact-integer row (operators/textstats.bpe_compression;
@@ -7993,3 +7998,214 @@ def t24_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_compression(table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@query("q107_salted_join")
+def q107_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT SALTED JOIN driver lane — the fourth 100 TB join
+    defense as a value-verified surface (q42 salts AGGREGATIONS, q100
+    buckets, q101 lets AQE split at runtime; this is the pre-planned
+    answer for a KNOWN pathological key joining a dim too big to
+    broadcast): ~40% of orders are attributed to one house-account
+    customer (the classic null-key/megacity shape), and
+    operators/salt.salted_join scatters that hot key across 8
+    sub-partitions by replicating the dim row 8x — the salt rides IN
+    the join key, so no single shuffle partition receives the hot
+    key's full 40%.
+
+    The merge hint keeps the local 1.5k-row customer dim from
+    broadcasting, so the demonstrated plan is the one a 100 TB run
+    (15M-row dim, hot fact key) would produce; the plan test asserts
+    a SortMergeJoin whose keys include __salt and no broadcast on
+    this join. The oracle is the plain unsalted join — salting
+    changes the PLAN, never the result (q100/q101's discipline).
+
+    Reference parity: every reference workload joins the fact to
+    3-6 dims (pyspark/User Engagement Funnel Analysis.py:8-13);
+    at 100 TB a hot customer key makes that join's shuffle the
+    bottleneck — this is the lane that shows the repair.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.salt import (
+        salted_join,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    fact = orders.select(
+        F.expr(
+            "CASE WHEN pmod(o_custkey, 10) < 4 THEN 1"
+            " ELSE o_custkey END"
+        ).alias("acct_key"),
+        "o_totalprice",
+    )
+    dim = customer.select(
+        F.col("c_custkey").alias("acct_key"), "c_mktsegment"
+    ).hint("merge")
+    joined = salted_join(fact, dim, "acct_key", salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("rev_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("q109_session_window")
+def q109_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE BATCH session_window twin of q03's LAG+cumsum
+    sessionization — the same SQL-surface-completion move q76 made
+    for recursive CTEs: Spark's session_window() works in plain batch
+    groupBy (not just streaming), and this lane value-verifies it
+    against a LAG-based oracle so a user can pick either form.
+
+    Boundary semantics MATCH q03 exactly, including at the gap:
+    session_window coalesces TOUCHING windows, so an event landing
+    exactly at the previous event's ts + 30min merges into the same
+    session — the same strict `diff > 1800` break q03 uses (measured
+    and pinned by a planted pytest; a half-open reading of the window
+    interval would predict a split, and would be wrong).
+
+    Plan note (measured, PLANS.md): session_window plans as ONE
+    shuffle on user_id + a sort-based merging aggregate
+    (UpdatingSessionsExec); the LAG+cumsum form pays the same single
+    shuffle but TWO window passes + a final hash aggregate over the
+    exploded per-event frame. Same exchange count, fewer passes —
+    session_window wins modestly and reads better; both hold at
+    100 TB because the shuffle key is the user, never the session.
+
+    Reference parity: pyspark/Binge-Watching Behavior Analysis.py:5-17
+    (gap-based session grouping), re-expressed through the native
+    operator.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (
+                    F.max(F.col("ts").cast("double"))
+                    - F.min(F.col("ts").cast("double"))
+                )
+                / 60.0
+            ).alias("minutes"),
+            F.sum("value").alias("sess_value"),
+        )
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+            F.round(F.avg("minutes"), 4).alias("avg_session_minutes"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("sess_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("q106_cbo_stats_join")
+def q106_cbo_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICS-DRIVEN PLANNING lane — the last 100 TB plan lever
+    after AQE skew (q101), runtime DPP (q104), and bucketing (q100):
+    every broadcast decision so far rode FILE-SIZE heuristics, which
+    cannot see through a filter — the default stats visitor passes a
+    Filter's size through unchanged, so a 2 TB dim filtered to a 2 MB
+    sliver still plans as a shuffle join. With `ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS` on the dim (io.analyzed_part_table)
+    and spark.sql.cbo.enabled, FilterEstimation prices `p_size <= 3`
+    from min/max/ndv and the planner broadcasts the sliver BEFORE any
+    shuffle is planned — AQE's runtime SMJ->BHJ conversion only kicks
+    in after the map-side shuffle files are already written, so the
+    static, stats-driven call is strictly cheaper (measured + plan
+    contract in tests/test_plans.py: CBO on + stats => initial-plan
+    BroadcastHashJoin under a threshold the RAW dim size exceeds; CBO
+    off, same threshold => SortMergeJoin).
+
+    The lane itself runs under production confs and its VALUES are
+    conf-invariant (q100/q101/q104's discipline — the oracle is the
+    plain join); what the stats change is only WHEN the planner can
+    make the right call. PLANS.md records what CBO did and did not
+    change under AQE.
+
+    Reference parity: every reference workload joins 3-6 tables
+    behind selective filters (pyspark/User Engagement Funnel
+    Analysis.py:8-13 filters users on signup_date before a 4-table
+    join) — at 100 TB, join ORDER and STRATEGY on the filtered dims
+    are the entire cost, and only statistics let the planner see
+    post-filter cardinalities.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        analyzed_part_table,
+    )
+
+    dim_name = analyzed_part_table(spark, sf_dir)
+    small_parts = (
+        spark.table(dim_name)
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey", "p_brand")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(small_parts, li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("sum_qty"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+                " * 10000, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("rev_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query("q108_rowgroup_skipping")
+def q108_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP / ROW-GROUP SKIPPING measurement lane — the min/max-
+    stats complement of q97's directory pruning and q104's runtime
+    pruning: q70 lays out Z-ordered files and reports bbox tightness,
+    but nothing yet MEASURED that a selective predicate over a
+    clustered layout decodes fewer row groups. This lane reads the
+    range-clustered orders twin (io.orders_layout_twins — each file
+    packs a tight o_totalprice span) behind a narrow pushed predicate;
+    the metrics contract in tests/test_plans.py runs a decile band
+    (wide enough that every round-robin file must contain matches)
+    against both twins and asserts the clustered scan's numOutputRows
+    collapses to ~2/n_files of the corpus while the unclustered twin
+    decodes every row (parquet skips a row group when the pushed
+    range misses its footer min/max — the reader never touches the
+    pages; Spark's Filter re-evaluates survivors, so VALUES are
+    layout-invariant, which is what the plain-orders oracle proves).
+
+    At 100 TB: the predicate is the query, the layout is the DBA's
+    CLUSTER BY — a 0.1% totalprice band over a clustered table costs
+    ~0.1% of the IO; over an unclustered one it costs a full decode.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        orders_layout_twins,
+    )
+
+    clustered, _ = orders_layout_twins(spark, sf_dir)
+    return (
+        spark.read.parquet(clustered)
+        .filter(F.col("o_totalprice") < 2000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -431,12 +431,20 @@ def minhash_pairs_artifact(
         minhash_lsh_pairs,
     )
 
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+    )
+
     src = os.path.join(sf_dir, "documents.parquet")
+    # Banding constants are part of the artifact identity: changing
+    # N_MINHASH/N_BANDS must miss the cache, not serve a stale index
+    # (the bucketed_join_tables v=2 lesson applied here).
     return _staged_artifact(
         spark,
         "minhash_pairs",
         src,
-        f"t={threshold}|n={n}|v=1",
+        f"t={threshold}|n={n}|mh={N_MINHASH}x{N_BANDS}|v=1",
         lambda s: minhash_lsh_pairs(
             s.read.parquet(src), "doc_id", "text", n=n, threshold=threshold
         ),
@@ -478,11 +486,16 @@ def minhash_index_artifact(
         )
         return _banded(sigs)
 
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+    )
+
     return _staged_artifact(
         spark,
         "minhash_index",
         src,
-        "v=1|split=mod10ne7|n=3",
+        f"v=1|split=mod10ne7|n=3|mh={N_MINHASH}x{N_BANDS}",
         build,
         artifact_dir,
     )
@@ -579,3 +592,107 @@ def bucketed_join_tables(
             .saveAsTable(name)
         )
     return names
+
+
+def analyzed_part_table(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """Catalog twin of `part` with COMPUTED STATISTICS — the input the
+    cost-based optimizer needs to see THROUGH a filter: `ANALYZE TABLE
+    ... COMPUTE STATISTICS` (totalSize + rowCount) plus `FOR COLUMNS`
+    min/max/ndv on the filter and join keys. Without these, a filtered
+    dim's size estimate stays the FULL relation size (the default
+    stats visitor passes Filter through unchanged), so the planner
+    can't see that `p_size <= 3` leaves a broadcastable sliver — the
+    q106 demonstration.
+
+    Same registration contract as bucketed_join_tables: build-once
+    parquet keyed by the source's identity; the catalog entry (and,
+    per session, the ANALYZE — the in-memory catalog forgets stats on
+    restart) re-created when absent. The dim-sized ANALYZE scan is
+    the cheap part; at the lake this is the nightly stats job every
+    warehouse already runs.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    s = os.stat(os.path.join(sf_dir, "part.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|part:{s.st_mtime_ns}:{s.st_size}"
+        "|v=1".encode()
+    ).hexdigest()[:12]
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    name = f"part_stats_{key}"
+    if not spark.catalog.tableExists(name):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+            .write.mode("overwrite")
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS"
+            " p_partkey, p_size, p_brand"
+        )
+    return name
+
+
+def orders_layout_twins(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 16,
+    artifact_dir: str | None = None,
+) -> tuple[str, str]:
+    """Build-once CLUSTERED vs UNCLUSTERED parquet twins of orders —
+    the zone-map measurement fixture (q108): the clustered twin is
+    range-partitioned + sorted on o_totalprice (compact_parquet's
+    order_by discipline: repartitionByRange packs each FILE with a
+    tight min/max span; sortWithinPartitions alone would sort rows
+    but scatter ranges across files), the unclustered twin is the
+    same rows round-robined so every file spans the full value range.
+    A pushed range predicate then skips whole row groups on the
+    clustered twin (parquet reads footers, compares min/max, never
+    decodes the pages) while the unclustered twin decodes everything
+    — asserted on the scan's numOutputRows metric in
+    tests/test_plans.py. Returns (clustered_path, unclustered_path).
+
+    At 100 TB this is the table's CLUSTER BY / Z-ORDER maintenance
+    job (q70 measures layout tightness; this measures the payoff).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    s = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|orders:{s.st_mtime_ns}:{s.st_size}"
+        f"|f={n_files}|v=1".encode()
+    ).hexdigest()[:12]
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    clustered = os.path.join(root, f"orders_clustered_{key}")
+    unclustered = os.path.join(root, f"orders_unclustered_{key}")
+    done = os.path.join(root, f"orders_layouts_{key}._done")
+    if not os.path.exists(done):
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        (
+            src.repartitionByRange(n_files, "o_totalprice")
+            .sortWithinPartitions("o_totalprice")
+            .write.mode("overwrite")
+            .parquet(clustered)
+        )
+        src.repartition(n_files).write.mode("overwrite").parquet(
+            unclustered
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return clustered, unclustered

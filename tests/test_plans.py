@@ -979,3 +979,197 @@ def test_p21_reservoir_is_takeordered_no_shuffle(spark, sf_dir):
     plan = plan_of(spark, "p21_weighted_reservoir", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_q107_salt_rides_the_shuffle_key(spark, sf_dir):
+    """The explicit salted join must scatter the hot key: both join
+    sides shuffle on (acct_key, __salt) — the salt IN the partitioning
+    key is the whole defense — through a SortMergeJoin (the merge hint
+    models the 100 TB unbroadcastable dim; a broadcast would make the
+    salt pointless)."""
+    plan = plan_of(spark, "q107_salted_join", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("hashpartitioning(acct_key") >= 2, (
+        "both sides must shuffle on the salted composite key"
+    )
+    seg = plan.split("hashpartitioning(acct_key")[1].split(")")[0]
+    assert "__salt" in seg, "__salt must be part of the shuffle key"
+
+
+def test_q109_session_window_equals_q03(spark, sf_dir):
+    """Cross-form equality: the native session_window rollup must
+    equal q03's LAG+cumsum sessionization bit-for-bit — two
+    independent decompositions of the same session set (Spark's
+    session_window coalesces touching windows, so its boundary
+    semantics ARE q03's strict `diff > gap` break)."""
+    cols = (
+        "n_sessions",
+        "avg_session_events",
+        "avg_session_minutes",
+        "max_session_events",
+        "total_value",
+    )
+    native = {
+        r.user_id: tuple(r[c] for c in cols)
+        for r in QUERIES["q109_session_window"](spark, sf_dir).collect()
+    }
+    lag_form = {
+        r.user_id: tuple(r[c] for c in cols)
+        for r in QUERIES["q03_sessionization"](spark, sf_dir).collect()
+    }
+    assert native == lag_form
+
+
+def test_q109_exact_gap_boundary_merges(spark):
+    """An event at EXACTLY prev_ts + 30min MERGES into the running
+    session: session_window coalesces touching windows, matching
+    q03's strict `> gap` break (a half-open [start, last + gap)
+    reading would predict a split — pinned wrong here). Both forms
+    must agree on the planted boundary."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.sessionize import (
+        sessionize,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00"),
+            (1, 101, "2024-01-01 00:30:00"),  # exactly gap later
+            (1, 102, "2024-01-01 00:40:00"),
+        ],
+        "user_id INT, event_id INT, ts_s STRING",
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(native) == 1, "touching windows must coalesce"
+    assert native[0]["count"] == 3
+    lag_strict = sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    n_strict = lag_strict.select("session_seq").distinct().count()
+    assert n_strict == 1, "q03's strict > gap agrees: one session"
+
+
+def test_q106_column_stats_enable_broadcast_through_filter(spark, sf_dir):
+    """The stats-driven plan change, isolated: under a broadcast
+    threshold the RAW dim size exceeds, the static planner must pick
+    BroadcastHashJoin ONLY when CBO can price the filter from the
+    ANALYZE'd column stats (p_size min/max/ndv -> ~4% selectivity);
+    with CBO off the Filter's size estimate stays ~the relation size
+    and the same threshold forces a SortMergeJoin. Both asserted on
+    the INITIAL plan — CBO's win over AQE's runtime SMJ->BHJ
+    conversion is deciding BEFORE the map-side shuffle files are
+    written."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        analyzed_part_table,
+    )
+
+    name = analyzed_part_table(spark, sf_dir)
+    stats = [
+        r
+        for r in spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        if r.col_name == "Statistics"
+    ]
+    assert stats, "ANALYZE TABLE must have recorded catalog statistics"
+    raw_bytes = int(stats[0].data_type.split(" bytes")[0])
+    assert "rows" in stats[0].data_type, "rowCount stat must exist"
+    threshold = max(1024, raw_bytes // 16)
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(threshold),
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan_cbo = plan_of(spark, "q106_cbo_stats_join", sf_dir)
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        plan_naive = plan_of(spark, "q106_cbo_stats_join", sf_dir)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "BroadcastHashJoin" in plan_cbo, (
+        "with column stats + CBO the filtered dim must broadcast"
+    )
+    assert "SortMergeJoin" not in plan_cbo
+    assert "SortMergeJoin" in plan_naive, (
+        "without CBO the filter is opaque to the size estimate"
+    )
+    assert "BroadcastHashJoin" not in plan_naive
+
+
+def _scan_output_rows(spark, df) -> int:
+    """Execute df and return the FileSourceScan's numOutputRows — the
+    rows the parquet reader actually DECODED (row groups whose
+    footer min/max intersected the pushed predicate). AQE disabled by
+    the caller so executedPlan is the plain tree."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.length()):
+        node = leaves.apply(i)
+        if "FileScan" in node.toString() or "Scan parquet" in node.toString():
+            total += node.metrics().apply("numOutputRows").value()
+    return total
+
+
+def test_q108_clustered_layout_skips_row_groups(spark, sf_dir):
+    """The zone-map payoff, measured: the same pushed range predicate
+    must DECODE ~one file's worth of rows on the range-clustered twin
+    (row groups whose min/max miss the range are skipped at the
+    footer) and the whole corpus on the round-robin twin (every file
+    spans the full range, so no row group can be skipped). Values are
+    layout-invariant — the driver row proves them against the plain
+    orders oracle."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        orders_layout_twins,
+    )
+
+    clustered, unclustered = orders_layout_twins(spark, sf_dir)
+    n_total = spark.read.parquet(unclustered).count()
+    # A ~decile band: wide enough that EVERY round-robin file of
+    # n_total/16 random rows contains matches with overwhelming
+    # probability (a too-narrow band lets the unclustered twin skip
+    # files whose random min landed above it — measured), narrow
+    # enough that the clustered twin confines it to ~2/16 files.
+    cut = spark.read.parquet(unclustered).stat.approxQuantile(
+        "o_totalprice", [0.1], 0.001
+    )[0]
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        decoded = {}
+        for name, path in (
+            ("clustered", clustered),
+            ("unclustered", unclustered),
+        ):
+            df = (
+                spark.read.parquet(path)
+                .filter(f"o_totalprice < {cut}")
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "LessThan(o_totalprice" in plan.replace(
+                " ", ""
+            ), f"{name}: range predicate must reach PushedFilters"
+            decoded[name] = _scan_output_rows(spark, df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert decoded["unclustered"] == n_total, (
+        "round-robin files span the full range - nothing skippable"
+    )
+    assert decoded["clustered"] <= n_total // 4, (
+        f"clustered twin must skip most row groups "
+        f"(decoded {decoded['clustered']} of {n_total})"
+    )
