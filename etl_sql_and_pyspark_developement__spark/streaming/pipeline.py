@@ -818,3 +818,37 @@ def stream_observed_ingest(doc_stream: DataFrame) -> DataFrame:
         "lang",
         F.length("text").alias("n_chars"),
     )
+
+
+def available_now_backfill(transformed: DataFrame, checkpoint: str, sink_fn):
+    """st35: BOUNDED BACKFILL via Trigger.AvailableNow — the
+    production backfill/catch-up runtime mode the rest of the suite's
+    processAllAvailable tests don't exercise: the query processes
+    everything available AT START (in rate-limited micro-batches —
+    AvailableNow honors maxFilesPerTrigger, unlike the legacy Once
+    trigger's single giant batch), commits each batch to the
+    checkpoint, and TERMINATES on its own. Re-running the same
+    checkpoint later picks up exactly the files that arrived since —
+    the cron-shaped "drain the backlog nightly" pattern, with the
+    same stateful fold and exactly-once sink contract as the 24/7
+    query.
+
+    Takes the already-transformed streaming frame (any stateful lane:
+    st31's bitmap distinct is the parity-tested example), runs it to
+    completion through a foreachBatch sink (the restartable form —
+    memory sinks cannot recover a checkpoint), and returns the
+    terminated StreamingQuery for progress inspection. Parity
+    contract (tests/test_streaming.py): final state equals the
+    processAllAvailable run bit-for-bit, a second AvailableNow run on
+    the same checkpoint continues the fold over only-the-new files,
+    and the run is genuinely bounded (awaitTermination returns, the
+    query deactivates itself)."""
+    q = (
+        transformed.writeStream.outputMode("update")
+        .foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -2204,3 +2204,133 @@ def test_st34_observed_metrics_ride_streaming_ingest(spark, sf_dir, tmp_path):
         "n_short": want.n_short or 0,
         "total_chars": want.total_chars,
     }
+
+
+def _bitmap_totals_from_rows(spark, view: str) -> dict:
+    """Latest bucket per (type, bucket) -> per-type distinct total
+    (n_distinct is monotone under BIT_OR, so latest == max)."""
+    return {
+        r.event_type: r.total
+        for r in spark.sql(
+            f"SELECT event_type, sum(n_distinct) AS total FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY event_type, bucket "
+            f"ORDER BY n_distinct DESC) AS rn FROM {view}) "
+            f"WHERE rn = 1 GROUP BY event_type"
+        ).collect()
+    }
+
+
+def test_st35_available_now_equals_process_all_available(
+    spark, sf_dir, tmp_path
+):
+    """Trigger.AvailableNow backfill parity: draining a 3-file backlog
+    through rate-limited AvailableNow micro-batches must leave the
+    SAME final state as the processAllAvailable run (st31's bitmap
+    fold = batch countDistinct), the run must be genuinely BOUNDED
+    (awaitTermination returns; query deactivates itself), and the
+    rate limit must be honored (multiple micro-batches, not one giant
+    Once-style batch)."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        available_now_backfill,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    src = tmp_path / "an_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 3), (3, 17), (17, 9999)]):
+        ev.filter(
+            (F.datediff(F.to_date("ts"), F.lit(d0)) >= lo)
+            & (F.datediff(F.to_date("ts"), F.lit(d0)) < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    out_dir = str(tmp_path / "an_out")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+    def sink(bdf, epoch_id):
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = available_now_backfill(
+        streaming_bitmap_distinct(stream),
+        str(tmp_path / "an_ckpt"),
+        sink,
+    )
+    assert not q.isActive, "AvailableNow must terminate on its own"
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3, "maxFilesPerTrigger must still rate-limit"
+
+    spark.read.parquet(out_dir).createOrReplaceTempView("st35_an_out")
+    got = _bitmap_totals_from_rows(spark, "st35_an_out")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want, "AvailableNow final state must equal batch"
+
+
+def test_st35_second_available_now_run_continues_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """The nightly-backfill cadence: a SECOND AvailableNow run on the
+    same checkpoint must process ONLY the files that arrived since
+    the first run, and the recovered state must continue the fold —
+    final totals equal batch countDistinct over everything."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        available_now_backfill,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tmp_path / "an2_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "an2_ckpt")
+    out_dir = str(tmp_path / "an2_out")
+
+    def sink(bdf, epoch_id):
+        bdf.write.mode("append").parquet(out_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        return available_now_backfill(
+            streaming_bitmap_distinct(stream), ckpt, sink
+        )
+
+    ev.filter("user_id % 2 = 0").coalesce(1).write.parquet(str(src / "b0"))
+    q1 = run()
+    n1 = sum(p["numInputRows"] for p in q1.recentProgress)
+
+    ev.filter("user_id % 2 = 1").coalesce(1).write.parquet(str(src / "b1"))
+    q2 = run()
+    n2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    half2 = ev.filter("user_id % 2 = 1").count()
+    assert n2 == half2, (
+        f"second run must read ONLY the new file ({half2} rows, got {n2})"
+    )
+    assert n1 + n2 == ev.count()
+
+    spark.read.parquet(out_dir).createOrReplaceTempView("st35_an2_out")
+    got = _bitmap_totals_from_rows(spark, "st35_an2_out")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want, "checkpoint-continued fold must equal batch"
