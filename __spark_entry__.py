@@ -43,6 +43,16 @@ _NEEDS_DRIVER_ROW = [
     "q106_cbo_stats_join",
     # round-7 addition: zone-map / row-group skipping measurement lane
     "q108_rowgroup_skipping",
+    # round-7 additions: runtime bloom-filter join lane, WindowGroupLimit
+    # rank-pushdown lane, exchange-reuse self-join lane
+    "q110_bloom_filter_join", "q111_window_group_limit",
+    "q112_exchange_reuse",
+    # round-7 addition: leakage-free held-out bigram-LM evaluation
+    "t25_heldout_perplexity",
+    # round-7 addition: Python Data Source filter pushdown lane
+    "q113_python_ds_pushdown",
+    # round-7 addition: SQL INSERT OVERWRITE dynamic-partition refresh
+    "q114_insert_overwrite_dynamic",
 ]
 
 

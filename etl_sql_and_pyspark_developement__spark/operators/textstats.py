@@ -983,3 +983,98 @@ def bpe_compression(
             " DIV sum(freq * length(replace(s, '|', ''))) AS BIGINT)"
         ).alias("compression_ppm"),
     )
+
+
+def heldout_bigram_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_pred: Column | None = None,
+) -> DataFrame:
+    """HELD-OUT bigram LM evaluation — the measurement t10/t11 skip:
+    both score a document against counts that INCLUDE the document
+    itself, so a filter tuned on them has silently seen its own test
+    set. Here the corpus splits train/test on the p03 md5 bucket
+    (test = bucket < 10 of 100, the same engine-portable assignment),
+    an add-one-smoothed bigram LM is estimated from the TRAIN half
+    only, and each TEST doc is scored on integer reciprocal
+    conditional probabilities:
+
+        ppm(w1 w2) = (1e6 * (c1(w1) + V)) div (c12(w1 w2) + 1)
+
+    with c1/c12 TRAIN counts (0 when unseen) and V the train prefix
+    vocabulary — Laplace smoothing keeps unseen continuations finite
+    while still ranking them as maximally surprising. Per test doc:
+    bigram count, unseen-bigram count (the OOV-transition tail), and
+    the mean smoothed surprisal — exactly the quantity a perplexity
+    gate thresholds, measured without train/test leakage.
+
+    test_pred overrides the split predicate (unit tests plant exact
+    corpora; production uses the default md5 bucket).
+
+    Scale: train counts are two decomposable gram-keyed groupBys
+    (the t11 shape over ~90% of the corpus); test scoring is two
+    gram-keyed LEFT equi-joins plus a broadcast 1-row vocab size; the
+    per-doc rollup shuffles on doc. Linear end to end, no pairwise
+    machinery, no Python.
+    """
+    if test_pred is None:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        test_pred = bucket < 10
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        test_pred.alias("is_test"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    flat = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc",
+            "is_test",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct("
+                    "element_at(t, i) AS w1, "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1))"
+                    " AS bg))"
+                )
+            ).alias("x"),
+        )
+        .select("doc", "is_test", "x.w1", "x.bg")
+        .localCheckpoint()
+    )
+    train = flat.filter(~F.col("is_test"))
+    test = flat.filter(F.col("is_test"))
+    f12 = train.groupBy("bg").agg(F.count("*").alias("c12"))
+    f1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vsz = train.agg(F.countDistinct("w1").alias("vsz"))
+    return (
+        test.join(f12, "bg", "left")
+        .join(f1, "w1", "left")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_unseen_bigrams"),
+            F.expr(
+                "sum((1000000 * (coalesce(c1, 0) + vsz))"
+                " div (coalesce(c12, 0) + 1)) div count(*)"
+            ).alias("mean_heldout_ppm"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_bigrams",
+            "n_unseen_bigrams",
+            "mean_heldout_ppm",
+        )
+    )

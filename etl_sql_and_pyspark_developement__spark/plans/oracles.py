@@ -6399,3 +6399,135 @@ WHERE o_totalprice < 2000.0
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+# q110: the plain filtered join — the runtime bloom filter changes
+# the PLAN (probe rows die at the scan), never the result.
+ORACLES["q110_bloom_filter_join"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                AS BIGINT)) AS BIGINT) AS rev_e4
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT') o
+  ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# q111: rank()-with-ties top-3 — WindowGroupLimit changes where rows
+# are DISCARDED (map-side, before the shuffle), never which survive.
+ORACLES["q111_window_group_limit"] = """
+SELECT o_custkey, rnk, o_orderkey, cents
+FROM (
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(round(o_totalprice * 100, 0)
+                                      AS BIGINT) DESC) AS rnk
+    FROM orders
+) ranked
+WHERE rnk <= 3
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+# q112: the same three-way self-join — exchange reuse executes the
+# daily rollup once for the shifted branches, never changes values.
+# Inner joins: emitted days are those with both a yesterday and a
+# week-ago row.
+ORACLES["q112_exchange_reuse"] = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+)
+SELECT strftime(cur.day, '%Y-%m-%d') AS day, cur.n AS n,
+       cur.cents AS cents, prev.n AS prev_n, wk.n AS wow_n
+FROM daily cur
+JOIN daily prev ON prev.day = cur.day - 1
+JOIN daily wk   ON wk.day   = cur.day - 7
+ORDER BY day
+"""
+
+# t25: identical split / tokenizer / integer smoothing arithmetic —
+# train counts from the md5-bucket >= 10 half, add-one smoothed
+# reciprocal conditional probabilities over the test half.
+ORACLES["t25_heldout_perplexity"] = """
+WITH b AS (
+    SELECT doc_id, text,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 AS bkt
+    FROM documents
+),
+toks AS (SELECT doc_id, bkt, string_split(text, ' ') AS t FROM b),
+flat AS (
+    SELECT doc_id, bkt, x.w1 AS w1, x.bg AS bg FROM (
+        SELECT doc_id, bkt,
+            unnest(list_transform(range(1, len(t)),
+                i -> {'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]})) AS x
+        FROM toks WHERE len(t) >= 2)
+),
+train AS (SELECT * FROM flat WHERE bkt >= 10),
+test AS (SELECT * FROM flat WHERE bkt < 10),
+f12 AS (SELECT bg, count(*) AS c12 FROM train GROUP BY bg),
+f1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS vsz FROM train)
+SELECT t.doc_id AS doc_id,
+    count(*) AS n_bigrams,
+    CAST(sum(CASE WHEN f12.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unseen_bigrams,
+    CAST(sum((1000000 * (COALESCE(f1.c1, 0) + v.vsz))
+             // (COALESCE(f12.c12, 0) + 1)) // count(*) AS BIGINT)
+        AS mean_heldout_ppm
+FROM test t
+LEFT JOIN f12 USING (bg)
+LEFT JOIN f1 USING (w1)
+CROSS JOIN v
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+# q113: generate_series replay of the push-source kernel (q105's
+# contract) under the SAME filters — pushdown changes where rows die
+# (partition pruning + in-reader filtering), never which survive.
+ORACLES["q113_python_ds_pushdown"] = """
+WITH ids AS (SELECT unnest(range(0, 1000)) AS i),
+rows_src AS (
+    SELECT i AS doc_id,
+           ['en', 'de', 'fr', 'es', 'und'][
+               CAST(CAST(('0x' || substr(md5('synth:' || i), 1, 6))
+                    AS BIGINT) % 5 AS INTEGER) + 1] AS lang,
+           20 + CAST(('0x' || substr(md5('synth:' || i), 7, 4))
+                AS BIGINT) % 481 AS n_tokens,
+           CAST(('0x' || substr(md5('synth:' || i), 11, 6))
+                AS BIGINT) % 1000000 AS score_ppm
+    FROM ids
+)
+SELECT doc_id // 250 AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(score_ppm) AS BIGINT) AS max_score_ppm,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM rows_src
+WHERE lang = 'de' AND doc_id >= 250 AND doc_id < 750
+GROUP BY doc_id // 250
+ORDER BY band
+"""
+
+# q114: the plain full-history rollup — the 7-day dynamic refresh
+# replaces partition FILES with identical recomputed rows, so the
+# maintained table always equals the direct aggregate.
+ORACLES["q114_insert_overwrite_dynamic"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+ORDER BY day, event_type
+"""

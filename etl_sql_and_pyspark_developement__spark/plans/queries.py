@@ -8209,3 +8209,296 @@ def q108_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("q110_bloom_filter_join")
+def q110_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER JOIN PRUNING promoted to a driver-verified
+    lane (the q107 move applied to the last session-helper-only join
+    defense): for a shuffle join whose build side carries a selective
+    filter, Catalyst's InjectRuntimeFilter plants a bloom_filter_agg
+    subquery on the build keys and a might_contain predicate on the
+    probe side — fact rows that cannot match die AT THE SCAN, before
+    paying the shuffle. At 100 TB this turns "shuffle all of lineitem"
+    into "shuffle the ~20% whose orders survive the priority filter",
+    with no bucketing, no manual broadcast, no relayout.
+
+    The lane's shape is the one the rule wants: a filtered dim
+    (orders at 1-URGENT) equi-joined to the big fact on the fact's
+    key. Locally the filtered dim broadcasts (the rule only fires for
+    shuffle joins, and only past size thresholds tuned for
+    warehouse-scale scans), so the firing contract lives in
+    tests/test_plans.py: with session.enable_runtime_bloom_filters
+    armed, broadcast off, and the application-side threshold scaled
+    to the local corpus, THIS query's plan carries might_contain +
+    bloom_filter_agg; disabled, neither appears. Values are
+    conf-invariant (q101/q106's discipline) — the oracle is the
+    plain filtered join.
+
+    Reference parity: pyspark/User Engagement Funnel Analysis.py:8-13
+    (facts joined behind selective dim filters) — the shape whose
+    shuffle volume the runtime filter collapses at scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("sum_qty"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+                " * 10000, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("rev_e4"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q111_window_group_limit")
+def q111_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW GROUP LIMIT pushdown lane — the optimizer lever behind
+    every "top-k per group" query (q21's shape): a rank()-filter over
+    a per-customer window would naively shuffle EVERY order, sort each
+    customer's full history, rank it, and only then discard rank > 3.
+    Spark's InferWindowGroupLimit instead plants a WindowGroupLimit
+    node on BOTH sides of the exchange: the map side keeps at most k
+    rows per group per partition BEFORE the shuffle, so the exchange
+    moves O(k · groups) rows instead of the whole fact table — at
+    100 TB the difference between shuffling every order ever placed
+    and shuffling three per customer.
+
+    The plan contract (tests/test_plans.py) asserts the node appears
+    twice (partial below the exchange, final above) and disappears
+    when spark.sql.optimizer.windowGroupLimitThreshold is -1 — the
+    flip isolates the rule the same way q106 isolates CBO. rank()
+    (not row_number) exercises the with-ties variant: orders tied on
+    cents share a rank and ALL survive the filter, deterministically.
+
+    Reference parity: pyspark/Geographic Content Preference Mapping.py
+    (RANK-per-region top content) — the reference's top-k-per-group
+    workloads all compile to exactly this shape.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("cents"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "cents")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@query("q112_exchange_reuse")
+def q112_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE REUSE lane — Catalyst's answer to "one derived frame,
+    many consumers" INSIDE a single plan: the daily rollup below feeds
+    three join branches (today, yesterday via date_sub 1, last week
+    via date_sub 7), and ReuseExchange collapses plan-identical
+    shuffle subtrees so the events scan + partial aggregate execute
+    ONCE for the shifted branches instead of once per branch
+    (ReusedExchange asserted in the final adaptive plan in
+    tests/test_plans.py). At 100 TB the reused subtree is a full fact
+    scan + shuffle — reuse is the difference between one pass and N.
+
+    Measured boundaries of the rule (PLANS.md): reuse requires
+    CANONICALLY IDENTICAL subtrees — the two shifted consumers (whose
+    only difference, the date_sub constant, sits ABOVE the exchange
+    in the join key) share one exchange, while the probe branch's
+    inferred IsNotNull(date_sub(day, k)) constraints sink BELOW its
+    exchange and break identity with them; and UNION arms do not
+    stage-share under AQE at all (the round-6 finding that keeps
+    localCheckpoint for multi-branch frames). Self-joins get reuse
+    for free; unions need explicit materialization.
+
+    q17 covers the pure adjacent-day LAG (strictly better when a
+    window CAN express the comparison); this lane is the general
+    mechanism for self-join shapes a window can't express. Inner
+    joins by design: emitted days are exactly those with both a
+    yesterday and a week-ago row (the oracle mirrors this).
+
+    Reference parity: SQL/Social Network Effects on Content
+    Virality.txt (day-over-day AND week-over-week growth baselines).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cur, prev, wk = daily.alias("cur"), daily.alias("prev"), daily.alias("wk")
+    return (
+        cur.join(prev, F.expr("prev.day = date_sub(cur.day, 1)"), "inner")
+        .join(wk, F.expr("wk.day = date_sub(cur.day, 7)"), "inner")
+        .select(
+            F.date_format(F.col("cur.day"), "yyyy-MM-dd").alias("day"),
+            F.col("cur.n").alias("n"),
+            F.col("cur.cents").alias("cents"),
+            F.col("prev.n").alias("prev_n"),
+            F.col("wk.n").alias("wow_n"),
+        )
+        .orderBy("day")
+    )
+
+
+@query("t25_heldout_perplexity")
+def t25_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT perplexity-proxy evaluation — the leakage-free
+    measurement the LM-filter lanes were missing: t10/t11 score every
+    document against corpus counts that INCLUDE it, so thresholds
+    tuned on those scores have seen their own test set. This lane
+    splits on the p03 md5 bucket (test = 10%), trains an add-one-
+    smoothed bigram LM on the train half only, and scores each test
+    doc's mean integer smoothed surprisal + unseen-transition count —
+    exactly the quantity a perplexity gate thresholds, evaluated the
+    way a gate will actually meet data it has never counted
+    (operators/textstats.heldout_bigram_eval; the calibration
+    discipline of t18/s08/d21 applied to the t10/t11 axis).
+
+    Reference parity: the reference's train/score separation shape —
+    pyspark/Predictive Content Performance Modeling.py builds features
+    on historical windows and scores forward; here the split is by
+    content identity instead of time.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        heldout_bigram_eval,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return heldout_bigram_eval(docs).orderBy("doc_id")
+
+
+@query("q113_python_ds_pushdown")
+def q113_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATA SOURCE FILTER PUSHDOWN (Spark 4.1, SPARK-50556) —
+    q105's connector surface grown the capability that makes a real
+    connector usable at scale: the planner hands the reader the
+    conjunctive filters, the reader KEEPS what the backing source can
+    evaluate natively and yields back the rest. Two tiers, mirroring
+    a database connector (sources/pyds.SynthDocsPushReader):
+    doc_id range predicates prune generator PARTITIONS (pruned slices
+    are never scheduled — 4 of 8 here, asserted via getNumPartitions),
+    and the lang equality applies inside read(), so filtered rows
+    never cross the Python->JVM boundary. Consumed filters land in
+    the scan's PushedFilters (plan-asserted); Spark re-evaluates only
+    what the reader yielded back.
+
+    The lane arms spark.sql.python.filterPushdown.enabled itself —
+    Spark refuses to plan a pushFilters-implementing reader while the
+    flag is off (the gate is pinned in tests/test_io.py) — and the
+    baseline source (q105/st33) deliberately does NOT implement
+    pushFilters so it stays plannable under default confs.
+
+    Generation is md5-on-index (the q105 contract), so the DuckDB
+    oracle replays the filtered table from generate_series and the
+    pushdown path is value-verified: pushing filters must change
+    WHERE rows die, never which survive. Fixed n=1000 — a connector
+    demo lane, corpus-size-independent by design.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    synth = (
+        spark.read.format("graft_synth_docs_push")
+        .option("n", "1000")
+        .option("parts", "8")
+        .load()
+    )
+    return (
+        synth.filter(
+            (F.col("lang") == "de")
+            & (F.col("doc_id") >= 250)
+            & (F.col("doc_id") < 750)
+        )
+        .groupBy(F.expr("doc_id div 250").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("score_ppm").alias("max_score_ppm"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("band")
+    )
+
+
+@query("q114_insert_overwrite_dynamic")
+def q114_insert_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL INSERT OVERWRITE with DYNAMIC PARTITION scoping — the WRITE
+    side of the SQL-text surface family (q30/q47-q49/q94-q96 cover
+    reads; the reference is an ETL project, and its output layer is
+    exactly this statement): a day-partitioned rollup table is
+    maintained by rerunning ONLY the trailing 7-day window — INSERT
+    OVERWRITE under partitionOverwriteMode=dynamic replaces exactly
+    the partitions the SELECT produces and leaves history untouched
+    (static mode, the default, would TRUNCATE the whole table first
+    — the classic production data-loss foot-gun, pinned in
+    tests/test_io.py). Rerunning is idempotent; a corrupted trailing
+    partition is repaired by the next run; out-of-window partitions
+    are provably not rewritten (file mtimes asserted).
+
+    The conf flips around the eagerly-executed INSERT only (SQL DML
+    runs at spark.sql time, not lazily), so nothing leaks into other
+    lanes' planning. Values are maintenance-invariant: the oracle is
+    the plain full-history rollup — refresh changes WHICH FILES hold
+    the rows, never the rows (q100/q108's discipline applied to the
+    write path).
+
+    At 100 TB: the nightly job rewrites 7 partitions of a 3000-day
+    lake instead of 3000 — dynamic overwrite is why backfill cost
+    tracks the late-data window, not table size.
+
+    Reference parity: every reference workload materializes a final
+    rollup; SQL/Seasonal Viewing Pattern Analysis.txt's monthly
+    aggregates are the shape that gets maintained this way.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        maintained_daily_table,
+    )
+
+    name, cutoff = maintained_daily_table(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    (
+        ev.filter(F.date_format("ts", "yyyy-MM-dd") >= F.lit(cutoff))
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .createOrReplaceTempView("q114_refresh_window")
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key)
+    cols = ", ".join(spark.table(name).columns)
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {name}"
+            f" SELECT {cols} FROM q114_refresh_window"
+        )
+    finally:
+        spark.conf.set(mode_key, old)
+    return spark.table(name).orderBy("day", "event_type")

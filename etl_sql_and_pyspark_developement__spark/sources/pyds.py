@@ -82,9 +82,118 @@ class SynthDocsDataSource(DataSource):
         return SynthDocsReader(self.options)
 
 
+class SynthDocsPushReader(DataSourceReader):
+    """Pushdown-capable variant of SynthDocsReader (Spark 4.1's
+    Python Data Source filter pushdown, SPARK-50556): the planner
+    hands pushFilters the conjunctive filter list, the reader KEEPS
+    the ones the backing source can evaluate natively and yields the
+    rest back for Spark to re-check.
+
+    Two pushdown tiers, mirroring what a real connector does:
+    - doc_id range filters (>=, >, <, <=) prune PARTITIONS: only
+      generator slices overlapping the residual [lo, hi) range are
+      declared, so pruned slices are never scheduled (a database
+      connector turns these into WHERE-clause shards; asserted via
+      getNumPartitions in tests).
+    - lang equality/IN filters apply per row inside read() — the
+      "native WHERE" a database would evaluate server-side; rows
+      that fail never cross the Python->JVM boundary.
+
+    Requires spark.sql.python.filterPushdown.enabled=true — Spark
+    REFUSES to plan a reader that implements pushFilters while the
+    flag is off (clear AnalysisException), so the q113 lane and its
+    tests arm the conf explicitly.
+    """
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+        self.lo = 0
+        self.hi = self.n
+        self.langs: set | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",) and isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif attr == ("doc_id",) and isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif attr == ("doc_id",) and isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif attr == ("doc_id",) and isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif attr == ("lang",) and isinstance(f, EqualTo):
+                self.langs = {f.value} if self.langs is None else (
+                    self.langs & {f.value}
+                )
+            elif attr == ("lang",) and isinstance(f, In):
+                vals = set(f.value)
+                self.langs = vals if self.langs is None else (
+                    self.langs & vals
+                )
+            elif isinstance(f, IsNotNull):
+                # generated columns are never NULL — absorb for free
+                pass
+            else:
+                yield f  # unsupported: Spark re-evaluates it
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi <= lo:
+            return [InputPartition((0, 0))]
+        per = (self.n + self.parts - 1) // self.parts
+        out = []
+        for slice_lo in range(0, self.n, per):
+            slice_hi = min(slice_lo + per, self.n)
+            # declare only slices overlapping the pushed range
+            if slice_hi > lo and slice_lo < hi:
+                out.append(
+                    InputPartition((max(slice_lo, lo), min(slice_hi, hi)))
+                )
+        return out or [InputPartition((0, 0))]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            row = synth_doc_row(i)
+            if self.langs is not None and row[1] not in self.langs:
+                continue
+            yield row
+
+
+class SynthDocsPushDataSource(DataSource):
+    """spark.read.format("graft_synth_docs_push") — pushdown variant.
+
+    A SEPARATE source class on purpose: any reader that implements
+    pushFilters fails to plan when the filterPushdown conf is off, so
+    the baseline source (q105/st33's) must not grow the method."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_synth_docs_push"
+
+    def schema(self) -> str:
+        return SYNTH_DOCS_SCHEMA
+
+    def reader(self, schema):
+        return SynthDocsPushReader(self.options)
+
+
 def register_python_sources(spark: SparkSession) -> None:
     """Idempotent registration of the engine's Python data sources."""
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthDocsPushDataSource)
     spark.dataSource.register(SynthEventsStreamDataSource)
 
 

@@ -441,3 +441,204 @@ def test_minhash_index_artifact_builds_once(spark, sf_dir, tmp_path, monkeypatch
     ] == committed
     assert os.stat(os.path.join(adir, committed[0])).st_mtime_ns == stamp
     assert QUERIES["d22_incremental_dedup"](spark, sf_dir).count() > 0
+
+
+def test_python_ds_pushdown_prunes_partitions_and_rows(spark):
+    """q113's pushdown contract: (1) consumed filters land in the
+    scan's PushedFilters; (2) doc_id range filters prune generator
+    partitions (4 of 8 slices scheduled); (3) the pushed result
+    equals the baseline source filtered by Spark row-for-row —
+    pushdown changes where rows die, never which survive."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pred = (
+            (F.col("lang") == "de")
+            & (F.col("doc_id") >= 250)
+            & (F.col("doc_id") < 750)
+        )
+        pushed = (
+            spark.read.format("graft_synth_docs_push")
+            .option("n", "1000")
+            .option("parts", "8")
+            .load()
+            .filter(pred)
+        )
+        plan = pushed._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pushed_line = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert pushed_line, "scan must report PushedFilters"
+        line = pushed_line[0]
+        assert "EqualTo(lang,de)" in line
+        assert "GreaterThanOrEqual(doc_id,250)" in line
+        assert "LessThan(doc_id,750)" in line
+        # range pushdown prunes slices [0,125)x2 and [750,1000)x2
+        assert pushed.rdd.getNumPartitions() == 4
+        baseline = (
+            spark.read.format("graft_synth_docs")
+            .option("n", "1000")
+            .option("parts", "8")
+            .load()
+            .filter(pred)
+        )
+        assert sorted(map(tuple, pushed.collect())) == sorted(
+            map(tuple, baseline.collect())
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_python_ds_pushdown_conf_gate_raises_clearly(spark):
+    """Spark refuses to plan a pushFilters-implementing reader while
+    the filterPushdown conf is off — pin the clear error so the
+    baseline source must never grow the method (q105/st33 must stay
+    plannable under default confs)."""
+    import pytest as _pytest
+
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        df = (
+            spark.read.format("graft_synth_docs_push")
+            .option("n", "10")
+            .load()
+        )
+        with _pytest.raises(Exception, match="PUSHDOWN_DISABLED|pushFilters"):
+            df.collect()
+        # the baseline (no pushFilters) source must still plan fine
+        base = (
+            spark.read.format("graft_synth_docs").option("n", "10").load()
+        )
+        assert base.count() == 10
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_q114_dynamic_overwrite_scoping_and_repair(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The INSERT OVERWRITE refresh must (1) leave out-of-window
+    partitions' files untouched, (2) rewrite the trailing window
+    idempotently, and (3) repair a corrupted trailing partition on
+    the next run — the maintenance contract of q114."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        maintained_daily_table,
+    )
+
+    adir = str(tmp_path / "q114_artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    name, cutoff = maintained_daily_table(spark, sf_dir)
+    base = os.path.join(adir, name)
+    parts = sorted(d for d in os.listdir(base) if d.startswith("day="))
+    early = [d for d in parts if d.split("=")[1] < cutoff]
+    late = [d for d in parts if d.split("=")[1] >= cutoff]
+    assert early and late
+
+    def files_state(dirs):
+        out = {}
+        for d in dirs:
+            p = os.path.join(base, d)
+            out[d] = sorted(
+                (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before_early = files_state(early)
+    before_late = files_state(late)
+    rows1 = QUERIES["q114_insert_overwrite_dynamic"](
+        spark, sf_dir
+    ).collect()
+    assert files_state(early) == before_early, (
+        "out-of-window partitions must not be rewritten"
+    )
+    assert files_state(late) != before_late, (
+        "trailing-window partitions must be rewritten"
+    )
+    # idempotent rerun
+    rows2 = QUERIES["q114_insert_overwrite_dynamic"](
+        spark, sf_dir
+    ).collect()
+    assert rows1 == rows2
+    # corrupt a trailing partition; the next refresh repairs it
+    victim = os.path.join(base, late[-1])
+    for f in os.listdir(victim):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(victim, f))
+    spark.sql(f"REFRESH TABLE {name}")
+    rows3 = QUERIES["q114_insert_overwrite_dynamic"](
+        spark, sf_dir
+    ).collect()
+    assert rows3 == rows1, "refresh must repair the corrupted partition"
+
+
+def test_q114_static_overwrite_would_truncate(spark, sf_dir, tmp_path, monkeypatch):
+    """Pin the foot-gun the lane's dynamic mode exists to avoid: a
+    STATIC INSERT OVERWRITE of the 7-day window deletes the whole
+    table first — history outside the window is gone."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        maintained_daily_table,
+    )
+    from pyspark.sql import functions as F
+
+    adir = str(tmp_path / "q114_static")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", adir)
+    name, cutoff = maintained_daily_table(spark, sf_dir)
+    n_full = spark.table(name).count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (
+        ev.filter(F.date_format("ts", "yyyy-MM-dd") >= F.lit(cutoff))
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .createOrReplaceTempView("q114_static_window")
+    )
+    cols = ", ".join(spark.table(name).columns)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {name}"
+        f" SELECT {cols} FROM q114_static_window"
+    )
+    n_after = spark.table(name).count()
+    assert n_after < n_full, (
+        "static overwrite truncates history — the documented hazard"
+    )
+    base = os.path.join(adir, name)
+    remaining = {d.split("=")[1] for d in os.listdir(base) if d.startswith("day=")}
+    assert all(d >= cutoff for d in remaining)

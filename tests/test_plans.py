@@ -1173,3 +1173,100 @@ def test_q108_clustered_layout_skips_row_groups(spark, sf_dir):
         f"clustered twin must skip most row groups "
         f"(decoded {decoded['clustered']} of {n_total})"
     )
+
+
+def test_q110_bloom_filter_injection_flip(spark, sf_dir):
+    """q110's registered plan must accept the runtime bloom filter:
+    armed (broadcast off so the join shuffles, application threshold
+    scaled to the local corpus), the probe scan carries might_contain
+    and the build side aggregates bloom_filter_agg; disabled, neither
+    appears. The conf flip isolates the rule (q106's discipline)."""
+    from etl_sql_and_pyspark_developement__spark.session import (
+        enable_runtime_bloom_filters,
+    )
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        enable_runtime_bloom_filters(spark, application_side_threshold="0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        armed = plan_of(spark, "q110_bloom_filter_join", sf_dir)
+        assert "might_contain" in armed, "probe scan must carry the filter"
+        assert "bloom_filter_agg" in armed, "build side must aggregate it"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        # plans are cached per Dataset: rebuild under the new conf
+        disarmed = plan_of(spark, "q110_bloom_filter_join", sf_dir)
+        assert "might_contain" not in disarmed
+        assert "bloom_filter_agg" not in disarmed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q111_window_group_limit_flip(spark, sf_dir):
+    """InferWindowGroupLimit must plant WindowGroupLimit on BOTH sides
+    of q111's exchange (partial map-side prune + final), and the nodes
+    must vanish when the rule is disabled via its threshold conf — the
+    flip proves the top-3 filter is what licenses the map-side drop."""
+    import re
+
+    def nodes(plan):
+        return [
+            line
+            for line in plan.splitlines()
+            if re.match(r"^\(\d+\) WindowGroupLimit", line.strip())
+        ]
+
+    armed = plan_of(spark, "q111_window_group_limit", sf_dir)
+    assert len(nodes(armed)) == 2, (
+        f"expected partial+final WindowGroupLimit, got {nodes(armed)}"
+    )
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        disarmed = plan_of(spark, "q111_window_group_limit", sf_dir)
+        assert len(nodes(disarmed)) == 0
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_q112_exchange_reuse_in_final_plan(spark, sf_dir):
+    """The two shifted self-join branches must share ONE exchange:
+    after execution, the final adaptive plan carries a ReusedExchange
+    node (the daily rollup's scan + partial agg ran once for both).
+    Reuse fires only for canonically identical subtrees — the probe
+    branch's inferred IsNotNull(date_sub(day, k)) constraints sink
+    below its exchange, so it keeps its own (documented boundary)."""
+    import re
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    df = QUERIES["q112_exchange_reuse"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    reused = [
+        line
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) ReusedExchange", line.strip())
+    ]
+    assert len(reused) >= 1, "shifted branches must share one exchange"

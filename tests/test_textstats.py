@@ -459,3 +459,47 @@ def test_bpe_compression_planted_exact(spark):
         r.corpus_syms,
         r.compression_ppm,
     ) == (2, 9, 3, 333333)
+
+
+def test_heldout_bigram_eval_hand_computed(spark):
+    """Planted split: train doc 'a b a c' (c1: a=2, b=1; c12: 'a b'=1,
+    'b a'=1, 'a c'=1; V=2), test doc 'a b x'. Scores:
+    'a b' -> 1e6*(2+2)//(1+1) = 2_000_000 (seen),
+    'b x' -> 1e6*(1+2)//(0+1) = 3_000_000 (unseen transition).
+    Mean = 2_500_000, n_bigrams = 2, n_unseen = 1."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        heldout_bigram_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b x")], ["doc_id", "text"]
+    )
+    out = heldout_bigram_eval(
+        df, test_pred=F.col("doc_id") == 2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 2
+    assert r.n_bigrams == 2
+    assert r.n_unseen_bigrams == 1
+    assert r.mean_heldout_ppm == 2_500_000
+
+
+def test_heldout_eval_never_scores_train_docs(spark):
+    """Train docs must not appear in the output, and a test doc with
+    fewer than two tokens carries no bigram evidence and is excluded."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.textstats import (
+        heldout_bigram_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    out = heldout_bigram_eval(
+        df, test_pred=F.col("doc_id") >= 2
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [2]
