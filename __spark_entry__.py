@@ -53,6 +53,10 @@ _NEEDS_DRIVER_ROW = [
     "q113_python_ds_pushdown",
     # round-7 addition: SQL INSERT OVERWRITE dynamic-partition refresh
     "q114_insert_overwrite_dynamic",
+    # round-7 addition: LSH banding parameter sweep (r x b S-curve)
+    "d23_lsh_band_sweep",
+    # round-7 addition: corrupt-record quarantine ingest lane
+    "q115_quarantine_ingest",
 ]
 
 

@@ -1403,3 +1403,111 @@ def delta_dedup_matches(
         .filter(F.col("jaccard") >= threshold)
         .select("delta_doc", "base_doc", "jaccard")
     )
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    configs: tuple[tuple[int, int], ...] = ((2, 64), (4, 32), (8, 16)),
+) -> DataFrame:
+    """LSH BANDING PARAMETER SWEEP — the S-curve measured, not
+    recited: d21 evaluates THE shipped banding (4 rows x 32 bands);
+    this regroups the SAME 128-minhash signatures into several
+    (rows_per_band, n_bands) configurations and reports each one's
+    candidate volume, recall, and precision against the same exact
+    threshold-Jaccard ground truth. Fewer rows per band collide more
+    (higher recall, more verify work); more rows collide less — the
+    classic r x b trade a dedup owner must price BEFORE burning a
+    100 TB pass on the wrong curve. Signatures are computed ONCE
+    (localCheckpoint) and re-banded per config — re-banding is a
+    narrow projection, so the sweep costs one signature build plus
+    |configs| bucketed self-joins over the sample.
+
+    Band keys here are md5 of the comma-joined row values (engine-
+    portable, any rows_per_band); the production path (_banded) packs
+    4x15-bit values into one BIGINT — same collision semantics where
+    both apply, cheaper shuffle bytes, but capped at 4 rows/band.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n).localCheckpoint()
+    truth = (
+        jaccard_pairs_prefix(df, id_col, text_col, threshold=threshold, n=n)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    per_config = []
+    for r, b in configs:
+        if r * b > N_MINHASH:
+            raise ValueError(f"config ({r},{b}) exceeds {N_MINHASH} minhashes")
+        band_cols = [
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{i * r + j}").cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for i in range(b)
+        ]
+        banded = _materialize(
+            sigs.select(
+                "doc", F.explode(F.array(*band_cols)).alias("x")
+            ).select("doc", "x.band_id", "x.band_key")
+        )
+        a, bb = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        per_config.append(
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(b).cast("bigint").alias("n_bands"),
+                "n_candidates",
+                "n_hits",
+            )
+        )
+    out = per_config[0]
+    for frame in per_config[1:]:
+        out = out.unionByName(frame)
+    return (
+        out.crossJoin(F.broadcast(n_true))
+        .select(
+            "rows_per_band",
+            "n_bands",
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN 1000000"
+                " ELSE (1000000 * n_hits) DIV n_true_pairs END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN 1000000"
+                " ELSE (1000000 * n_hits) DIV n_candidates END"
+            ).alias("precision_ppm"),
+        )
+        .orderBy("rows_per_band")
+    )

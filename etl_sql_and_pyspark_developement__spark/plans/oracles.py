@@ -6531,3 +6531,141 @@ FROM events
 GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 ORDER BY day, event_type
 """
+
+
+def _d23_oracle(
+    configs: tuple[tuple[int, int], ...] = ((2, 64), (4, 32), (8, 16)),
+) -> str:
+    """Mirror of operators/dedup.lsh_band_sweep: the d21 sample +
+    exact prefix-filter truth, plus per-config md5-keyed re-banding
+    of the identical 128-minhash signature frame."""
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        _MERSENNE_P,
+        _MIX_A1,
+        _MIX_A2,
+        _MIX_B,
+        N_MINHASH,
+    )
+
+    mh_aggs = ",\n        ".join(
+        f"min(({_MIX_A1[j]} * hi + {_MIX_A2[j]} * lo + {_MIX_B[j]}) "
+        f"% {_MERSENNE_P}) AS mh_{j}"
+        for j in range(N_MINHASH)
+    )
+    config_ctes = []
+    config_rows = []
+    for r, b in configs:
+        band_union = "\n    UNION ALL\n    ".join(
+            "SELECT doc, {i} AS band_id, md5(concat_ws(',', {vals}))"
+            " AS band_key FROM sigs".format(
+                i=i,
+                vals=", ".join(
+                    f"CAST(mh_{i * r + j} AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for i in range(b)
+        )
+        config_ctes.append(
+            f"""banded_{r}_{b} AS (
+    {band_union}
+),
+cand_{r}_{b} AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded_{r}_{b} a
+    JOIN banded_{r}_{b} b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc < b.doc
+)"""
+        )
+        config_rows.append(
+            f"""SELECT CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({b} AS BIGINT) AS n_bands,
+       (SELECT count(*) FROM truth) AS n_true_pairs,
+       (SELECT count(*) FROM cand_{r}_{b}) AS n_candidates,
+       (SELECT count(*) FROM truth t
+        WHERE EXISTS (SELECT 1 FROM cand_{r}_{b} c
+                      WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+           AS n_hits"""
+        )
+    ctes = ",\n".join(config_ctes)
+    rows = "\n    UNION ALL\n    ".join(config_rows)
+    return f"""WITH docs_sample AS (
+    SELECT doc_id, text FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2000
+),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM docs_sample
+),
+sh AS (
+    SELECT doc_id AS doc,
+        unnest(CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks
+),
+based AS (
+    SELECT doc, shingle,
+        CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+        CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS lo
+    FROM sh
+),
+sigs AS (
+    SELECT doc,
+        {mh_aggs}
+    FROM based GROUP BY doc
+),
+sizes AS (
+    SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+),
+tinter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+),
+truth AS (
+    SELECT t.doc_a, t.doc_b
+    FROM tinter t
+    JOIN sizes sa ON t.doc_a = sa.doc
+    JOIN sizes sb ON t.doc_b = sb.doc
+    WHERE t.inter * 1.0 / (sa.n_sh + sb.n_sh - t.inter) >= 0.5
+),
+{ctes}
+SELECT rows_per_band, n_bands,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
+            ELSE (1000000 * n_hits) // n_true_pairs END AS BIGINT)
+           AS recall_ppm,
+       CAST(CASE WHEN n_candidates = 0 THEN 1000000
+            ELSE (1000000 * n_hits) // n_candidates END AS BIGINT)
+           AS precision_ppm
+FROM (
+    {rows}
+)
+ORDER BY rows_per_band
+"""
+
+
+ORACLES["d23_lsh_band_sweep"] = _d23_oracle()
+
+# q115: the corruption rule is event_id % 97 == 0 — replay membership
+# from the events table; the quarantine count rides every clean row.
+ORACLES["q115_quarantine_ingest"] = """
+WITH marked AS (
+    SELECT event_type, value, (event_id % 97 = 0) AS bad FROM events
+),
+qn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM marked WHERE bad
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents,
+       qn.n_quarantined
+FROM marked CROSS JOIN qn
+WHERE NOT bad
+GROUP BY event_type, qn.n_quarantined
+ORDER BY event_type
+"""

@@ -8502,3 +8502,98 @@ def q114_insert_overwrite_dynamic(
     finally:
         spark.conf.set(mode_key, old)
     return spark.table(name).orderBy("day", "event_type")
+
+
+@query("d23_lsh_band_sweep")
+def d23_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING SWEEP — the r x b trade measured on real data
+    (operators/dedup.lsh_band_sweep): d21 scores THE shipped banding
+    (4 rows x 32 bands); this re-bands the same 128 minhash values as
+    2x64 / 4x32 / 8x16 and reports each configuration's candidate
+    volume, recall, and precision against the same exact
+    threshold-Jaccard ground truth on the same deterministic
+    2000-doc sample (fixed-COUNT, d21's bounded-work discipline).
+    The output is the tuning table a dedup owner reads before
+    committing a 100 TB pass: 2 rows/band buys recall with verify
+    work, 8 rows/band buys precision with misses — and the measured
+    curve, not the textbook formula, is what the corpus actually
+    pays. Signatures build once; each config is a narrow re-banding
+    + one bucketed self-join on the sample.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        lsh_band_sweep,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sample = (
+        docs.select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(2000)
+        .localCheckpoint()
+    )
+    return lsh_band_sweep(sample)
+
+
+@query("q115_quarantine_ingest")
+def q115_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD QUARANTINE INGEST as a driver-verified lane —
+    the never-fail / never-silently-null crawl-ingest contract
+    (io.read_jsonl_quarantine, until now pytest-only): a JSONL feed
+    with deterministically planted type violations (every 97th
+    event_id carries a string where the schema declares DOUBLE) is
+    read PERMISSIVE with a _corrupt_record marker; malformed lines
+    route whole to the quarantine side (raw text preserved for
+    replay), clean lines roll up per event type with the quarantine
+    count riding every row — the ingest health readout an operator
+    alerts on. One parse serves both sides (the cached-split
+    workaround Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN error
+    prescribes, documented on the reader).
+
+    The corruption rule is a pure function of event_id, so the
+    oracle replays clean/quarantine membership exactly from the
+    events table — the quarantine PATH is value-verified, not just
+    exercised.
+
+    Reference parity: the reference ingests viewing_history from
+    exports (pyspark/* all start from spark.read) — at 100 TB feed
+    scale, malformed lines are a WHEN, and a job that dies or
+    silently nulls them is the difference between a late dashboard
+    and silent data loss.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        jsonl_feed_fixture,
+        read_jsonl_quarantine,
+    )
+
+    path = jsonl_feed_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    clean, quarantine = read_jsonl_quarantine(spark, path, schema)
+    qn = quarantine.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quarantined")
+    )
+    return (
+        clean.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .crossJoin(F.broadcast(qn))
+        .orderBy("event_type")
+    )

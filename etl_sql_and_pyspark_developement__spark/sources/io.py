@@ -761,3 +761,50 @@ def maintained_daily_table(
         ).alias("c")
     ).collect()[0]["c"]
     return name, cutoff
+
+
+def jsonl_feed_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """Build-once JSONL feed with DETERMINISTIC planted corruption —
+    the q115 ingest fixture: every event becomes one JSON line
+    (event_id, event_type, value), except rows with event_id % 97 == 0
+    carry "value": "oops" — a type violation PERMISSIVE parsing must
+    quarantine whole-line. The corruption rule is a pure function of
+    event_id, so the DuckDB oracle replays clean/quarantine membership
+    exactly from the events table without reading the files.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    s = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|events:{s.st_mtime_ns}:{s.st_size}"
+        "|jsonl|v=1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(root, f"jsonl_feed_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        line = F.when(
+            F.pmod(F.col("event_id"), F.lit(97)) == 0,
+            F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "event_type": "'),
+                F.col("event_type"),
+                F.lit('", "value": "oops"}'),
+            ),
+        ).otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+        ev.select(line.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(path)
+    return path

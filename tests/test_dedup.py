@@ -703,3 +703,42 @@ def test_containment_cap_lossless_below_and_bounds_above(spark):
     }
     assert capped <= uncapped, "cap may only remove pairs, never add"
     assert (1, 2, 1000000) in capped, "cold pairs survive the cap"
+
+
+def test_lsh_band_sweep_monotone_in_rows_per_band(spark):
+    """Aligned re-banding of one signature frame is NESTED: an 8-row
+    band match implies its two 4-row halves match, which imply their
+    2-row halves — so candidates (and recall) are non-increasing in
+    rows_per_band, and every config's hits are bounded by its
+    candidates and the truth."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        lsh_band_sweep,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep dark woods tonight"
+    )
+    rows = []
+    for i in range(30):
+        rows.append((i, base + f" tail{i % 7}"))
+    rows.append((100, base + " tail0"))  # planted near-dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.rows_per_band: r
+        for r in lsh_band_sweep(df).collect()
+    }
+    assert set(out) == {2, 4, 8}
+    assert (
+        out[2].n_candidates >= out[4].n_candidates >= out[8].n_candidates
+    )
+    assert out[2].n_hits >= out[4].n_hits >= out[8].n_hits
+    for r in out.values():
+        assert r.n_hits <= r.n_candidates
+        assert r.n_hits <= r.n_true_pairs
+        assert 0 <= r.recall_ppm <= 1000000
+        assert 0 <= r.precision_ppm <= 1000000
+    # identical-tail docs are true near-dups the loosest banding finds
+    assert out[2].n_true_pairs > 0 and out[2].n_hits > 0

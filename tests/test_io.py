@@ -642,3 +642,40 @@ def test_q114_static_overwrite_would_truncate(spark, sf_dir, tmp_path, monkeypat
     base = os.path.join(adir, name)
     remaining = {d.split("=")[1] for d in os.listdir(base) if d.startswith("day=")}
     assert all(d >= cutoff for d in remaining)
+
+
+def test_q115_quarantine_preserves_raw_lines(spark, sf_dir):
+    """Every planted corruption (event_id % 97 == 0) must land in the
+    quarantine with its RAW line intact (replayable), and no corrupt
+    line may leak into the clean side."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        jsonl_feed_fixture,
+        read_jsonl_quarantine,
+    )
+
+    path = jsonl_feed_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    clean, quarantine = read_jsonl_quarantine(spark, path, schema)
+    n_bad = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("pmod(event_id, 97) = 0")
+        .count()
+    )
+    quar = quarantine.collect()
+    assert len(quar) == n_bad > 0
+    assert all('"value": "oops"' in r.raw_line for r in quar)
+    assert clean.filter("pmod(event_id, 97) = 0").count() == 0

@@ -1270,3 +1270,34 @@ def test_q112_exchange_reuse_in_final_plan(spark, sf_dir):
         if re.match(r"^\(\d+\) ReusedExchange", line.strip())
     ]
     assert len(reused) >= 1, "shifted branches must share one exchange"
+
+
+def test_q111_rank_with_ties_planted(spark, tmp_path):
+    """The shipped corpus has no tied top-3 cents at sf0.01, so the
+    with-ties semantics would be data-vacuous (the q88 lesson) — plant
+    a tie: two orders at the same price share rank 1, BOTH survive the
+    <= 3 filter, the next order ranks 3 (gap), and a 4th is cut."""
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    rows = [
+        (1, 101, 50.00),
+        (1, 102, 50.00),  # tied with 101
+        (1, 103, 40.00),  # rank 3 (rank gap after the tie)
+        (1, 104, 30.00),  # rank 4 -> cut
+        (2, 201, 10.00),
+    ]
+    spark.createDataFrame(
+        rows, ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        (r.o_custkey, r.rnk, r.o_orderkey, r.cents)
+        for r in QUERIES["q111_window_group_limit"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        (1, 1, 101, 5000),
+        (1, 1, 102, 5000),
+        (1, 3, 103, 4000),
+        (2, 1, 201, 1000),
+    ]
