@@ -57,6 +57,12 @@ _NEEDS_DRIVER_ROW = [
     "d23_lsh_band_sweep",
     # round-7 addition: corrupt-record quarantine ingest lane
     "q115_quarantine_ingest",
+    # round-7 addition: ORC format interop lane
+    "q116_orc_interop",
+    # round-7 addition: composed IVF-PQ ANN (FAISS IVFPQ shape)
+    "s10_ivf_pq_ann",
+    # round-7 addition: leakage-safe (near-dup-grouped) train/test split
+    "p22_leakage_safe_split",
 ]
 
 

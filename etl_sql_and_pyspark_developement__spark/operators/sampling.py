@@ -10,7 +10,7 @@ cost as any per-group operation, used to stop a few giant groups
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -536,4 +536,61 @@ def weighted_reservoir(
         )
         .orderBy("score", id_col)
         .limit(k)
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/test split — p20's group-aware rule applied
+    to NEAR-DUPLICATE structure: a doc-keyed md5 split (p03) sends
+    ~18% of near-dup pairs across the boundary, so the eval half
+    contains paraphrases of training documents and every benchmark
+    number inherits the leak (exactly what d09 measures after the
+    fact; this prevents it by construction). Documents are first
+    clustered into near-dup COMPONENTS (dedup_components over the
+    verified-pairs artifact; singletons keep their own id), and the
+    md5 bucket is computed on the COMPONENT id — every member of a
+    cluster lands in the same split, so zero verified pairs can
+    cross.
+
+    Returns one row per doc: (id, component, split, split_naive) —
+    split_naive is the doc-keyed assignment, kept so callers can
+    audit how many pairs the naive rule WOULD have leaked.
+
+    Scale: components are the d06 pointer-jumping rounds over pairs
+    only (never all docs); the labeling join is one id-keyed
+    equi-join; buckets are per-row codegen md5.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        dedup_components,
+    )
+
+    comps = dedup_components(pairs)
+
+    def bucket(col: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+        )
+
+    labeled = (
+        docs.join(comps, docs[id_col] == comps.doc, "left")
+        .drop("doc")
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col(id_col))
+        )
+    )
+    return labeled.withColumn(
+        "split",
+        F.when(bucket(F.col("component")) < test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    ).withColumn(
+        "split_naive",
+        F.when(bucket(F.col(id_col)) < test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
     )

@@ -1190,3 +1190,135 @@ def collapse_exact_vectors(
         F.col("__vid").alias(id_col), F.col("__rep").alias("rep_id")
     )
     return reps, membership
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    train_iterations: int = 1,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    refine_n: int = 20,
+) -> DataFrame:
+    """IVF-PQ composed ANN — the production billion-vector index
+    shape (FAISS's IVFPQ): the IVF coarse quantizer (s03) prunes the
+    SEARCH SPACE to n_probe inverted lists per query, and inside the
+    probed lists the PQ codes (s06) prune the MEMORY — the ADC scan
+    touches m_sub small ints per candidate instead of dim floats,
+    with an exact cosine re-rank of the top refine_n. Neither stage
+    alone carries a 10⁹-vector index: IVF with full vectors still
+    reads dim floats per probed candidate; PQ alone still scans every
+    code. Composed, the scan cost is (n_probe/n_clusters) of the
+    corpus at m_sub bytes each.
+
+    Deterministic end to end by composition of the two verified
+    stages (lowest-id seeds for both quantizers, argmin ties to the
+    lower id/code, fixed-order ADC sum), so the DuckDB oracle chains
+    the s03 and s06 mirrors value-for-value.
+
+    Scale: centroids and codebooks are tiny collected constants;
+    cluster assignment + PQ encoding are ONE map-side pass over the
+    corpus; the probe join is a broadcast equi-join on cluster id;
+    refine re-reads refine_n real vectors per query.
+    """
+    spark = corpus.sparkSession
+    corpus = corpus.filter(F.col(vec_col).isNotNull()).localCheckpoint()
+    centroids = kmeans_lite_centroids(
+        corpus, vec_col, n_clusters, train_iterations, dim
+    )
+    empty_schema = (
+        "query_id BIGINT, rnk INT, cand_id BIGINT,"
+        " adc_dist DOUBLE, cosine DOUBLE"
+    )
+    if not centroids:
+        return spark.createDataFrame([], empty_schema)
+    sub_dim = dim // m_sub
+    seed_rows = (
+        corpus.orderBy(id_col).limit(k_codes).select(vec_col).collect()
+    )
+    seeds = [[float(x) for x in r[0]] for r in seed_rows]
+    codebooks = [
+        [s[m * sub_dim : (m + 1) * sub_dim] for s in seeds]
+        for m in range(m_sub)
+    ]
+    code_cols = [
+        _pq_code_expr(vec_col, codebooks[m], m * sub_dim, sub_dim).alias(
+            f"code_{m}"
+        )
+        for m in range(m_sub)
+    ]
+    # ONE map-side pass: coarse cluster id + the m_sub PQ codes
+    enc = (
+        assign_clusters(corpus, centroids, id_col, vec_col)
+        .select(F.col(id_col).alias("cand_id"), "cluster", *code_cols)
+        .localCheckpoint()
+    )
+    cents = _centroids_df(spark, centroids)
+    q_scored = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(F.broadcast(cents), F.lit(True))
+        .withColumn("__dist", _sq_l2("q_vec", "centroid"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("__dist", "cluster")
+    q = (
+        q_scored.withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    pairs = enc.join(F.broadcast(q), "cluster").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+
+    def sub_d(m: int) -> Column:
+        cb = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+                for c in codebooks[m]
+            )
+            + ")"
+        )
+        return F.expr(
+            f"aggregate(zip_with(slice(q_vec, {m * sub_dim + 1}, {sub_dim}),"
+            f" element_at({cb}, code_{m} + 1),"
+            " (x, w) -> power(cast(x as double) - w, 2)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+
+    adc_dist = sub_d(0)
+    for m in range(1, m_sub):
+        adc_dist = adc_dist + sub_d(m)
+    scored = pairs.withColumn("adc_dist", F.round(adc_dist, 6))
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    shortlist = (
+        scored.withColumn("__pr", F.row_number().over(w_adc))
+        .filter(F.col("__pr") <= refine_n)
+        .select("query_id", "q_vec", "cand_id", "adc_dist")
+    )
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(vec_col).alias("c_nrm"),
+    )
+    refined = shortlist.join(cand_vecs, "cand_id").withColumn(
+        "cosine",
+        F.round(
+            _dot("q_vec", "c_vec") / (_norm("q_vec") * F.col("c_nrm")), 6
+        ),
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w_fin))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "adc_dist", "cosine")
+    )

@@ -6669,3 +6669,218 @@ WHERE NOT bad
 GROUP BY event_type, qn.n_quarantined
 ORDER BY event_type
 """
+
+# q116: parquet truth for the ORC round-trip — format changes the
+# bytes on disk, never the rows.
+ORACLES["q116_orc_interop"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# s10: the s03 IVF mirror (seeds -> one Lloyd step -> assignment ->
+# probes) chained with the s06 PQ mirror (codebooks -> codes -> ADC
+# -> exact refine), ADC restricted to each query's probed clusters.
+ORACLES["s10_ivf_pq_ann"] = """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS cent FROM (
+        SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM corpus
+    ) WHERE rn <= 16
+),
+d0 AS (
+    SELECT c.vec_id, s.cluster,
+        list_sum(list_transform(list_zip(c.v, s.cent),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM corpus c CROSS JOIN seeds s
+),
+a0 AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d0
+    ) WHERE rn = 1
+),
+sums AS (
+    SELECT a0.cluster, i.i AS pos, sum(c.v[i.i]) AS s, count(*) AS n
+    FROM a0 JOIN corpus c USING (vec_id), range(1, 65) i(i)
+    GROUP BY a0.cluster, i.i
+),
+newc AS (
+    SELECT cluster, list(s / n ORDER BY pos) AS cent FROM sums GROUP BY cluster
+),
+cent1 AS (
+    SELECT s.cluster, coalesce(n.cent, s.cent) AS cent
+    FROM seeds s LEFT JOIN newc n USING (cluster)
+),
+d1 AS (
+    SELECT c.vec_id, k.cluster,
+        list_sum(list_transform(list_zip(c.v, k.cent),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM corpus c CROSS JOIN cent1 k
+),
+assign AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+qd AS (
+    SELECT c.vec_id AS query_id, c.v AS q_vec, k.cluster,
+        list_sum(list_transform(list_zip(c.v, k.cent),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM corpus c CROSS JOIN cent1 k
+    WHERE c.vec_id < 10
+),
+probes AS (
+    SELECT query_id, q_vec, cluster FROM (
+        SELECT query_id, q_vec, cluster,
+            row_number() OVER (PARTITION BY query_id ORDER BY dist, cluster) AS pr
+        FROM qd
+    ) WHERE pr <= 4
+),
+pseeds AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS code, v FROM (
+        SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM corpus
+    ) WHERE rn <= 8
+),
+codebook AS (
+    SELECT m.m, s.code, s.v[m.m * 16 + 1 : m.m * 16 + 16] AS sub
+    FROM pseeds s, range(0, 4) m(m)
+),
+subdists AS (
+    SELECT c.vec_id, cb.m, cb.code,
+        list_sum(list_transform(
+            list_zip(c.v[cb.m * 16 + 1 : cb.m * 16 + 16], cb.sub),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+    FROM corpus c CROSS JOIN codebook cb
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        FROM subdists
+    ) WHERE rn = 1
+),
+codes_w AS (
+    SELECT vec_id,
+        max(CASE WHEN m = 0 THEN code END) AS code_0,
+        max(CASE WHEN m = 1 THEN code END) AS code_1,
+        max(CASE WHEN m = 2 THEN code END) AS code_2,
+        max(CASE WHEN m = 3 THEN code END) AS code_3
+    FROM codes GROUP BY vec_id
+),
+adc AS (
+    SELECT p.query_id, a.vec_id AS cand_id,
+        round(((
+            list_sum(list_transform(list_zip(p.q_vec[1:16], cb0.sub),
+                q -> (q[1] - q[2]) * (q[1] - q[2])))
+          + list_sum(list_transform(list_zip(p.q_vec[17:32], cb1.sub),
+                q -> (q[1] - q[2]) * (q[1] - q[2]))))
+          + list_sum(list_transform(list_zip(p.q_vec[33:48], cb2.sub),
+                q -> (q[1] - q[2]) * (q[1] - q[2]))))
+          + list_sum(list_transform(list_zip(p.q_vec[49:64], cb3.sub),
+                q -> (q[1] - q[2]) * (q[1] - q[2]))), 6) AS adc_dist
+    FROM probes p
+    JOIN assign a USING (cluster)
+    JOIN codes_w cw ON cw.vec_id = a.vec_id
+    JOIN codebook cb0 ON cb0.m = 0 AND cb0.code = cw.code_0
+    JOIN codebook cb1 ON cb1.m = 1 AND cb1.code = cw.code_1
+    JOIN codebook cb2 ON cb2.m = 2 AND cb2.code = cw.code_2
+    JOIN codebook cb3 ON cb3.m = 3 AND cb3.code = cw.code_3
+    WHERE a.vec_id <> p.query_id
+),
+shortlist AS (
+    SELECT query_id, cand_id, adc_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, cand_id) AS pr
+        FROM adc
+    ) WHERE pr <= 20
+),
+refined AS (
+    SELECT s.query_id, s.cand_id, s.adc_dist,
+        round(list_dot_product(q.v, c.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM shortlist s
+    JOIN corpus q ON q.vec_id = s.query_id
+    JOIN corpus c ON c.vec_id = s.cand_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id, adc_dist, cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rnk
+    FROM refined
+)
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def _p22_oracle() -> str:
+    """Mirror of p22: d06's recursive-CTE components over the verified
+    pairs, singleton components = own doc id, md5 bucket on the
+    component id (grouped) vs the doc id (naive), audits riding."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_sql(0.5)},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM verified
+),
+walk(n, lab) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM und)
+    UNION
+    SELECT u.b, w.lab FROM walk w JOIN und u ON u.a = w.n WHERE w.lab < u.b
+),
+comp AS (
+    SELECT n AS doc, min(lab) AS component FROM walk GROUP BY n
+),
+labeled AS (
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+),
+split_of AS (
+    SELECT doc_id, n_chars, component,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 100 < 10
+             THEN 'test' ELSE 'train' END AS split,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 100 < 10
+             THEN 'test' ELSE 'train' END AS split_naive
+    FROM labeled
+),
+audit AS (
+    SELECT
+        CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+             AS BIGINT) AS cross_pairs_grouped,
+        CAST(sum(CASE WHEN sa.split_naive <> sb.split_naive
+                 THEN 1 ELSE 0 END) AS BIGINT) AS cross_pairs_naive
+    FROM verified v
+    JOIN split_of sa ON sa.doc_id = v.doc_a
+    JOIN split_of sb ON sb.doc_id = v.doc_b
+)
+SELECT s.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT s.component) AS BIGINT) AS n_components,
+       CAST(sum(s.n_chars) AS BIGINT) AS sum_chars,
+       a.cross_pairs_grouped,
+       a.cross_pairs_naive
+FROM split_of s CROSS JOIN audit a
+GROUP BY s.split, a.cross_pairs_grouped, a.cross_pairs_naive
+ORDER BY s.split
+"""
+
+
+ORACLES["p22_leakage_safe_split"] = _p22_oracle()

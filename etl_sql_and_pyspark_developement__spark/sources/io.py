@@ -808,3 +808,34 @@ def jsonl_feed_fixture(
             "overwrite"
         ).text(path)
     return path
+
+
+def orc_orders_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """Build-once ORC twin of orders (q116's fixture): the same rows
+    re-staged through write_orc, so the ORC read path — including its
+    pushed predicates — is exercised against data whose truth the
+    parquet-backed oracle already knows."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    s = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|orders:{s.st_mtime_ns}:{s.st_size}"
+        "|orc|v=1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(root, f"orders_orc_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+            path,
+        )
+    return path

@@ -899,3 +899,58 @@ def sink_stream_temporal_enrich(
         enriched.write.mode("append").parquet(out_dir)
 
     return fact_stream.writeStream.foreachBatch(process)
+
+
+def sink_stream_quarantine(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    clean_dir: str,
+    quarantine_dir: str,
+) -> "DataStreamWriter":
+    """st37: streaming CORRUPT-RECORD QUARANTINE — q115's ingest
+    contract live: a JSONL feed is parsed PERMISSIVE with a
+    _corrupt_record marker as it ARRIVES; each micro-batch splits
+    into clean rows (marker dropped) and quarantined raw lines, each
+    appended to its own sink — the never-fail / never-silently-null
+    property enforced at stream speed, where a single malformed line
+    would otherwise kill a continuous ingest query.
+
+    foreachBatch is the right shape: the split needs the batch
+    cached once (Spark refuses a corrupt-column-only query over raw
+    files — the read_jsonl_quarantine workaround), and two sinks
+    cannot hang off one streaming query any other way. Stateless:
+    per-batch cost ∝ batch, nothing accumulates.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    marker = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(marker, StringType(), True)]
+    )
+    stream = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", marker)
+        .json(feed_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            (
+                batch_df.filter(F.col(marker).isNull())
+                .drop(marker)
+                .write.mode("append")
+                .parquet(clean_dir)
+            )
+            (
+                batch_df.filter(F.col(marker).isNotNull())
+                .select(F.col(marker).alias("raw_line"))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return stream.writeStream.foreachBatch(process)

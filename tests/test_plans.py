@@ -1301,3 +1301,15 @@ def test_q111_rank_with_ties_planted(spark, tmp_path):
         (1, 3, 103, 4000),
         (2, 1, 201, 1000),
     ]
+
+
+def test_q116_orc_scan_pushes_predicate(spark, sf_dir):
+    """The ORC reader must push the date filter the same way parquet
+    does — a format swap that silently drops pushdown is a 100 TB
+    regression (full decode behind every filter)."""
+    plan = plan_of(spark, "q116_orc_interop", sf_dir)
+    assert "orc" in plan.lower()
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(o_orderdate" in flat, (
+        "date predicate must reach the ORC scan's PushedFilters"
+    )

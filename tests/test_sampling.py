@@ -448,3 +448,39 @@ def test_weighted_reservoir_merges_and_prefers_heavy(spark):
         .collect()
     )
     assert [r.doc_id for r in merged] == ids, "top-k must merge"
+
+
+def test_leakage_safe_split_planted_pairs_never_cross(spark):
+    """Planted near-dup pairs whose members' OWN md5 buckets fall on
+    opposite sides of the naive cut must still land in ONE split under
+    the grouped rule — and the naive rule must provably leak them."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    def bucket(i: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    # find a (test, train) id pair under the naive 10% rule
+    test_ids = [i for i in range(1000) if bucket(i) < 10]
+    train_ids = [i for i in range(1000) if bucket(i) >= 10]
+    a, b = test_ids[0], train_ids[0]
+    docs = spark.createDataFrame(
+        [(i, 100) for i in (a, b, train_ids[1], train_ids[2])],
+        ["doc_id", "n_chars"],
+    )
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b))], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert out[a].split_naive != out[b].split_naive, "pair must straddle naive cut"
+    assert out[a].split == out[b].split, "grouped rule must co-locate the pair"
+    assert out[a].component == out[b].component == min(a, b)
+    # untouched singletons keep their own component and naive == grouped
+    for i in (train_ids[1], train_ids[2]):
+        assert out[i].component == i
+        assert out[i].split == out[i].split_naive

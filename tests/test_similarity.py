@@ -493,3 +493,41 @@ def test_collapse_exact_vectors_planted_duplicates(spark):
     }
     g_base = {tuple(r) for r in knn_graph(base).collect()}
     assert g_reps == g_base
+
+
+def test_ivf_pq_composed_recall_and_copy_recovery(spark, vectors):
+    """s10: the composed IVF-PQ path must (1) be deterministic,
+    (2) recover the planted exact copy at rank 1 / cosine 1.0 (same
+    cluster as its query by construction, ADC-minimal, exact-refined),
+    and (3) keep useful recall vs brute force despite BOTH prunings."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        cosine_topk,
+    )
+
+    qs = vectors.filter(F.col("vec_id") < 10)
+    kwargs = dict(
+        k=5, n_clusters=8, n_probe=4, dim=16, train_iterations=1,
+        m_sub=4, k_codes=8, refine_n=15,
+    )
+    out1 = ann_ivf_pq_topk(vectors, qs, **kwargs).collect()
+    out2 = ann_ivf_pq_topk(vectors, qs, **kwargs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in cosine_topk(vectors, qs, k=5).collect()
+    }
+    got = {(r.query_id, r.cand_id) for r in out1}
+    recall = len(exact & got) / len(exact)
+    assert recall > 0.4, f"IVF-PQ recall too low: {recall}"
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r.query_id, []).append(r)
+    top0 = sorted(by_q[0], key=lambda r: r.rnk)[0]
+    assert top0.cand_id == 50 and top0.cosine == 1.0
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.cand_id != q for r in rows)

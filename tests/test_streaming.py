@@ -2412,3 +2412,55 @@ def test_st36_stream_temporal_enrich_matches_batch(
         "PROMOTED" in segs for segs in by_vf.values()
     ), "post-promotion facts must book under the new version"
     assert len(by_vf) >= 2, "facts must split across version dates"
+
+
+def test_st37_stream_quarantine_matches_batch_membership(
+    spark, sf_dir, tmp_path
+):
+    """st37: the live quarantine split must route EXACTLY the planted
+    corruptions (event_id % 97 == 0) to the quarantine sink with raw
+    lines intact, and exactly the rest to the clean sink — the same
+    membership q115's batch oracle pins."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        jsonl_feed_fixture,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        sink_stream_quarantine,
+    )
+
+    feed = jsonl_feed_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+    q = sink_stream_quarantine(
+        spark, feed, schema, clean_dir, quar_dir
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want_bad = {
+        r.event_id
+        for r in ev.filter("pmod(event_id, 97) = 0").collect()
+    }
+    got_clean = {r.event_id for r in spark.read.parquet(clean_dir).collect()}
+    quar_rows = spark.read.parquet(quar_dir).collect()
+    assert got_clean == {
+        r.event_id for r in ev.collect()
+    } - want_bad
+    assert len(quar_rows) == len(want_bad) > 0
+    assert all('"value": "oops"' in r.raw_line for r in quar_rows)
