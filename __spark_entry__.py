@@ -63,6 +63,8 @@ _NEEDS_DRIVER_ROW = [
     "s10_ivf_pq_ann",
     # round-7 addition: leakage-safe (near-dup-grouped) train/test split
     "p22_leakage_safe_split",
+    # round-7 addition: small-file compaction maintenance lane
+    "q117_compaction_maintenance",
 ]
 
 

@@ -6884,3 +6884,18 @@ ORDER BY s.split
 
 
 ORACLES["p22_leakage_safe_split"] = _p22_oracle()
+
+# q117: the original events are the truth — compaction changes file
+# layout and scan cost, never rows.
+ORACLES["q117_compaction_maintenance"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""

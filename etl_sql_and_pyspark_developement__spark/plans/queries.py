@@ -8751,3 +8751,46 @@ def p22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(audit))
         .orderBy("split")
     )
+
+
+@query("q117_compaction_maintenance")
+def q117_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION driver-verified — the third lake
+    MAINTENANCE surface beside q70's Z-order layout and q114's
+    partition rebuild (io.compact_parquet, until now unit-tested
+    only): a deliberately fragmented events dataset (64 per-batch-
+    sink-sized files) is rewritten ONCE into few ts-range-clustered
+    files, and this lane reads the COMPACTED result behind a pushed
+    ts-range predicate. Values are layout-invariant (the oracle reads
+    the original events), which is exactly the compaction contract:
+    the rewrite changes file count, file stats, and scan cost — never
+    rows. The file-count collapse (64 -> few) and the clustered twin
+    skipping files under the pushed range are asserted in
+    tests/test_io.py.
+
+    At 100 TB: streaming sinks leave thousands of KB files per
+    partition and scan cost becomes file-OPEN cost (driver listing +
+    a footer read per file); the periodic compaction pass is what
+    keeps the q108 zone-map story true over time.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        compacted_events_fixture,
+    )
+
+    _, compacted = compacted_events_fixture(spark, sf_dir)
+    ev = spark.read.parquet(compacted)
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -839,3 +839,47 @@ def orc_orders_fixture(
             path,
         )
     return path
+
+
+def compacted_events_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    n_fragments: int = 64,
+    artifact_dir: str | None = None,
+) -> tuple[str, str]:
+    """q117's fixture: events deliberately FRAGMENTED into
+    n_fragments small files (the state a per-batch streaming sink
+    leaves behind), then compacted once via compact_parquet with
+    range clustering on ts. Returns (fragmented_path, compacted_path)
+    — both built once per corpus snapshot; the file-count collapse is
+    asserted in tests, the VALUES are layout-invariant by definition.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    s = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|events:{s.st_mtime_ns}:{s.st_size}"
+        f"|frag={n_fragments}|v=1".encode()
+    ).hexdigest()[:12]
+    frag = os.path.join(root, f"events_fragmented_{key}")
+    comp = os.path.join(root, f"events_compacted_{key}")
+    done = os.path.join(root, f"events_compaction_{key}._done")
+    if not os.path.exists(done):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ev.repartition(n_fragments).write.mode("overwrite").parquet(frag)
+        compact_parquet(
+            spark,
+            frag,
+            comp,
+            target_rows_per_file=10_000_000,
+            order_by=["ts"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return frag, comp

