@@ -48,3 +48,20 @@ def bucket_by_thresholds(col: Column, thresholds: list[tuple[float, str]], defau
         cond = col <= bound
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return expr.otherwise(default)
+
+
+def md5_bucket(col: Column, mod: int = 100) -> Column:
+    """THE engine's deterministic hash-bucket assignment (the p03
+    split contract): first 8 hex chars of md5(value-as-string) read as
+    an integer, mod `mod`. Engine-portable — DuckDB renders the same
+    md5 hex for the same string, so oracle twins mirror it as
+    CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)) AS BIGINT)
+    % mod. This helper is the ONE definition; inline copies predating
+    it (p03/p07/p20 in plans/queries.py) are pinned by their driver
+    rows and must match it literally.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )

@@ -1431,6 +1431,11 @@ def lsh_band_sweep(
     4x15-bit values into one BIGINT — same collision semantics where
     both apply, cheaper shuffle bytes, but capped at 4 rows/band.
     """
+    # validate BEFORE the eager signature/truth builds — a bad config
+    # must not cost the two most expensive stages first
+    for r, b in configs:
+        if r * b > N_MINHASH:
+            raise ValueError(f"config ({r},{b}) exceeds {N_MINHASH} minhashes")
     sigs = minhash_signatures(df, id_col, text_col, n).localCheckpoint()
     truth = (
         jaccard_pairs_prefix(df, id_col, text_col, threshold=threshold, n=n)
@@ -1440,8 +1445,6 @@ def lsh_band_sweep(
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     per_config = []
     for r, b in configs:
-        if r * b > N_MINHASH:
-            raise ValueError(f"config ({r},{b}) exceeds {N_MINHASH} minhashes")
         band_cols = [
             F.struct(
                 F.lit(i).alias("band_id"),

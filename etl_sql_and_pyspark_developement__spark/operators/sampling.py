@@ -565,18 +565,13 @@ def leakage_safe_split(
     only (never all docs); the labeling join is one id-keyed
     equi-join; buckets are per-row codegen md5.
     """
+    from etl_sql_and_pyspark_developement__spark.functions import md5_bucket
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
         dedup_components,
     )
 
     comps = dedup_components(pairs)
-
-    def bucket(col: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 100
-        )
+    bucket = md5_bucket
 
     labeled = (
         docs.join(comps, docs[id_col] == comps.doc, "left")

@@ -1019,15 +1019,11 @@ def heldout_bigram_eval(
     machinery, no Python.
     """
     if test_pred is None:
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % 100
+        from etl_sql_and_pyspark_developement__spark.functions import (
+            md5_bucket,
         )
-        test_pred = bucket < 10
+
+        test_pred = md5_bucket(F.col(id_col)) < 10
     toked = df.select(
         F.col(id_col).alias("doc"),
         test_pred.alias("is_test"),

@@ -8415,11 +8415,15 @@ def q113_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan's PushedFilters (plan-asserted); Spark re-evaluates only
     what the reader yielded back.
 
-    The lane arms spark.sql.python.filterPushdown.enabled itself —
-    Spark refuses to plan a pushFilters-implementing reader while the
-    flag is off (the gate is pinned in tests/test_io.py) — and the
-    baseline source (q105/st33) deliberately does NOT implement
-    pushFilters so it stays plannable under default confs.
+    spark.sql.python.filterPushdown.enabled is an ENGINE DEFAULT
+    (session.get_spark/configure_existing) — Spark refuses to plan a
+    pushFilters-implementing reader while it is off (gate pinned in
+    tests/test_io.py), planning is lazy so a per-lane set/restore
+    would flip it back before the caller's action plans, and it is a
+    no-op for readers without pushFilters. The set below is an
+    idempotent guard for bare sessions; the baseline source
+    (q105/st33) deliberately does NOT implement pushFilters so it
+    stays plannable even under non-engine confs.
 
     Generation is md5-on-index (the q105 contract), so the DuckDB
     oracle replays the filtered table from generate_series and the
@@ -8566,7 +8570,13 @@ def q115_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     count riding every row — the ingest health readout an operator
     alerts on. One parse serves both sides (the cached-split
     workaround Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN error
-    prescribes, documented on the reader).
+    prescribes, documented on the reader). Cache lifecycle: the cache
+    is REQUIRED while this lane's plan is live (unpersisting re-exposes
+    the quarantine count as a corrupt-column-only file query, which
+    Spark refuses), so release is the CALLER's post-materialization
+    step — bench clears caches between lanes, the driver's compare
+    materializes then moves on, and production ingest unpersists after
+    sinking both sides (the reader's contract).
 
     The corruption rule is a pure function of event_id, so the
     oracle replays clean/quarantine membership exactly from the

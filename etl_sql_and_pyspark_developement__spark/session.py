@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Python Data Source filter pushdown is an ENGINE DEFAULT, not
+        # a per-lane mutation: a pushFilters-implementing reader (the
+        # q113 source) refuses to plan while this is false, planning is
+        # lazy (a per-lane set/restore would flip the conf back before
+        # the caller's action plans), and enabling it changes nothing
+        # for readers that don't implement pushFilters — defaulting it
+        # removes any run-order dependence between lanes.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -103,6 +111,9 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # engine default (see get_spark): required before a pushFilters
+    # reader can PLAN, harmless for every other source
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark
 
 

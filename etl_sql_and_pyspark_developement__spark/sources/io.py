@@ -732,7 +732,16 @@ def maintained_daily_table(
         f"|root:{os.path.realpath(root)}|v=1".encode()
     ).hexdigest()[:12]
     name = f"daily_rollup_{key}"
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # catalog.table, not a raw read: events.parquet has shipped in
+    # three ts layouts across driver data generations (nanos-as-long /
+    # micros / ntz) and only the catalog reader normalizes them — a
+    # raw read would build day partitions from a different ts than the
+    # q114 refresh side uses (local import: catalog has no io dep)
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+        table as _table,
+    )
+
+    ev = _table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
 
     rollup = (
@@ -793,7 +802,13 @@ def jsonl_feed_fixture(
     ).hexdigest()[:12]
     path = os.path.join(root, f"jsonl_feed_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # catalog reader: a raw read REJECTS the nanos-generation file
+        # outright (schema conversion fails before column pruning)
+        from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+            table as _table,
+        )
+
+        ev = _table(spark, sf_dir, "events")
         line = F.when(
             F.pmod(F.col("event_id"), F.lit(97)) == 0,
             F.concat(
@@ -871,7 +886,14 @@ def compacted_events_fixture(
     comp = os.path.join(root, f"events_compacted_{key}")
     done = os.path.join(root, f"events_compaction_{key}._done")
     if not os.path.exists(done):
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # catalog reader normalizes the ts layout, so the fragmented
+        # twin (and everything compacted from it) carries a real
+        # TIMESTAMP q117's range literals can compare against
+        from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+            table as _table,
+        )
+
+        ev = _table(spark, sf_dir, "events")
         ev.repartition(n_fragments).write.mode("overwrite").parquet(frag)
         compact_parquet(
             spark,
