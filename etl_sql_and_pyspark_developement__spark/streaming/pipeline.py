@@ -954,3 +954,50 @@ def sink_stream_quarantine(
             batch_df.unpersist()
 
     return stream.writeStream.foreachBatch(process)
+
+
+def stream_stream_attribution_outer(
+    events_a: DataFrame, events_b: DataFrame
+) -> DataFrame:
+    """st38: watermarked stream-stream LEFT OUTER interval join —
+    st06 answers "which purchases had a preceding view"; production
+    attribution equally needs the COMPLEMENT (unattributed spend: the
+    purchase with NO view in its hour — the alarm row), which an
+    inner join can never emit. Outer semantics in streaming are
+    WATERMARK-DRIVEN: an unmatched purchase is held in join state
+    until the view-side watermark proves no qualifying view can still
+    arrive (watermark past purchase_ts, given the interval's lower
+    bound), and only then emits null-padded — late-data-correct by
+    construction, where a batch anti-join re-run per window would
+    re-emit or miss borderline rows.
+
+    Same keys/interval/watermarks as st06, join type leftOuter; the
+    test drives the watermark past the data with far-future sentinel
+    rows (emission is a watermark event, not a data event — two
+    sentinel advances, because outer results release on the trigger
+    AFTER the watermark moves).
+    """
+    purchases = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    views = (
+        events_b.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_ts")

@@ -2464,3 +2464,91 @@ def test_st37_stream_quarantine_matches_batch_membership(
     } - want_bad
     assert len(quar_rows) == len(want_bad) > 0
     assert all('"value": "oops"' in r.raw_line for r in quar_rows)
+
+
+def test_st38_outer_attribution_emits_unmatched_at_watermark(
+    spark, sf_dir, tmp_path
+):
+    """st38: the left-outer stream-stream join must emit (1) every
+    matched purchase-view pair st06 emits AND (2) every purchase with
+    no qualifying view, null-padded, once the view watermark passes it
+    — row-set equality with the batch left join, with a planted
+    never-viewed purchase proving the outer path is exercised."""
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        stream_stream_attribution_outer,
+    )
+
+    d = tmp_path / "st38_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # plant a purchase by a user id outside the corpus: no view can
+    # ever match it -> it MUST come out of the outer path
+    planted = spark.createDataFrame(
+        [(999_000_001, max_ts, 999_000_001, "purchase", 1.0, "{}")],
+        ev.schema,
+    )
+    planted.write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(d))
+    q = (
+        stream_stream_attribution_outer(stream, stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st38_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # outer rows release only when the GLOBAL watermark (min of both
+    # sides — each side advances only from ITS OWN filtered rows)
+    # passes the purchases; watermarks move at batch commit and outer
+    # state drains on the FOLLOWING trigger — so the sentinels carry a
+    # view AND a purchase each, twice
+    for i, hours in enumerate((6, 9)):
+        late_ts = max_ts + __import__("datetime").timedelta(hours=hours)
+        sentinel = spark.createDataFrame(
+            [
+                (999_100_000 + 2 * i, late_ts, -1, "view", 0.0, "{}"),
+                (999_100_001 + 2 * i, late_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+        sentinel.write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.purchase_id, r.view_ts)
+        for r in spark.sql("SELECT * FROM st38_out").collect()
+        if r.user_id != -1
+    }
+    full = spark.read.parquet(str(d))
+    purchases = full.filter("event_type = 'purchase' AND user_id != -1").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = full.filter("event_type = 'view' AND user_id != -1").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
+    )
+    want = {
+        (r.purchase_id, r.view_ts)
+        for r in purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+            "leftOuter",
+        ).collect()
+    }
+    assert got == want and got
+    assert (999_000_001, None) in got, "planted never-viewed purchase must emit null-padded"
+    n_unmatched = sum(1 for _, v in got if v is None)
+    assert n_unmatched >= 1
