@@ -65,6 +65,10 @@ _NEEDS_DRIVER_ROW = [
     "p22_leakage_safe_split",
     # round-7 addition: small-file compaction maintenance lane
     "q117_compaction_maintenance",
+    # round-7 change: q105's sizing count is now cached per source
+    # identity (one less driver job per pass) — body changed, so a
+    # fresh driver row re-proves it
+    "q105_python_datasource",
 ]
 
 
