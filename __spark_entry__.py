@@ -28,6 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # added after the r03 driver snapshot, plus anything round 4
 # touches (appended as it changes).
 _NEEDS_DRIVER_ROW = [
+    # round-8 addition: Python UDTF + LATERAL correlation lane
+    "q118_udtf_lateral",
+    # round-8 addition: CBO join-reorder lane (3-table star, stats-
+    # driven rotation; values join-order-invariant)
+    "q119_cbo_join_reorder",
+    # round-8 addition: SQL scripting (BEGIN/DECLARE/WHILE/IF) lane
+    "q120_sql_scripting",
+    # round-8 addition: approx_top_k heavy-hitters sketch lane
+    "q121_approx_top_k",
+    # round-8 addition: native XML source interop lane
+    "q122_xml_interop",
+    # round-8 change: q115's reader now localCheckpoints the split
+    # (cache-lifetime-independent plan) — fresh row re-proves it
+    "q115_quarantine_ingest",
     # round-7 change: BPE re-segmentation rebuilt on both-delimited
     # symbol strings + two-pass replace (end delimiter kills the
     # prefix-extension false merge; pass 2 catches consecutive runs)
@@ -55,8 +69,6 @@ _NEEDS_DRIVER_ROW = [
     "q114_insert_overwrite_dynamic",
     # round-7 addition: LSH banding parameter sweep (r x b S-curve)
     "d23_lsh_band_sweep",
-    # round-7 addition: corrupt-record quarantine ingest lane
-    "q115_quarantine_ingest",
     # round-7 addition: ORC format interop lane
     "q116_orc_interop",
     # round-7 addition: composed IVF-PQ ANN (FAISS IVFPQ shape)

@@ -31,7 +31,20 @@ def salted_join(
     The salt column is derived from a deterministic hash of the whole
     big-side row id space (monotonically varying values), so hot keys
     spread across `salt` partitions.
+
+    Only inner/left/left_semi/left_anti are correct under replication:
+    with how="right"/"full", an unmatched small-side row appears once
+    PER SALT REPLICA (salt× duplicate null-extended rows), so those
+    modes are rejected rather than silently wrong.
     """
+    how_norm = how.replace("_", "").lower()
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}
+    if how_norm not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit each unmatched small-side "
+            f"row once per salt replica; use inner/left/left_semi/left_anti, "
+            f"or salt the other side"
+        )
     big_salted = big.withColumn(
         "__salt", (F.pmod(F.xxhash64(*big.columns), F.lit(salt))).cast("int")
     )

@@ -10,7 +10,7 @@ cost as any per-group operation, used to stop a few giant groups
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -571,7 +571,6 @@ def leakage_safe_split(
     )
 
     comps = dedup_components(pairs)
-    bucket = md5_bucket
 
     labeled = (
         docs.join(comps, docs[id_col] == comps.doc, "left")
@@ -582,10 +581,10 @@ def leakage_safe_split(
     )
     return labeled.withColumn(
         "split",
-        F.when(bucket(F.col("component")) < test_pct, F.lit("test"))
+        F.when(md5_bucket(F.col("component")) < test_pct, F.lit("test"))
         .otherwise(F.lit("train")),
     ).withColumn(
         "split_naive",
-        F.when(bucket(F.col(id_col)) < test_pct, F.lit("test"))
+        F.when(md5_bucket(F.col(id_col)) < test_pct, F.lit("test"))
         .otherwise(F.lit("train")),
     )

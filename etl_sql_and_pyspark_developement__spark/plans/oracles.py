@@ -6899,3 +6899,99 @@ WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# q118: the UDTF's installment split is pure integer arithmetic on
+# (o_orderkey, cents), replayed here via unnest(generate_series(1, n)).
+ORACLES["q118_udtf_lateral"] = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           o_orderkey % 3 + 1 AS n
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+),
+inst AS (
+    SELECT o_orderkey, cents, n,
+           unnest(generate_series(1, n)) AS i
+    FROM o
+)
+SELECT CAST(i AS INT) AS inst_no,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents // n + CASE WHEN i <= cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS total_cents,
+       CAST(min(cents // n + CASE WHEN i <= cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS min_cents,
+       CAST(max(cents // n + CASE WHEN i <= cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS max_cents
+FROM inst
+GROUP BY i
+ORDER BY inst_no
+"""
+
+# q121: with maxItemsTracked >= the column's cardinality the sketch
+# is exact (no evictions), so plain counts replay every column.
+ORACLES["q121_approx_top_k"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS est_n,
+       CAST(count(*) AS BIGINT) AS exact_n,
+       CAST(0 AS BIGINT) AS est_gap
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+# q120: the script's doubling WHILE search has the closed form
+# thr = 100 * 2^(min k with count(o_totalprice > 100*2^k) < 1000).
+ORACLES["q120_sql_scripting"] = """
+WITH counts AS (
+    SELECT k,
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice > 100.0 * power(2, k)) AS n
+    FROM generate_series(0, 60) gs(k)
+),
+pick AS (
+    SELECT CAST(100.0 * power(2, min(k)) AS DOUBLE) AS thr
+    FROM counts WHERE n < 1000
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       CAST(round(p.thr, 2) AS DOUBLE) AS threshold,
+       CASE WHEN p.thr >= 102400.0 THEN 'high' ELSE 'low' END AS tier
+FROM orders o CROSS JOIN pick p
+WHERE o.o_totalprice > p.thr
+GROUP BY o.o_orderpriority, p.thr
+ORDER BY o_orderpriority
+"""
+
+# q119: values are join-order-invariant; the oracle is the plain
+# 3-table join on the raw parquet truth.
+ORACLES["q119_cbo_join_reorder"] = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+# q122: values are format-invariant; the oracle reads the parquet
+# truth of the same rows the XML fixture re-staged.
+ORACLES["q122_xml_interop"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+GROUP BY strftime(o_orderdate, '%Y-%m')
+ORDER BY month
+"""

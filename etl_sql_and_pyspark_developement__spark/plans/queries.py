@@ -8568,15 +8568,13 @@ def q115_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     route whole to the quarantine side (raw text preserved for
     replay), clean lines roll up per event type with the quarantine
     count riding every row — the ingest health readout an operator
-    alerts on. One parse serves both sides (the cached-split
-    workaround Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN error
-    prescribes, documented on the reader). Cache lifecycle: the cache
-    is REQUIRED while this lane's plan is live (unpersisting re-exposes
-    the quarantine count as a corrupt-column-only file query, which
-    Spark refuses), so release is the CALLER's post-materialization
-    step — bench clears caches between lanes, the driver's compare
-    materializes then moves on, and production ingest unpersists after
-    sinking both sides (the reader's contract).
+    alerts on. One parse serves both sides: the reader
+    localCheckpoints the parsed frame before splitting, which both
+    sidesteps Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN refusal (the
+    quarantine count would otherwise be a corrupt-column-only file
+    query) and makes this lane's returned plan cache-lifetime-
+    independent — spark.catalog.clearCache() cannot resurrect the
+    analysis error because the lineage is cut at a materialized RDD.
 
     The corruption rule is a pure function of event_id, so the
     oracle replays clean/quarantine membership exactly from the
@@ -8803,4 +8801,280 @@ def q117_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         )
         .orderBy("event_type")
+    )
+
+
+@query("q118_udtf_lateral")
+def q118_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON UDTF + LATERAL correlation — the user-extensible
+    row-expansion surface (functions/udtfs.SplitInstallments): each
+    1997+ order's total cents split into n = (o_orderkey % 3) + 1
+    installments by an Arrow-optimized `@udtf`, invoked
+    LATERAL-correlated in SQL (`FROM orders, LATERAL
+    split_installments(o_orderkey, cents)`) so Catalyst plans the
+    expansion as a generator stage over the pruned scan; the rollup
+    then audits the schedule per installment slot. Every output value
+    is integer arithmetic on the inputs, so the DuckDB oracle replays
+    the expansion exactly via unnest(generate_series(1, n)) — the
+    UDTF path is value-verified end to end (conservation:
+    sum(total_cents) over slots == sum(cents) of the input).
+
+    The plan contract (tests/test_plans.py) pins the generator node
+    ([Arrow]EvalPythonUDTF) AND that the date filter still reaches
+    the parquet scan below it.
+
+    Reference parity: pyspark/Content Affinity and Cross-Genre
+    Analysis.py expands each viewing row into genre pairs by hand;
+    a UDTF is that expansion as a reusable, schema-declared operator.
+
+    At 100 TB: a generator pipelines per-partition (no shuffle of its
+    own) and Arrow batches amortize the Python boundary; output size
+    is input x expansion factor, independent of corpus layout.
+    """
+    from etl_sql_and_pyspark_developement__spark.functions.udtfs import (
+        SplitInstallments,
+    )
+
+    spark.udtf.register("split_installments", SplitInstallments)
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1997-01-01")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .createOrReplaceTempView("q118_orders")
+    )
+    return spark.sql(
+        """
+        SELECT s.inst_no,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(s.inst_cents) AS BIGINT) AS total_cents,
+               CAST(min(s.inst_cents) AS BIGINT) AS min_cents,
+               CAST(max(s.inst_cents) AS BIGINT) AS max_cents
+        FROM q118_orders o,
+             LATERAL split_installments(o.o_orderkey, o.cents) s
+        GROUP BY s.inst_no
+        ORDER BY s.inst_no
+        """
+    )
+
+
+@query("q121_approx_top_k")
+def q121_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-HITTERS SKETCH lane — Spark 4's `approx_top_k` aggregate
+    beside q44's single-top-key profile and st26's streaming
+    Misra-Gries: one pass, one partial-aggregable sketch, top items
+    with estimated counts. The q27/q51 sketch discipline applies:
+    report the ESTIMATE next to the EXACT count so the gap is
+    measured, not assumed — here maxItemsTracked (10000) exceeds
+    c_nationkey's cardinality (25), the regime where the sketch is
+    provably exact (no evictions ever fire), so est_gap == 0 on every
+    row and the DuckDB oracle replays the whole frame from plain
+    counts. The genuinely-approximate regime (capacity << distinct)
+    is bounds-tested in tests/test_functions.py, where exactness
+    can't be promised row-for-row.
+
+    At 100 TB: the sketch is a fixed-size partial aggregate (map-side
+    combine, one small state per partition), vs the exact groupBy's
+    full shuffle of every distinct key — the point of carrying both
+    here is knowing WHEN the cheap one is safe.
+
+    Reference parity: every "top genres / top devices" rollup in the
+    reference (pyspark/Cross-Platform User Behavior Analysis.py) is a
+    heavy-hitters query at heart.
+    """
+    cust = table(spark, sf_dir, "customer")
+    sketch = (
+        cust.agg(F.expr("approx_top_k(c_nationkey, 30, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").cast("long").alias("nationkey"),
+            F.col("e.count").cast("long").alias("est_n"),
+        )
+    )
+    exact = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return (
+        sketch.join(exact, "nationkey")
+        .select(
+            "nationkey",
+            "est_n",
+            "exact_n",
+            (F.col("est_n") - F.col("exact_n")).alias("est_gap"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query("q120_sql_scripting")
+def q120_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING surface (SPARK-48338, GA in Spark 4) — the
+    control-flow axis of the SQL-text family the way q76 covered
+    recursion and q96 covered session variables: one BEGIN...END
+    script DECLAREs a threshold, WHILE-loops a doubling search until
+    fewer than 1000 orders exceed it (the loop condition is a scalar
+    subquery re-evaluated per iteration), IF-classifies the resulting
+    tier, and returns the rollup of the surviving orders with the
+    converged threshold riding every row. The search is a pure
+    function of the data (start 100, x2 steps, data-derived stop), so
+    the DuckDB oracle replays it SET-BASED: min k in 0..60 with
+    count(o_totalprice > 100*2^k) < 1000 — the script's iterative
+    answer and the oracle's closed form must agree exactly
+    (powers of two are exact doubles; no rounding drift possible).
+
+    Scale note: the WHILE loop is DRIVER-side control flow — each
+    iteration is one full aggregate, and the iteration count is
+    log2(price range) ~ 12, not data size. At 100 TB you'd replace
+    the search with one approx_percentile pass (q14's machinery);
+    the lane's point is the scripting SURFACE a migrating SQL
+    warehouse user expects (procedural refreshes like q114's, batch
+    maintenance, backfill loops), with its cost model stated.
+
+    Reference parity: SQL/*.txt are single statements only because
+    the warehouse running them lacked procedures; every reference
+    pipeline that reruns a query at escalating thresholds (churn risk
+    tiers in SQL/Churn Prediction and Risk Analysis.txt) is this
+    shape.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q120_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 100.0;
+          DECLARE tier STRING DEFAULT 'low';
+          WHILE (SELECT count(*) FROM q120_orders
+                 WHERE o_totalprice > thr) >= 1000 DO
+            SET thr = thr * 2;
+          END WHILE;
+          IF thr >= 102400.0 THEN
+            SET tier = 'high';
+          END IF;
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS rev_cents,
+                 CAST(round(thr, 2) AS DOUBLE) AS threshold,
+                 tier
+          FROM q120_orders
+          WHERE o_totalprice > thr
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
+
+
+@query("q119_cbo_join_reorder")
+def q119_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO JOIN REORDERING lane — the second statistics lever after
+    q106's broadcast-through-filter: the SQL is written in the
+    pessimal left-deep order (fact ⋈ fact first — lineitem ⋈ orders —
+    with the selective customer filter LAST), the shape every
+    hand-migrated warehouse query arrives in. With table + column
+    stats on all three relations (io.analyzed_star_tables) and
+    spark.sql.cbo.joinReorder.enabled, JoinReorderDP re-prices the
+    join tree from cardinality estimates and rotates the filtered
+    customer ⋈ orders join FIRST, so lineitem joins a pre-shrunk
+    build side instead of the full orders table. The flip is isolated
+    in tests/test_plans.py on the optimized logical plan (reorder on
+    vs off, q106's flip-isolation discipline); the lane's VALUES are
+    join-order-invariant, so the oracle is the plain 3-table join.
+
+    At 100 TB: a mis-ordered 3-6 table chain shuffles the fact table
+    against UNFILTERED intermediates — join order is the single
+    largest cost decision the planner makes, and only statistics let
+    it see post-filter cardinalities before any shuffle runs.
+
+    Reference parity: every reference workload chains 3-6 joins
+    behind selective filters in hand-chosen order (pyspark/User
+    Engagement Funnel Analysis.py:8-13); reordering is what makes
+    that order a non-decision for the migrating user.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        analyzed_star_tables,
+    )
+
+    li_name, ord_name, cust_name = analyzed_star_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM {li_name} l
+        JOIN {ord_name} o ON l.l_orderkey = o.o_orderkey
+        JOIN {cust_name} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@query("q122_xml_interop")
+def q122_xml_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML FORMAT INTEROP driver-verified — Spark 4's NATIVE xml
+    source (SPARK-44265; q116's ORC discipline applied to the third
+    interchange format): orders re-staged once as <order> elements
+    (io.xml_orders_fixture), read back with an EXPLICIT schema (no
+    inference pass) into a monthly status rollup. Values are
+    format-invariant — the oracle reads the parquet truth — so the
+    XML round-trip (writer element encoding, reader decode, timestamp
+    string parsing under the session UTC timezone) is value-verified.
+
+    Costed honestly (PLANS.md): XML is an EXCHANGE format — the scan
+    decodes every element, no predicate pushdown, no column skipping
+    inside a document. The production shape is land-XML → convert to
+    parquet at the edge → query the parquet; this lane is the landing
+    step a reference user with XML feed partners needs to trust.
+
+    Reference parity: the reference ingests exported viewing-history
+    tables; media-metadata feeds (EPG, MRSS) ship as XML in exactly
+    this element-per-record shape.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        read_xml,
+        xml_orders_fixture,
+    )
+
+    path = xml_orders_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    orders = read_xml(spark, path, "order", schema)
+    return (
+        orders.filter(F.col("o_orderdate") >= "1995-07-01")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).cast("long").alias("n_open"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("rev_cents"),
+        )
+        .orderBy("month")
     )

@@ -125,6 +125,83 @@ def write_orc(
     w.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: "StructType | None" = None,
+) -> DataFrame:
+    """XML source (native in Spark 4 — SPARK-44265 folded spark-xml
+    into the engine): one DataFrame row per `row_tag` element. Pass
+    an explicit schema for production reads — inference costs a full
+    extra pass and types drift with the data. XML is an EXCHANGE
+    format: the reader decodes every element (no predicate pushdown,
+    no column-skip inside a document) — land it, convert to parquet
+    at the edge, and point queries at the parquet (q122 demonstrates
+    the read; its plan test pins the no-pushdown cost honestly)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str,
+    root_tag: str,
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — one `row_tag` element per row under `root_tag` per
+    file. For feed interchange with XML-consuming partners; never a
+    lake format (row-major text, no stats, no pushdown)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def xml_orders_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """Build-once XML twin of orders (q122's fixture, q116's ORC
+    pattern): the same rows re-staged through write_xml, so the XML
+    decode path is exercised against data whose truth the
+    parquet-backed oracle already knows. Committed atomically
+    (_atomic_dir_commit)."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    s = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|orders:{s.st_mtime_ns}:{s.st_size}"
+        "|xml|v=1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(root, f"orders_xml_{key}")
+    _atomic_dir_commit(
+        root,
+        path,
+        lambda tmp: write_xml(
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+            tmp,
+            row_tag="order",
+            root_tag="orders",
+            mode="overwrite",
+        ),
+    )
+    return path
+
+
 def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
     """JDBC source. Requires the driver jar on the classpath; pass
     partitionColumn/lowerBound/upperBound/numPartitions for parallel
@@ -194,11 +271,13 @@ def read_jsonl_quarantine(
     pruning leaves only the corrupt column
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and
     `quarantine.count()` is exactly such a query — so the parsed
-    frame is cache()'d before the split, the workaround Spark's own
-    error message prescribes. The cache also means ONE parse serves
-    both sides; at 100 TB ingest is chunked per batch, so the cached
-    unit is a batch, not the corpus (callers can `unpersist()` the
-    clean frame's source after sinking both sides).
+    frame is localCheckpoint()'d before the split: the lineage is cut
+    at a materialized RDD, so BOTH sides are served by ONE parse AND
+    the returned plans stay valid independent of cache lifetime
+    (spark.catalog.clearCache() cannot resurrect the corrupt-column
+    analysis error the raw file relation would raise). At 100 TB
+    ingest is chunked per batch, so the materialized unit is a batch,
+    not the corpus.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField
@@ -212,7 +291,7 @@ def read_jsonl_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", marker)
         .json(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     clean = df.filter(F.col(marker).isNull()).drop(marker)
     quarantine = df.filter(F.col(marker).isNotNull()).withColumnRenamed(
@@ -223,6 +302,33 @@ def read_jsonl_quarantine(
 
 _KNN_ARTIFACT_VERSION = 1  # bump when knn_graph semantics change
 _JSON_DOCS_ARTIFACT_VERSION = 1  # bump when the q69 doc format changes
+
+
+def _atomic_dir_commit(root: str, dest: str, write_to) -> None:
+    """_staged_artifact's commit protocol for a bare directory: write
+    to a tmp sibling, verify the _SUCCESS marker, os.rename into
+    place. Readers never see a half-written dir; a concurrent builder
+    that loses the rename race discards its tmp and reads the winner.
+    No-op if `dest` is already committed."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    write_to(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(
+            f"atomic commit: build at {tmp} finished without a "
+            "_SUCCESS marker; refusing to publish a torn directory"
+        )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            raise
 
 
 def _staged_artifact(
@@ -644,6 +750,62 @@ def analyzed_part_table(
     return name
 
 
+def analyzed_star_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> tuple[str, str, str]:
+    """Catalog twins of (lineitem, orders, customer) with table AND
+    column statistics — the input the CBO join REORDERER needs:
+    q106's analyzed_part_table proves stats drive the broadcast
+    decision on one join; reordering a 3+-table chain additionally
+    needs rowCount + join-key ndv on EVERY relation in the chain
+    (JoinReorderDP prices each left-deep order from cardinality
+    estimates; a single stats-less relation poisons the whole
+    search). Columns analyzed: the join keys (l_orderkey, o_orderkey,
+    o_custkey, c_custkey) and the filter column (c_mktsegment) whose
+    selectivity makes reordering worthwhile.
+
+    Same build-once contract as analyzed_part_table; returns
+    (lineitem_name, orders_name, customer_name).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    specs = (
+        ("lineitem", "l_orderkey, l_quantity, l_extendedprice"),
+        ("orders", "o_orderkey, o_custkey, o_orderpriority"),
+        ("customer", "c_custkey, c_mktsegment"),
+    )
+    names = []
+    for tbl, cols in specs:
+        s = os.stat(os.path.join(sf_dir, f"{tbl}.parquet"))
+        key = hashlib.sha1(
+            f"{os.path.realpath(sf_dir)}|{tbl}:{s.st_mtime_ns}:{s.st_size}"
+            "|star|v=1".encode()
+        ).hexdigest()[:12]
+        name = f"{tbl}_stats_{key}"
+        if not spark.catalog.tableExists(name):
+            (
+                spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet"))
+                .write.mode("overwrite")
+                .option("path", os.path.join(root, name))
+                .saveAsTable(name)
+            )
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+            spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS"
+                f" FOR COLUMNS {cols}"
+            )
+        names.append(name)
+    return tuple(names)
+
+
 def orders_layout_twins(
     spark: SparkSession,
     sf_dir: str,
@@ -681,20 +843,34 @@ def orders_layout_twins(
     )
     clustered = os.path.join(root, f"orders_clustered_{key}")
     unclustered = os.path.join(root, f"orders_unclustered_{key}")
-    done = os.path.join(root, f"orders_layouts_{key}._done")
-    if not os.path.exists(done):
-        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-        (
+    # each twin commits independently via tmp + _SUCCESS + rename
+    # (_atomic_dir_commit) — a crash between the two leaves at most
+    # one twin published, and the next call rebuilds only the missing
+    # one; concurrent readers never see a torn directory.
+    src = None
+    for dest, shape in (
+        (clustered, "range"),
+        (unclustered, "roundrobin"),
+    ):
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            continue
+        if src is None:
+            src = spark.read.parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            )
+        laid = (
             src.repartitionByRange(n_files, "o_totalprice")
             .sortWithinPartitions("o_totalprice")
-            .write.mode("overwrite")
-            .parquet(clustered)
+            if shape == "range"
+            else src.repartition(n_files)
         )
-        src.repartition(n_files).write.mode("overwrite").parquet(
-            unclustered
+        _atomic_dir_commit(
+            root,
+            dest,
+            lambda tmp, laid=laid: laid.write.mode("overwrite").parquet(
+                tmp
+            ),
         )
-        with open(done, "w") as f:
-            f.write("ok")
     return clustered, unclustered
 
 
@@ -757,13 +933,24 @@ def maintained_daily_table(
             ).alias("cents"),
         )
     )
+    # data commits first via tmp + _SUCCESS + rename (atomic for
+    # readers), then the external table is registered over it — a
+    # crash between the two just re-registers on the next call.
+    path = os.path.join(root, name)
+    _atomic_dir_commit(
+        root,
+        path,
+        lambda tmp: rollup.write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(tmp),
+    )
     if not spark.catalog.tableExists(name):
-        (
-            rollup.write.mode("overwrite")
-            .partitionBy("day")
-            .option("path", os.path.join(root, name))
-            .saveAsTable(name)
+        spark.sql(
+            f"CREATE TABLE {name} (event_type STRING, n_events BIGINT,"
+            f" cents BIGINT, day STRING) USING parquet"
+            f" PARTITIONED BY (day) LOCATION '{path}'"
         )
+        spark.catalog.recoverPartitions(name)
     cutoff = ev.agg(
         F.date_format(
             F.date_sub(F.max(F.to_date("ts")), 6), "yyyy-MM-dd"

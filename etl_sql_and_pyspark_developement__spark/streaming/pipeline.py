@@ -1001,3 +1001,49 @@ def stream_stream_attribution_outer(
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("purchase_id", "user_id", "purchase_ts", "view_ts")
+
+
+def stream_attribution_daily_rollup(
+    events_a: DataFrame, events_b: DataFrame
+) -> DataFrame:
+    """st39: CHAINED STATEFUL OPERATORS in one streaming query —
+    st06's watermarked stream-stream interval join feeding a windowed
+    aggregation, the attribution-then-rollup pipeline as ONE query
+    (Spark 4 supports multiple stateful operators per query,
+    SPARK-42376) instead of st06 + a second job over its sink.
+
+    Watermark propagation is the contract that makes the chain
+    correct: the join's output inherits event time from its inputs
+    (the global watermark is the MIN of both sides), so the
+    downstream 6-hour window on purchase_ts closes only when BOTH
+    input watermarks have passed window end — a pair the join is
+    still allowed to emit can therefore never miss its window's
+    final count (append-mode emission is late-data-correct through
+    the whole chain, not per-operator).
+
+    Output per closed window: attributed-pair count and the exact
+    total view→purchase lag in seconds (integer sum — deterministic
+    under any merge order). Distinct aggregates are unsupported in
+    streaming, so cardinality stays with the batch twin in the
+    parity test.
+
+    At 100 TB: one query = one checkpoint lineage and state for both
+    operators co-partitioned on user_id/window — the two-job version
+    pays an extra sink materialization plus a second shuffle of the
+    full join output.
+    """
+    joined = stream_stream_attribution(events_a, events_b)
+    return (
+        joined.groupBy(F.window("purchase_ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+            ).alias("lag_seconds_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_pairs",
+            "lag_seconds_sum",
+        )
+    )

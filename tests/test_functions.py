@@ -47,3 +47,97 @@ def test_needs_driver_row_names_real_queries():
 
     unknown = [k for k in entry._NEEDS_DRIVER_ROW if k not in QUERIES]
     assert not unknown, f"backlog names unknown queries: {unknown}"
+
+
+def test_udtf_split_installments_conservation(spark):
+    """Standalone table-call + conservation: the installment split is
+    a partition of cents — sum(inst_cents) == cents for every row,
+    remainder cents land on the EARLIEST installments."""
+    from etl_sql_and_pyspark_developement__spark.functions.udtfs import (
+        SplitInstallments,
+    )
+
+    spark.udtf.register("split_installments", SplitInstallments)
+    rows = spark.sql(
+        "SELECT * FROM split_installments(5, 1001)"
+    ).collect()
+    # orderkey 5 -> n = 3; 1001 = 334 + 334 + 333
+    assert [(r.inst_no, r.inst_cents) for r in rows] == [
+        (1, 334), (2, 334), (3, 333),
+    ]
+    agg = spark.sql(
+        """
+        SELECT t.k, t.cents, sum(s.inst_cents) AS total
+        FROM VALUES (1, 999), (2, 1000), (3, 7), (6, 0) t(k, cents),
+             LATERAL split_installments(t.k, t.cents) s
+        GROUP BY t.k, t.cents
+        """
+    ).collect()
+    assert all(r.total == r.cents for r in agg), "split must conserve cents"
+
+
+def test_udtf_polymorphic_schema(spark):
+    """The analyze()-time schema: column COUNT is a plan-time function
+    of the constant width argument; a non-constant width must be
+    rejected at analysis, not at runtime."""
+    import pytest
+    from pyspark.sql.functions import udtf
+
+    from etl_sql_and_pyspark_developement__spark.functions.udtfs import (
+        CharNgrams,
+    )
+
+    spark.udtf.register("char_ngrams", udtf(CharNgrams))
+    wide = spark.sql("SELECT * FROM char_ngrams('hello', 4)")
+    assert wide.columns == ["n_grams", "g0", "g1", "g2", "g3"]
+    assert wide.collect() == [
+        spark.sql("SELECT 3 n_grams, 'hel' g0, 'ell' g1, 'llo' g2,"
+                  " CAST(NULL AS STRING) g3").collect()[0]
+    ]
+    narrow = spark.sql("SELECT * FROM char_ngrams('hello', 2)")
+    assert narrow.columns == ["n_grams", "g0", "g1"]
+    with pytest.raises(Exception, match="constant"):
+        spark.sql(
+            "SELECT s.* FROM VALUES (2) t(w),"
+            " LATERAL char_ngrams('hello', t.w) s"
+        ).collect()
+
+
+def test_approx_top_k_regimes(spark):
+    """The two regimes the q121 lane's docstring promises:
+    capacity >= cardinality -> EXACT counts for every key;
+    capacity << cardinality on SKEWED data -> the hot key surfaces
+    with estimate >= exact (the sketch never undercounts a reported
+    heavy hitter). Near-uniform data at low capacity may return
+    NOTHING certifiable — pinned so nobody 'fixes' it into a flake."""
+    import pyspark.sql.functions as F
+
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(100) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k string")
+
+    def top(capacity, k):
+        return {
+            r["item"]: r["count"]
+            for r in df.agg(
+                F.expr(f"approx_top_k(k, {k}, {capacity})").alias("tk")
+            ).select(F.explode("tk").alias("e")).select("e.*").collect()
+        }
+
+    exact_all = top(10000, 200)
+    assert exact_all["hot"] == 500 and len(exact_all) == 101
+    assert all(v == (500 if key == "hot" else 5) for key, v in exact_all.items())
+
+    skew = top(16, 3)
+    assert "hot" in skew, "skewed heavy hitter must survive low capacity"
+    assert skew["hot"] >= 500, "reported heavy hitter must not undercount"
+    assert skew["hot"] - 500 <= 1000 // 16, "overcount beyond n/capacity"
+
+    uniform = spark.createDataFrame(
+        [(f"u{i % 150}",) for i in range(1500)], "k string"
+    )
+    thin = {
+        r["item"]: r["count"]
+        for r in uniform.agg(F.expr("approx_top_k(k, 5, 16)").alias("tk"))
+        .select(F.explode("tk").alias("e")).select("e.*").collect()
+    }
+    assert len(thin) <= 5

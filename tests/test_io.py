@@ -242,7 +242,8 @@ def test_read_jsonl_quarantine_count_is_legal(spark, tmp_path):
     used to throw UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
     when column pruning left only the corrupt column — the most common
     first use of a quarantine frame is counting it. The parsed frame
-    is now cached before the split, so both counts are legal."""
+    is now localCheckpoint()'d before the split, so both counts are
+    legal — and stay legal even after spark.catalog.clearCache()."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from etl_sql_and_pyspark_developement__spark.sources.io import (
@@ -256,6 +257,11 @@ def test_read_jsonl_quarantine_count_is_legal(spark, tmp_path):
          StructField("text", StringType(), True)]
     )
     clean, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+    assert quarantine.count() == 1
+    assert clean.count() == 1
+    # round-7 ADVICE: the split must survive cache loss — clearCache
+    # used to re-expose the corrupt-column-only analysis error.
+    spark.catalog.clearCache()
     assert quarantine.count() == 1
     assert clean.count() == 1
 
@@ -707,3 +713,36 @@ def test_q117_compaction_collapses_files_and_skips(spark, sf_dir):
     a = spark.read.parquet(frag).select("event_id")
     b = spark.read.parquet(comp).select("event_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_xml_round_trip_preserves_rows_and_nulls(spark, tmp_path):
+    """write_xml/read_xml must round-trip rows exactly under an
+    explicit schema, including NULLs (a null field's element is
+    simply absent from the document — the reader must restore it as
+    NULL, not skip the row)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        read_xml,
+        write_xml,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, None, "z")], schema
+    )
+    out = str(tmp_path / "xml_rt")
+    write_xml(df, out, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, out, "rec", schema)
+    assert sorted(back.collect()) == sorted(df.collect())

@@ -1313,3 +1313,63 @@ def test_q116_orc_scan_pushes_predicate(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in flat, (
         "date predicate must reach the ORC scan's PushedFilters"
     )
+
+
+def test_q119_join_reorder_flips_with_stats(spark, sf_dir):
+    """The second stats lever (round-7 VERDICT item 3): with table +
+    column stats on all three relations and cbo.joinReorder armed,
+    JoinReorderDP must rotate the selective customer filter's join
+    FIRST — the optimized logical plan's relation order flips from
+    the written left-deep (lineitem, orders, customer) to
+    (orders, customer, lineitem). Conf-flip isolated on a REBUILT
+    DataFrame each time (Datasets cache their QueryExecution)."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        analyzed_star_tables,
+    )
+
+    li, o, c = analyzed_star_tables(spark, sf_dir)
+
+    def rel_order(plan: str) -> str:
+        pos = [(plan.find(n), tag) for n, tag in ((li, "L"), (o, "O"), (c, "C"))]
+        assert all(p >= 0 for p, _ in pos), "all three relations must appear"
+        return "".join(t for _, t in sorted(pos))
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QUERIES["q119_cbo_join_reorder"](spark, sf_dir)
+        order_cbo = rel_order(df._jdf.queryExecution().optimizedPlan().toString())
+        for k in confs:
+            spark.conf.set(k, "false")
+        df = QUERIES["q119_cbo_join_reorder"](spark, sf_dir)
+        order_naive = rel_order(df._jdf.queryExecution().optimizedPlan().toString())
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert order_naive == "LOC", (
+        f"without reorder the written left-deep order must survive: {order_naive}"
+    )
+    assert order_cbo == "OCL", (
+        "with stats + joinReorder the filtered customer join must rotate "
+        f"ahead of the lineitem join: {order_cbo}"
+    )
+
+
+def test_q118_udtf_generator_node_and_pushdown(spark, sf_dir):
+    """The UDTF must plan as a Python generator stage ([Batch/Arrow]
+    EvalPythonUDTF) and the date filter must still reach the parquet
+    scan BELOW it — expansion never blocks pushdown."""
+    plan = plan_of(spark, "q118_udtf_lateral", sf_dir)
+    assert "UDTF" in plan, "expected a PythonUDTF generator node"
+    assert "1997-01-01" in plan and "PushedFilters" in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any("o_orderdate" in ln for ln in pushed), (
+        "date filter must be pushed to the orders scan under the UDTF"
+    )

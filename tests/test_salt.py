@@ -23,6 +23,33 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert sorted(plain.collect()) == sorted(salted.collect())
 
 
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    """Round-7 VERDICT: how="right"/"full" would emit each unmatched
+    small-side row once PER SALT REPLICA (salt x duplicate
+    null-extended rows) — the operator must refuse, not silently
+    corrupt. Left/semi/anti stay accepted (big side is never
+    replicated, so they are exact)."""
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.operators.salt import salted_join
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="per salt replica"):
+            salted_join(orders, cust, "o_custkey", salt=4, how=how)
+    # left join with an UNMATCHED big-side key stays exact: null-
+    # extended rows appear once, not once per replica.
+    neg = orders.withColumn(
+        "o_custkey", F.col("o_custkey") + F.lit(10_000_000)
+    ).limit(50)
+    left = salted_join(neg, cust, "o_custkey", salt=4, how="left")
+    assert left.count() == 50
+
+
 def test_two_phase_agg_matches_plain(spark, sf_dir):
     from etl_sql_and_pyspark_developement__spark.operators.salt import two_phase_agg
     from etl_sql_and_pyspark_developement__spark.sources.catalog import table

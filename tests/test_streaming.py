@@ -2552,3 +2552,224 @@ def test_st38_outer_attribution_emits_unmatched_at_watermark(
     assert (999_000_001, None) in got, "planted never-viewed purchase must emit null-padded"
     n_unmatched = sum(1 for _, v in got if v is None)
     assert n_unmatched >= 1
+
+
+def test_st39_chained_join_then_window_matches_batch(spark, sf_dir, tmp_path):
+    """st39: the interval-join -> windowed-agg CHAIN in one query must
+    equal the batch twin window-for-window. Emission is watermark-
+    driven through BOTH stateful operators: a 6h window closes only
+    once the global (min-of-both-sides) watermark passes its end, so
+    the sentinel advances must clear max_ts + 6h + the 2h watermark
+    delay before any data window emits."""
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        stream_attribution_daily_rollup,
+    )
+
+    d = tmp_path / "st39_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(d))
+    q = (
+        stream_attribution_daily_rollup(stream, stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st39_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # two watermark advances: state drains on the trigger AFTER the
+    # watermark moves (same double-pump st38 pins)
+    for i, hours in enumerate((12, 18)):
+        late_ts = max_ts + __import__("datetime").timedelta(hours=hours)
+        sentinel = spark.createDataFrame(
+            [
+                (999_200_000 + 2 * i, late_ts, -1, "view", 0.0, "{}"),
+                (999_200_001 + 2 * i, late_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+        sentinel.write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.window_start: (r.n_pairs, r.lag_seconds_sum)
+        for r in spark.sql("SELECT * FROM st39_out").collect()
+    }
+    assert got, "chained query emitted no closed windows"
+
+    full = spark.read.parquet(str(d)).filter("user_id != -1")
+    p = full.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = full.filter("event_type = 'view'").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
+    )
+    batch = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy(F.window("purchase_ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+            ).alias("lag_seconds_sum"),
+        )
+        .select(F.col("w.start").alias("ws"), "n_pairs", "lag_seconds_sum")
+    )
+    want = {r.ws: (r.n_pairs, r.lag_seconds_sum) for r in batch.collect()}
+    # every DATA window must have closed and match exactly (sentinel
+    # windows sit past max_ts and are excluded from the batch twin)
+    assert {k: v for k, v in got.items() if k <= max_ts} == want
+
+
+def test_st40_statestore_reader_verifies_agg_state(spark, sf_dir, tmp_path):
+    """st40: reading a committed checkpoint's keyed state back as a
+    batch DataFrame must reproduce EXACTLY what the stream persisted
+    — the first verification of state independent of the query's own
+    emitted rows. A plain per-type count agg: the store's (key.
+    event_type, value.count) rows must equal batch counts, and the
+    state-metadata source must list the aggregation operator with
+    the committed batch range."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.statestore import (
+        read_state,
+        read_state_metadata,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tmp_path / "st40_src"
+    src.mkdir()
+    ev.write.parquet(str(src / "b0"))
+    ckpt = str(tmp_path / "st40_ckpt")
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "*"))
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st40_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    md = read_state_metadata(spark, ckpt).collect()
+    assert len(md) == 1 and md[0].operatorId == 0
+    assert md[0].numPartitions == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert md[0].maxBatchId >= md[0].minBatchId >= 0
+
+    state = {
+        r.k: r.n
+        for r in read_state(spark, ckpt)
+        .select(F.col("key.event_type").alias("k"), F.col("value.count").alias("n"))
+        .collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert state == want, "persisted state must equal the batch truth"
+
+
+def test_st40_statestore_reader_verifies_custom_state_and_time_travel(
+    spark, sf_dir, tmp_path
+):
+    """st40 over CUSTOM state (st31's applyInPandasWithState bitmap
+    words): popcounting the words read FROM THE STORE must equal
+    batch countDistinct per type — state verified without trusting
+    the query's output at all. Second batch then proves time travel:
+    the word at batch 0 must be a SUBMASK of the word at batch 1
+    (BIT_OR only ever sets bits), and batch-1 state covers both
+    files' ids."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.statestore import (
+        read_state,
+        read_state_metadata,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    halves = [
+        ev.filter(F.datediff(F.to_date("ts"), F.lit(d0)) < 7),
+        ev.filter(F.datediff(F.to_date("ts"), F.lit(d0)) >= 7),
+    ]
+    src = tmp_path / "st40b_src"
+    src.mkdir()
+    halves[0].coalesce(1).write.parquet(str(src / "b0"))
+    halves[1].coalesce(1).write.parquet(str(src / "b1"))
+    ckpt = str(tmp_path / "st40b_ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_bitmap_distinct(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st40b_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    md = read_state_metadata(spark, ckpt).collect()[0]
+    assert md.maxBatchId >= 1, "two files must commit two batches"
+
+    def words(batch_id):
+        return {
+            (r.t, r.b): r.w
+            for r in read_state(spark, ckpt, batch_id=batch_id)
+            .select(
+                F.col("key.event_type").alias("t"),
+                F.col("key.bucket").alias("b"),
+                # applyInPandasWithState wraps the user state one level
+                # deeper than a native agg: value.groupState.<field>
+                F.col("value.groupState.word").alias("w"),
+            )
+            .collect()
+        }
+
+    final = words(md.maxBatchId)
+    got = {}
+    for (t, _b), w in final.items():
+        got[t] = got.get(t, 0) + bin(w & ((1 << 63) - 1)).count("1")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want, "popcount of PERSISTED words must equal batch distinct"
+
+    first = words(md.minBatchId)
+    assert first and set(first) <= set(final)
+    assert all(first[k] & ~final[k] == 0 for k in first), (
+        "BIT_OR state can only gain bits batch-over-batch"
+    )
+    assert any(final[k] != first.get(k, 0) for k in final), (
+        "second batch must have changed some word"
+    )
