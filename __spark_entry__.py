@@ -39,6 +39,11 @@ _NEEDS_DRIVER_ROW = [
     "q121_approx_top_k",
     # round-8 addition: native XML source interop lane
     "q122_xml_interop",
+    # round-8 addition: mapInArrow integer-moments kernel lane
+    "s11_arrow_vector_features",
+    # round-8 addition: modern-SQL ergonomics lane (params/IDENTIFIER/
+    # listagg/lateral alias/try_cast)
+    "q123_modern_sql",
     # round-8 change: q115's reader now localCheckpoints the split
     # (cache-lifetime-independent plan) — fresh row re-proves it
     "q115_quarantine_ingest",

@@ -6908,7 +6908,7 @@ WITH o AS (
            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
            o_orderkey % 3 + 1 AS n
     FROM orders
-    WHERE o_orderdate >= DATE '1997-01-01'
+    WHERE o_orderdate >= DATE '2000-08-01'
 ),
 inst AS (
     SELECT o_orderkey, cents, n,
@@ -6994,4 +6994,43 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
 GROUP BY strftime(o_orderdate, '%Y-%m')
 ORDER BY month
+"""
+
+# s11: integer micro-unit moments — float32 -> float64 widening is
+# lossless and integer sums commute, so list lambdas replay the
+# mapInArrow kernel bit-for-bit.
+ORACLES["s11_arrow_vector_features"] = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+           AS BIGINT) AS sum_micro,
+       CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+           AS BIGINT) AS sumsq_micro
+FROM embeddings
+ORDER BY vec_id
+"""
+
+# q123: DuckDB mirrors every modern-SQL surface the lane uses
+# (lateral aliases, DISTINCT ordered string_agg, try_cast).
+ORACLES["q123_modern_sql"] = """
+WITH base AS (
+    SELECT source, lang,
+           length(text) AS len_chars,
+           length(text) // 100 AS hecto,
+           try_cast(substr(text, 1, 1) AS INT) AS lead_digit
+    FROM documents
+    WHERE length(text) >= 10
+)
+SELECT source,
+       string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hecto) AS BIGINT) AS hecto_sum,
+       CAST(count(lead_digit) AS BIGINT) AS n_digit_led,
+       CAST(coalesce(sum(lead_digit), 0) AS BIGINT) AS digit_sum
+FROM base
+GROUP BY source
+ORDER BY source
 """

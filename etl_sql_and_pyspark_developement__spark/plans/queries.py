@@ -8808,7 +8808,7 @@ def q117_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PYTHON UDTF + LATERAL correlation — the user-extensible
     row-expansion surface (functions/udtfs.SplitInstallments): each
-    1997+ order's total cents split into n = (o_orderkey % 3) + 1
+    final-year order's total cents split into n = (o_orderkey % 3) + 1
     installments by an Arrow-optimized `@udtf`, invoked
     LATERAL-correlated in SQL (`FROM orders, LATERAL
     split_installments(o_orderkey, cents)`) so Catalyst plans the
@@ -8829,7 +8829,12 @@ def q118_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: a generator pipelines per-partition (no shuffle of its
     own) and Arrow batches amortize the Python boundary; output size
-    is input x expansion factor, independent of corpus layout.
+    is input x expansion factor, independent of corpus layout. Priced
+    honestly: UDTF eval is still per-ROW Python (~65us/row measured,
+    plus ~3s fixed Python-stage cost per action) — the surface is for
+    expansions no expression can say; a split this regular would ship
+    as the q41 higher-order-function shape in production, so the lane
+    runs it over the bounded final year, not the full fact table.
     """
     from etl_sql_and_pyspark_developement__spark.functions.udtfs import (
         SplitInstallments,
@@ -8838,7 +8843,7 @@ def q118_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("split_installments", SplitInstallments)
     (
         table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= "1997-01-01")
+        .filter(F.col("o_orderdate") >= "2000-08-01")
         .select(
             "o_orderkey",
             F.expr(
@@ -9077,4 +9082,83 @@ def q122_xml_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_cents"),
         )
         .orderBy("month")
+    )
+
+
+@query("s11_arrow_vector_features")
+def s11_arrow_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-NATIVE KERNEL lane — mapInArrow (RecordBatch in/out, no
+    pandas materialization) computing the int8-quantizer pre-pass
+    over the embedding corpus: per-vector integer micro-unit moments
+    (operators/similarity.vector_features_arrow) that calibrate the
+    scale for vector compression (s06/s10's PQ family stores codes;
+    a production pipeline first needs exactly these moments to pick
+    the quantization range). All outputs are exact integers (float32
+    widens to float64 losslessly, floor lands on integers, integer
+    sums commute), so the DuckDB oracle replays every value from
+    list_transform/list_sum with NO tolerance — the strongest parity
+    an embedding kernel can carry.
+
+    This completes the engine's Python-boundary ladder as driver-
+    verified surfaces: q118 UDTF (generator), m-lanes mapInPandas
+    (byte wrangling), q105/q113/st33/st41 data sources (connectors),
+    and now mapInArrow (columnar numeric kernels) — each with the
+    same determinism discipline.
+    """
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        vector_features_arrow,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return vector_features_arrow(emb).orderBy("vec_id")
+
+
+@query("q123_modern_sql")
+def q123_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODERN SQL ERGONOMICS lane — the four post-ANSI surfaces a
+    migrating warehouse user reaches for first, composed in one
+    query and all value-verified:
+
+    - PARAMETERIZED execution: spark.sql(sql, args={...}) with named
+      `:param` markers — the injection-safe templating API (string
+      interpolation is the anti-pattern this retires);
+    - IDENTIFIER(:tbl): dynamic table targeting that stays a resolved
+      identifier, never string-spliced SQL;
+    - LATERAL COLUMN ALIAS: `length(text) AS n_chars, n_chars DIV 100
+      AS hecto` in one SELECT — no wrapper subquery;
+    - listagg(DISTINCT ... , '|') WITHIN GROUP (ORDER BY ...): the
+      SQL:2023 ordered string aggregate (q50's ranked concat via
+      collect_list is the DataFrame spelling; this is the standard's);
+    - try_cast: error-safe coercion that yields NULL on REAL failures
+      (docs whose first char is not a digit), never a job abort —
+      q115's never-fail contract at expression granularity.
+
+    DuckDB mirrors every one (string_agg DISTINCT ORDER BY, try_cast,
+    lateral aliases), so the oracle is bit-exact.
+    """
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q123_documents"
+    )
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT source, lang,
+                   length(text) AS len_chars,
+                   len_chars DIV 100 AS hecto,
+                   try_cast(substr(text, 1, 1) AS INT) AS lead_digit
+            FROM IDENTIFIER(:tbl)
+            WHERE length(text) >= :min_chars
+        )
+        SELECT source,
+               listagg(DISTINCT lang, '|')
+                   WITHIN GROUP (ORDER BY lang) AS langs,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(hecto) AS BIGINT) AS hecto_sum,
+               CAST(count(lead_digit) AS BIGINT) AS n_digit_led,
+               CAST(coalesce(sum(lead_digit), 0) AS BIGINT) AS digit_sum
+        FROM base
+        GROUP BY source
+        ORDER BY source
+        """,
+        args={"tbl": "q123_documents", "min_chars": 10},
     )

@@ -21,8 +21,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYNTH_DOCS_SCHEMA = (
@@ -195,6 +197,7 @@ def register_python_sources(spark: SparkSession) -> None:
     spark.dataSource.register(SynthDocsDataSource)
     spark.dataSource.register(SynthDocsPushDataSource)
     spark.dataSource.register(SynthEventsStreamDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
 
 
 SYNTH_EVENTS_SCHEMA = "event_id BIGINT, bucket BIGINT, cents BIGINT"
@@ -252,3 +255,128 @@ class SynthEventsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return SynthEventsStreamReader(self.options)
+
+
+class JsonlCommitMessage(WriterCommitMessage):
+    """Per-task commit message for the JSONL sink: where the task's
+    staged file landed and what it holds. Must stay picklable (it
+    rides the executor -> driver commit channel)."""
+
+    def __init__(self, tmp_path: str, n_rows: int, partition_id: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+        self.partition_id = partition_id
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """st41: Python Data Source STREAMING SINK with a two-phase
+    commit — the write-side twin of st33's replayable stream reader,
+    and the file-sink transaction protocol in miniature:
+
+    - write() (executors): each task stages its partition's rows to a
+      DOT-PREFIXED temp file and returns a commit message; staged
+      files are invisible to any reader that honors the manifest (or
+      even a plain glob that skips dotfiles).
+    - commit() (driver, once per epoch): renames every staged file to
+      its DETERMINISTIC final name `batch-<id>-p<partition>.jsonl`
+      and writes `_manifests/batch-<id>.json` (itself staged +
+      os.replace'd, so the manifest is atomic). Exactly-once comes
+      from idempotence: a replayed epoch re-stages, re-renames onto
+      the SAME final names, and rewrites the same manifest — no
+      duplicates, by construction rather than by dedup.
+    - abort() (driver): deletes the staged files; committed batches
+      are untouched.
+
+    Readers consume manifests, never directory listings — the same
+    contract Spark's own file sink implements with _spark_metadata.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".staged-{uuid.uuid4().hex}-p{pid}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlCommitMessage(tmp, n, pid)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        entries = []
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-p{m.partition_id}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+            entries.append(
+                {"file": os.path.basename(final), "rows": m.n_rows}
+            )
+        mdir = os.path.join(self.path, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".batch-{batchId:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batchId, "files": sorted(entries, key=lambda e: e["file"])},
+                f,
+            )
+        os.replace(tmp, os.path.join(mdir, f"batch-{batchId:05d}.json"))
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """df.writeStream.format("graft_jsonl_sink").option("path", ...)
+    — the user-extensible streaming SINK half of the Python Data
+    Source API (no JVM jar, full commit protocol)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_jsonl_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return JsonlStreamWriter(self.options)
+
+
+def read_jsonl_sink(spark: SparkSession, path: str, schema) -> "DataFrame":
+    """Manifest-honoring reader for graft_jsonl_sink output: loads
+    ONLY the files the committed manifests list (staged leftovers
+    from a crashed epoch are invisible — the sink's read contract)."""
+    import json
+    import os
+
+    mdir = os.path.join(path, "_manifests")
+    files = []
+    if os.path.isdir(mdir):
+        for mf in sorted(os.listdir(mdir)):
+            if mf.endswith(".json"):
+                with open(os.path.join(mdir, mf)) as f:
+                    manifest = json.load(f)
+                files += [
+                    os.path.join(path, e["file"]) for e in manifest["files"]
+                ]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

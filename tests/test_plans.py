@@ -1366,7 +1366,7 @@ def test_q118_udtf_generator_node_and_pushdown(spark, sf_dir):
     scan BELOW it — expansion never blocks pushdown."""
     plan = plan_of(spark, "q118_udtf_lateral", sf_dir)
     assert "UDTF" in plan, "expected a PythonUDTF generator node"
-    assert "1997-01-01" in plan and "PushedFilters" in plan
+    assert "2000-08-01" in plan and "PushedFilters" in plan
     pushed = [
         ln for ln in plan.splitlines() if "PushedFilters" in ln
     ]

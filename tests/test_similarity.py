@@ -531,3 +531,40 @@ def test_ivf_pq_composed_recall_and_copy_recovery(spark, vectors):
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r.cand_id != q for r in rows)
+
+
+def test_vector_features_arrow_edge_cases(spark):
+    """The mapInArrow kernel must handle empty vectors (reduceat's
+    next-element quirk forced to 0), negative values (floor is toward
+    -inf on both engines), and exact integer moments on hand-checked
+    inputs."""
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        vector_features_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.5]),
+            (2, []),
+            (3, [1.0]),
+            (4, [-0.0000015]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.n_dims, r.sum_micro, r.sumsq_micro)
+        for r in vector_features_arrow(df).collect()
+    }
+    # floor(0.5e6)=500000, floor(-0.5e6)=-500000; squares sum 2*25e10
+    assert got[1] == (2, 0, 500_000_000_000)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (1, 1_000_000, 1_000_000_000_000)
+    # float32(-0.0000015) widened: floor(-1.5000000187446...) = -2
+    assert got[4][0] == 1 and got[4][1] == -2 and got[4][2] == 4
+    plan = (
+        vector_features_arrow(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan

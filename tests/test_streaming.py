@@ -2773,3 +2773,61 @@ def test_st40_statestore_reader_verifies_custom_state_and_time_travel(
     assert any(final[k] != first.get(k, 0) for k in final), (
         "second batch must have changed some word"
     )
+
+
+def test_st41_python_sink_two_phase_commit_and_exactly_once(spark, tmp_path):
+    """st41: the Python Data Source streaming SINK must (1) land
+    exactly the rows the replayable source emitted, readable ONLY via
+    committed manifests; (2) ignore staged leftovers (a crashed
+    epoch's dotfiles never surface); (3) stay duplicate-free across a
+    checkpointed RESTART that extends the stream — exactly-once by
+    deterministic rename, not dedup."""
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        SYNTH_EVENTS_SCHEMA,
+        read_jsonl_sink,
+        register_python_sources,
+        synth_event_row,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def run(stop_at):
+        q = (
+            spark.readStream.format("graft_synth_stream")
+            .option("rows_per_batch", 30)
+            .option("stop_at", stop_at)
+            .load()
+            .writeStream.format("graft_jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(100)
+    got = {
+        (r.event_id, r.bucket, r.cents)
+        for r in read_jsonl_sink(spark, out, SYNTH_EVENTS_SCHEMA).collect()
+    }
+    assert got == {synth_event_row(i) for i in range(100)}
+
+    # staged leftovers (crashed epoch) must be invisible to the reader
+    (tmp_path / "sink_out" / ".staged-deadbeef-p0.jsonl").write_text(
+        '{"event_id": 424242, "bucket": 0, "cents": 0}\n'
+    )
+    got2 = read_jsonl_sink(spark, out, SYNTH_EVENTS_SCHEMA).collect()
+    assert all(r.event_id != 424242 for r in got2)
+
+    # restart from the same checkpoint with a longer stream: only the
+    # NEW rows land; nothing already committed duplicates
+    run(160)
+    final = [
+        r.event_id
+        for r in read_jsonl_sink(spark, out, SYNTH_EVENTS_SCHEMA).collect()
+    ]
+    assert sorted(final) == list(range(160)), (
+        "restart must extend, never duplicate"
+    )
