@@ -1380,22 +1380,27 @@ def vector_features_arrow(
             micro = np.floor(flat * 1_000_000.0).astype(np.int64)
             offsets = np.asarray(vecs.offsets)
             n_dims = np.diff(offsets).astype(np.int32)
-            empty = n_dims == 0
-            if micro.size == 0:
-                sum_micro = np.zeros(len(n_dims), dtype=np.int64)
-                sumsq_micro = np.zeros(len(n_dims), dtype=np.int64)
-            else:
-                # reduceat rejects an index == len(arr) (a trailing
-                # empty list) — clip it; clipped slots are exactly
-                # empty lists, zeroed below. An empty list MID-array
-                # (offsets[i] == offsets[i+1]) makes reduceat emit a
-                # stray single element there — also zeroed below.
-                idx = np.minimum(offsets[:-1], micro.size - 1)
-                sum_micro = np.add.reduceat(micro, idx)
-                sumsq_micro = np.add.reduceat(micro * micro, idx)
-            if empty.any():
-                sum_micro[empty] = 0
-                sumsq_micro[empty] = 0
+            # Segment sums as prefix-sum differences: exact for ANY
+            # offsets pattern (empty lists anywhere, including the
+            # batch tail) — np.add.reduceat mishandles both a trailing
+            # offset == len(arr) and repeated offsets. Overflow bound:
+            # the running cumsum of squares reaches
+            # micro.size * max(|micro|)^2; |micro| <= 1e6 for unit-
+            # scale embeddings, and Arrow batches are ~10k rows
+            # (maxRecordsPerBatch), so the peak is ~6e17 << 2^63. The
+            # guard trips before silent wraparound if someone feeds
+            # this kernel giant batches of large-magnitude vectors.
+            sq = micro * micro
+            if micro.size and micro.size * int(sq.max()) >= (1 << 62):
+                raise OverflowError(
+                    "vector_features_arrow: batch cumsum would "
+                    "approach int64 range; reduce the Arrow batch "
+                    "size or rescale the vectors"
+                )
+            cs = np.concatenate(([0], np.cumsum(micro)))
+            cs2 = np.concatenate(([0], np.cumsum(sq)))
+            sum_micro = cs[offsets[1:]] - cs[offsets[:-1]]
+            sumsq_micro = cs2[offsets[1:]] - cs2[offsets[:-1]]
             yield pa.RecordBatch.from_pydict(
                 {
                     "vec_id": ids.cast(pa.int64()),

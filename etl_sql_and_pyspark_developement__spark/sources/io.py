@@ -316,6 +316,11 @@ def _atomic_dir_commit(root: str, dest: str, write_to) -> None:
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return
     os.makedirs(root, exist_ok=True)
+    # dest existing WITHOUT _SUCCESS is pre-atomic/torn garbage (the
+    # atomic path only ever publishes complete dirs via rename) — a
+    # rename onto it would fail ENOTEMPTY forever; clear it first
+    if os.path.isdir(dest):
+        shutil.rmtree(dest, ignore_errors=True)
     tmp = f"{dest}.tmp.{os.getpid()}"
     write_to(tmp)
     if not os.path.exists(os.path.join(tmp, "_SUCCESS")):

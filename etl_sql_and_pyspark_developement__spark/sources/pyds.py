@@ -376,7 +376,15 @@ def read_jsonl_sink(spark: SparkSession, path: str, schema) -> "DataFrame":
                 files += [
                     os.path.join(path, e["file"]) for e in manifest["files"]
                 ]
-    files = [f for f in files if os.path.exists(f)]
+    # the commit protocol renames data BEFORE writing the manifest, so
+    # a manifest-listed file that is missing is always corruption —
+    # raise loudly rather than return a silently truncated frame
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"jsonl sink at {path}: manifest lists files that are "
+            f"missing on disk (data loss): {missing[:5]}"
+        )
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

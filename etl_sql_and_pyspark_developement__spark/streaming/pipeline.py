@@ -1047,3 +1047,51 @@ def stream_attribution_daily_rollup(
             "lag_seconds_sum",
         )
     )
+
+
+def stream_stream_attribution_full(
+    events_a: DataFrame, events_b: DataFrame
+) -> DataFrame:
+    """st42: watermarked stream-stream FULL OUTER interval join —
+    completes the streaming join-type family (st06 inner: attributed
+    pairs; st38 left outer: + unattributed purchases; this: + views
+    that never converted, the wasted-impression side a marketer
+    prices). BOTH null-padded complements are watermark-driven: an
+    unmatched row on EITHER side holds in join state until the other
+    side's watermark proves no qualifying partner can arrive, then
+    emits null-padded exactly once.
+
+    Same keys/interval/watermarks as st06/st38; view-side rows keep
+    their own identity columns so the unmatched-view rows are
+    attributable. The test plants a never-viewed purchase AND a
+    never-purchased view and drives both complements out with st38's
+    sentinel double-pump.
+    """
+    purchases = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    views = (
+        events_b.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts",
+        "view_id", "v_user_id", "view_ts",
+    )

@@ -746,3 +746,26 @@ def test_xml_round_trip_preserves_rows_and_nulls(spark, tmp_path):
     write_xml(df, out, row_tag="rec", root_tag="recs")
     back = read_xml(spark, out, "rec", schema)
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_atomic_dir_commit_self_heals_torn_dest(spark, tmp_path):
+    """A destination left half-written by a crashed PRE-atomic writer
+    (dir exists, no _SUCCESS) must be cleared and rebuilt — not block
+    every subsequent commit with ENOTEMPTY (round-8 review fix)."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        _atomic_dir_commit,
+    )
+
+    root = str(tmp_path)
+    dest = os.path.join(root, "artifact")
+    os.makedirs(dest)
+    with open(os.path.join(dest, "junk.parquet"), "w") as f:
+        f.write("torn")
+    _atomic_dir_commit(
+        root, dest, lambda tmp: spark.range(3).write.parquet(tmp)
+    )
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(dest, "junk.parquet"))
+    assert spark.read.parquet(dest).count() == 3

@@ -548,12 +548,20 @@ def test_vector_features_arrow_edge_cases(spark):
             (2, []),
             (3, [1.0]),
             (4, [-0.0000015]),
+            # TRAILING empty after a non-empty (regression: the old
+            # reduceat clip truncated vector 5's segment to 3 when an
+            # empty list closed the batch)
+            (5, [0.25, 0.25, 0.25, 0.25]),
+            (6, []),
         ],
         "vec_id bigint, embedding array<float>",
     )
+    # coalesce(1): all rows share one Arrow batch, so the trailing-
+    # empty and mid-array-empty cases actually exercise the kernel's
+    # offset handling instead of landing in separate batches
     got = {
         r.vec_id: (r.n_dims, r.sum_micro, r.sumsq_micro)
-        for r in vector_features_arrow(df).collect()
+        for r in vector_features_arrow(df.coalesce(1)).collect()
     }
     # floor(0.5e6)=500000, floor(-0.5e6)=-500000; squares sum 2*25e10
     assert got[1] == (2, 0, 500_000_000_000)
@@ -561,6 +569,10 @@ def test_vector_features_arrow_edge_cases(spark):
     assert got[3] == (1, 1_000_000, 1_000_000_000_000)
     # float32(-0.0000015) widened: floor(-1.5000000187446...) = -2
     assert got[4][0] == 1 and got[4][1] == -2 and got[4][2] == 4
+    # 4 x floor(0.25e6) = 4 x 250000; the FULL segment must survive a
+    # trailing empty list in the same batch
+    assert got[5] == (4, 1_000_000, 250_000_000_000)
+    assert got[6] == (0, 0, 0)
     plan = (
         vector_features_arrow(df)
         ._jdf.queryExecution()

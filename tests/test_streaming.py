@@ -2831,3 +2831,126 @@ def test_st41_python_sink_two_phase_commit_and_exactly_once(spark, tmp_path):
     assert sorted(final) == list(range(160)), (
         "restart must extend, never duplicate"
     )
+
+
+def test_st41_reader_raises_on_manifest_listed_file_missing(spark, tmp_path):
+    """A manifest-listed data file missing on disk is ALWAYS
+    corruption (commit renames data before writing the manifest) —
+    the reader must raise, never return a silently truncated frame."""
+    import os
+
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        SYNTH_EVENTS_SCHEMA,
+        read_jsonl_sink,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink2_out")
+    q = (
+        spark.readStream.format("graft_synth_stream")
+        .option("rows_per_batch", 25)
+        .option("stop_at", 50)
+        .load()
+        .writeStream.format("graft_jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sink2_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    victim = next(
+        f for f in sorted(os.listdir(out)) if f.startswith("batch-")
+    )
+    os.remove(os.path.join(out, victim))
+    with pytest.raises(FileNotFoundError, match="data loss"):
+        read_jsonl_sink(spark, out, SYNTH_EVENTS_SCHEMA)
+
+
+def test_st42_full_outer_attribution_emits_both_complements(
+    spark, sf_dir, tmp_path
+):
+    """st42: row-set equality with the batch FULL OUTER interval join
+    — matched pairs + null-padded never-viewed purchases + null-
+    padded never-converted views, each complement proven exercised by
+    a planted sentinel on its own side."""
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        stream_stream_attribution_full,
+    )
+
+    d = tmp_path / "st42_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    planted = spark.createDataFrame(
+        [
+            # user outside the corpus: a purchase no view can match
+            (999_000_001, max_ts, 999_000_001, "purchase", 1.0, "{}"),
+            # and a view no purchase can match
+            (999_000_002, max_ts, 999_000_002, "view", 1.0, "{}"),
+        ],
+        ev.schema,
+    )
+    planted.write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(d))
+    q = (
+        stream_stream_attribution_full(stream, stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st42_out")
+        .start()
+    )
+    q.processAllAvailable()
+    for i, hours in enumerate((6, 9)):
+        late_ts = max_ts + __import__("datetime").timedelta(hours=hours)
+        sentinel = spark.createDataFrame(
+            [
+                (999_100_000 + 2 * i, late_ts, -1, "view", 0.0, "{}"),
+                (999_100_001 + 2 * i, late_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+        sentinel.write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM st42_out").collect()
+        if (r.user_id is None or r.user_id != -1)
+        and (r.v_user_id is None or r.v_user_id != -1)
+    }
+    full = spark.read.parquet(str(d)).filter("user_id != -1")
+    p = full.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = full.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+            "fullOuter",
+        ).collect()
+    }
+    assert got == want and got
+    assert (999_000_001, None) in got, "never-viewed purchase must emit"
+    assert (None, 999_000_002) in got, "never-converted view must emit"
