@@ -44,6 +44,8 @@ _NEEDS_DRIVER_ROW = [
     # round-8 addition: modern-SQL ergonomics lane (params/IDENTIFIER/
     # listagg/lateral alias/try_cast)
     "q123_modern_sql",
+    # round-8 addition: parquet footer-stats aggregate pushdown lane
+    "q124_agg_pushdown",
     # round-8 change: q115's reader now localCheckpoints the split
     # (cache-lifetime-independent plan) — fresh row re-proves it
     "q115_quarantine_ingest",

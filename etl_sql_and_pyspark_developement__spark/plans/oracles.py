@@ -7034,3 +7034,20 @@ FROM base
 GROUP BY source
 ORDER BY source
 """
+
+# q124: footer statistics are exact for MIN/MAX/COUNT, so both rows
+# equal the plain scan truth.
+ORACLES["q124_agg_pushdown"] = """
+WITH t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+)
+SELECT 'footer' AS via, * FROM t
+UNION ALL
+SELECT 'scan' AS via, * FROM t
+ORDER BY via
+"""

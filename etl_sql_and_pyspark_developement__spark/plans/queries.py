@@ -9162,3 +9162,77 @@ def q123_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "q123_documents", "min_chars": 10},
     )
+
+
+@query("q124_agg_pushdown")
+def q124_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET AGGREGATE PUSHDOWN lane — the metadata-only aggregate
+    tier below q108's row-group skipping: with the DS v2 parquet path
+    and spark.sql.parquet.aggregatePushdown, MIN/MAX/COUNT compile
+    INTO the scan (`PushedAggregation` on the BatchScan) and are
+    answered from row-group FOOTER statistics — zero data pages
+    decoded. At 100 TB, "how many rows / what's the price range /
+    what's the freshest date" becomes a footer-listing job instead of
+    a full-table scan — the difference between seconds and hours for
+    the monitoring queries every pipeline runs most often.
+
+    The lane computes the SAME aggregate twice — once footer-only
+    (v2 + pushdown, conf-scoped and restored), once through the
+    production scan path — and returns both rows, so the driver
+    value-verifies that footer statistics EQUAL the scan truth (the
+    q121 estimate-beside-exact discipline; for min/max/count the
+    footer tier is exact by construction, and this lane proves it on
+    real files). Both sides are materialized eagerly inside the lane
+    (q114's discipline) because planning is lazy: a set/restore
+    around a RETURNED lazy frame would flip the conf back before the
+    driver's action plans. Supported-surface boundary (documented):
+    pushdown covers ungrouped MIN/MAX/COUNT (+ GROUP BY partition
+    columns only), never SUM/AVG — which is why q01's rollups keep
+    their scans.
+
+    Reference parity: every reference workload opens with exactly
+    these freshness/extent probes before the real query (pyspark/*
+    scripts' head-of-file sanity counts).
+    """
+    path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+
+    def probe() -> list:
+        # count(*) (not count(1): only the star form translates to
+        # CountStar for pushdown) + min/max on numeric columns only:
+        # pushdown is ALL-OR-NOTHING per aggregate list, and one
+        # non-pushable member (e.g. a timestamp min under rebase
+        # rules) silently reverts the whole probe to a scan
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.expr("count(*)").alias("n_orders"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .collect()
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        footer = probe()[0]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    scan = probe()[0]
+    rows = [
+        ("footer", *footer),
+        ("scan", *scan),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "via string, n_orders bigint, min_price double, "
+        "max_price double, min_key bigint, max_key bigint",
+    ).orderBy("via")

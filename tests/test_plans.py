@@ -1373,3 +1373,52 @@ def test_q118_udtf_generator_node_and_pushdown(spark, sf_dir):
     assert any("o_orderdate" in ln for ln in pushed), (
         "date filter must be pushed to the orders scan under the UDTF"
     )
+
+
+def test_q124_aggregate_pushes_into_v2_scan(spark, sf_dir):
+    """With the DS v2 parquet path + aggregatePushdown armed, an
+    ungrouped MIN/MAX/COUNT must compile into the scan
+    (PushedAggregation on the BatchScan — answered from row-group
+    footers, zero data pages); on the production v1 path the same
+    plan keeps a real aggregate over a FileScan. DataFrames rebuilt
+    per conf (Datasets cache their QueryExecution)."""
+    path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+
+    def plan():
+        # the lane's exact aggregate list: ALL five must push, or the
+        # all-or-nothing rule reverts the whole probe to a scan
+        return (
+            spark.read.parquet(path)
+            .selectExpr(
+                "count(*) AS n",
+                "min(o_totalprice) AS lo",
+                "max(o_totalprice) AS hi",
+                "min(o_orderkey) AS klo",
+                "max(o_orderkey) AS khi",
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pushed = plan()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    naive = plan()
+    assert "PushedAggregation" in pushed and "BatchScan" in pushed
+    pushed_line = next(
+        ln for ln in pushed.splitlines() if "PushedAggregation" in ln
+    )
+    for frag in ("COUNT(*)", "MIN(o_totalprice)", "MAX(o_totalprice)",
+                 "MIN(o_orderkey)", "MAX(o_orderkey)"):
+        assert frag in pushed_line, f"{frag} missing from pushed list"
+    assert "PushedAggregation" not in naive
