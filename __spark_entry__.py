@@ -46,6 +46,10 @@ _NEEDS_DRIVER_ROW = [
     "q123_modern_sql",
     # round-8 addition: parquet footer-stats aggregate pushdown lane
     "q124_agg_pushdown",
+    # round-8 addition: k-anonymity suppression release lane
+    "p23_k_anonymity",
+    # round-8 addition: GROUP BY partition-column pushdown lane
+    "q125_groupby_pushdown",
     # round-8 change: q115's reader now localCheckpoints the split
     # (cache-lifetime-independent plan) — fresh row re-proves it
     "q115_quarantine_ingest",

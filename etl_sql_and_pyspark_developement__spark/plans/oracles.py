@@ -7051,3 +7051,49 @@ UNION ALL
 SELECT 'scan' AS via, * FROM t
 ORDER BY via
 """
+
+# p23: suppression is a pure predicate on the cell count (k = 5);
+# suppressed cells merge into one '__redacted__' bucket so totals
+# stay auditable.
+ORACLES["p23_k_anonymity"] = """
+WITH cells AS (
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang, source
+),
+keyed AS (
+    SELECT CASE WHEN n >= 5 THEN lang ELSE '__redacted__' END AS lang,
+           CASE WHEN n >= 5 THEN source ELSE '__redacted__' END AS source,
+           n, chars,
+           CASE WHEN n < 5 THEN 1 ELSE 0 END AS supp
+    FROM cells
+),
+tot AS (
+    SELECT CAST(sum(supp) AS BIGINT) AS n_suppressed_cells FROM keyed
+)
+SELECT k.lang, k.source,
+       CAST(sum(k.n) AS BIGINT) AS n_docs,
+       CAST(sum(k.chars) AS BIGINT) AS n_chars,
+       CAST(sum(k.supp) AS BIGINT) AS cells_merged,
+       t.n_suppressed_cells
+FROM keyed k CROSS JOIN tot t
+GROUP BY k.lang, k.source, t.n_suppressed_cells
+ORDER BY k.lang, k.source
+"""
+
+# q125: per-partition footer counts are exact; both rows equal the
+# plain per-day counts of the flat events truth.
+ORACLES["q125_groupby_pushdown"] = """
+WITH t AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+)
+SELECT 'footer' AS via, * FROM t
+UNION ALL
+SELECT 'scan' AS via, * FROM t
+ORDER BY via, event_day
+"""

@@ -9236,3 +9236,112 @@ def q124_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "via string, n_orders bigint, min_price double, "
         "max_price double, min_key bigint, max_key bigint",
     ).orderBy("via")
+
+
+@query("p23_k_anonymity")
+def p23_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY SUPPRESSION release — the third privacy tier
+    beside t09's PII scrubbing (value level) and p19's noisy counts
+    (aggregate level): before publishing a per-(lang, source) slice
+    of the corpus card, every quasi-identifier cell with fewer than
+    k=5 members is SUPPRESSED — its rows re-keyed to a single
+    '__redacted__' bucket rather than dropped, so the release still
+    adds up to the corpus total (an auditor can verify nothing was
+    silently discarded) while no published cell isolates fewer than
+    k individuals. The suppressed-cell count rides every row — the
+    release's own health metric.
+
+    Two decomposable aggregations over one scan (cell counts, then
+    the redacted rollup) — no windows, no joins; at 100 TB this is
+    two cheap shuffles on low-cardinality quasi-identifier keys.
+    The oracle replays suppression exactly (the rule is a pure
+    predicate on the cell count).
+
+    Reference parity: SQL/Multi-Profile Family Usage Patterns.txt
+    publishes per-household slices — exactly the release shape that
+    needs a k floor before it leaves the warehouse.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(n_chars) AS BIGINT)").alias("chars"),
+    )
+    k = 5
+    keyed = cells.select(
+        F.when(F.col("n") >= k, F.col("lang"))
+        .otherwise(F.lit("__redacted__"))
+        .alias("lang"),
+        F.when(F.col("n") >= k, F.col("source"))
+        .otherwise(F.lit("__redacted__"))
+        .alias("source"),
+        "n",
+        "chars",
+        F.when(F.col("n") < k, 1).otherwise(0).alias("supp"),
+    )
+    released = keyed.groupBy("lang", "source").agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(sum(chars) AS BIGINT)").alias("n_chars"),
+        F.expr("CAST(sum(supp) AS BIGINT)").alias("cells_merged"),
+    )
+    total_supp = keyed.agg(
+        F.expr("CAST(sum(supp) AS BIGINT)").alias("n_suppressed_cells")
+    )
+    return (
+        released.crossJoin(F.broadcast(total_supp))
+        .orderBy("lang", "source")
+    )
+
+
+@query("q125_groupby_pushdown")
+def q125_groupby_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-BY-PARTITION-COLUMN AGGREGATE PUSHDOWN — q124's second
+    half: over the Hive-partitioned events artifact (q97's fixture),
+    `GROUP BY event_day` with count(*) compiles ENTIRELY into the
+    DS v2 scan (`PushedGroupBy` + `PushedAggregation` on the
+    BatchScan) — per-partition counts come from each directory's
+    row-group footers, zero data pages decoded. At 100 TB this is the
+    "rows per day for the last 3 years" panel query answered from
+    metadata in seconds — the one every ingest dashboard refreshes
+    on a timer against the biggest table in the lake.
+
+    Same discipline as q124: the per-day counts are computed
+    footer-only (conf-scoped, eagerly materialized — planning is
+    lazy) AND through the production scan path, both returned, so
+    footer==scan is value-verified per day. Boundary: group-by
+    pushdown works for PARTITION columns only — a data-column
+    group-by keeps its scan, which is exactly why the lake lays the
+    table out by day in the first place.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        partitioned_events_path,
+    )
+
+    path, schema = partitioned_events_path(spark, sf_dir)
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+
+    def probe() -> list:
+        return (
+            spark.read.schema(schema)
+            .parquet(path)
+            .groupBy("event_day")
+            .agg(F.expr("count(*)").alias("n_events"))
+            .collect()
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        footer = probe()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    scan = probe()
+    rows = [("footer", r["event_day"], r["n_events"]) for r in footer]
+    rows += [("scan", r["event_day"], r["n_events"]) for r in scan]
+    return spark.createDataFrame(
+        rows, "via string, event_day string, n_events bigint"
+    ).orderBy("via", "event_day")

@@ -336,6 +336,28 @@ def _atomic_dir_commit(root: str, dest: str, write_to) -> None:
             raise
 
 
+def _artifact_dest(
+    name: str, src_path: str, params: str, artifact_dir: str | None
+) -> str:
+    """The artifact directory _staged_artifact commits `name` to —
+    one key recipe, shared with callers that must re-open a committed
+    artifact through a different reader (partitioned_events_path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(src_path)
+    key = hashlib.sha1(
+        f"{os.path.realpath(src_path)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{params}".encode()
+    ).hexdigest()[:16]
+    root = artifact_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+    )
+    return os.path.join(root, f"{name}_{key}")
+
+
 def _staged_artifact(
     spark: SparkSession,
     name: str,
@@ -359,24 +381,15 @@ def _staged_artifact(
     At 100 TB this is a lake table keyed by corpus snapshot id; here
     the same contract over a local artifact directory (override via
     $SPARK_GRAFT_ARTIFACT_DIR)."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
-    st = os.stat(src_path)
-    key = hashlib.sha1(
-        f"{os.path.realpath(src_path)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{params}".encode()
-    ).hexdigest()[:16]
-    root = artifact_dir or os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
-    )
-    dest = os.path.join(root, f"{name}_{key}")
+    dest = _artifact_dest(name, src_path, params, artifact_dir)
+    root = os.path.dirname(dest)
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         os.makedirs(root, exist_ok=True)
-        tmp = os.path.join(root, f".{name}_{key}.tmp.{os.getpid()}")
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        tmp = os.path.join(root, f".{os.path.basename(tmp)}")
         writer = build(spark).write.mode("overwrite")
         if partition_by:
             # Hive-style layout (col=value dirs) so readers get
@@ -517,6 +530,33 @@ def partitioned_events_artifact(
         artifact_dir=artifact_dir,
         partition_by=["event_day"],
         read_schema=schema,
+    )
+
+
+def partitioned_events_path(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> tuple[str, "StructType"]:
+    """(path, read schema) of the committed day-partitioned events
+    artifact — for callers that must re-open it through a DIFFERENT
+    reader than the artifact helper's default (q125 reads it through
+    the DS v2 path to exercise GROUP-BY-partition-column pushdown).
+    Ensures the artifact exists first; the destination comes from
+    the same key recipe _staged_artifact commits with
+    (_artifact_dest)."""
+    import os
+
+    from pyspark.sql.types import StringType
+
+    partitioned_events_artifact(spark, sf_dir, artifact_dir=artifact_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema.add("event_day", StringType())
+    return (
+        _artifact_dest(
+            "events_by_day", src, "v=1|layout=hive-day", artifact_dir
+        ),
+        schema,
     )
 
 

@@ -1422,3 +1422,50 @@ def test_q124_aggregate_pushes_into_v2_scan(spark, sf_dir):
                  "MIN(o_orderkey)", "MAX(o_orderkey)"):
         assert frag in pushed_line, f"{frag} missing from pushed list"
     assert "PushedAggregation" not in naive
+
+
+def test_q125_groupby_partition_col_pushes_into_scan(spark, sf_dir):
+    """GROUP BY a PARTITION column + count(*) must compile entirely
+    into the v2 scan (PushedGroupBy AND PushedAggregation) — per-day
+    counts from directory footers, zero data pages. A DATA-column
+    group-by under the same confs must NOT push (the boundary that
+    motivates day-partitioned layout)."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        partitioned_events_path,
+    )
+
+    path, schema = partitioned_events_path(spark, sf_dir)
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+
+    def plan(col):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.schema(schema)
+            .parquet(path)
+            .groupBy(col)
+            .agg(F.expr("count(*)").alias("n"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        part_col = plan("event_day")
+        data_col = plan("event_type")
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # the scan prints the keys even when nothing pushed — assert on
+    # CONTENTS: the partition-col plan carries the day key + COUNT(*),
+    # the data-col plan's lists are empty
+    assert "PushedGroupBy: [event_day]" in part_col
+    assert "PushedAggregation: [COUNT(*)]" in part_col
+    assert "PushedGroupBy: []" in data_col
+    assert "PushedAggregation: []" in data_col

@@ -484,3 +484,40 @@ def test_leakage_safe_split_planted_pairs_never_cross(spark):
     for i in (train_ids[1], train_ids[2]):
         assert out[i].component == i
         assert out[i].split == out[i].split_naive
+
+
+def test_p23_k_anonymity_floor_and_conservation(spark, sf_dir):
+    """The release invariants: (1) CONSERVATION — released doc/char
+    totals equal the corpus exactly (suppression re-keys, never
+    drops); (2) K-FLOOR — every published non-redacted cell carries
+    >= k members; (3) the redacted bucket exists iff small cells
+    exist, and merges exactly the small-cell counts."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.plans.queries import QUERIES
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    k = 5
+    rel = QUERIES["p23_k_anonymity"](spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    chars_total = docs.agg(F.expr("CAST(sum(n_chars) AS BIGINT)")).collect()[0][0]
+    assert sum(r.n_docs for r in rel) == n_total
+    assert sum(r.n_chars for r in rel) == chars_total
+    small = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+        .collect()
+    )
+    red = [r for r in rel if r.lang == "__redacted__"]
+    for r in rel:
+        if r.lang != "__redacted__":
+            assert r.n_docs >= k and r.cells_merged == 0
+        assert r.n_suppressed_cells == len(small)
+    if small:
+        assert len(red) == 1
+        assert red[0].n_docs == sum(s.n for s in small)
+        assert red[0].cells_merged == len(small)
+    else:
+        assert not red
