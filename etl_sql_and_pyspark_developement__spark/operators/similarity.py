@@ -1383,20 +1383,28 @@ def vector_features_arrow(
             # Segment sums as prefix-sum differences: exact for ANY
             # offsets pattern (empty lists anywhere, including the
             # batch tail) — np.add.reduceat mishandles both a trailing
-            # offset == len(arr) and repeated offsets. Overflow bound:
-            # the running cumsum of squares reaches
-            # micro.size * max(|micro|)^2; |micro| <= 1e6 for unit-
-            # scale embeddings, and Arrow batches are ~10k rows
-            # (maxRecordsPerBatch), so the peak is ~6e17 << 2^63. The
-            # guard trips before silent wraparound if someone feeds
-            # this kernel giant batches of large-magnitude vectors.
-            sq = micro * micro
-            if micro.size and micro.size * int(sq.max()) >= (1 << 62):
+            # offset == len(arr) and repeated offsets. Overflow guard,
+            # in two tiers BEFORE any int64 squaring (squaring first
+            # can wrap and make the check pass on garbage):
+            # 1. per-element: |micro| must square inside int64;
+            # 2. whole-batch: the cumsum-of-squares peak is the plain
+            #    sum of squares (all terms >= 0), measured exactly
+            #    enough via a float64 dot (rel. error ~1e-16 against a
+            #    2x headroom limit of 2^62) — a worst-case
+            #    size*max^2 bound would spuriously reject legitimate
+            #    high-dim unit-NORM batches whose true sum is ~1e12
+            #    per vector, not per element.
+            m = int(np.abs(micro).max()) if micro.size else 0
+            mf = micro.astype(np.float64)
+            if m > 3_000_000_000 or (
+                micro.size and float(np.dot(mf, mf)) >= float(1 << 62)
+            ):
                 raise OverflowError(
-                    "vector_features_arrow: batch cumsum would "
-                    "approach int64 range; reduce the Arrow batch "
-                    "size or rescale the vectors"
+                    "vector_features_arrow: squared micro-units would "
+                    "approach int64 range; rescale the vectors or "
+                    "reduce the Arrow batch size"
                 )
+            sq = micro * micro
             cs = np.concatenate(([0], np.cumsum(micro)))
             cs2 = np.concatenate(([0], np.cumsum(sq)))
             sum_micro = cs[offsets[1:]] - cs[offsets[:-1]]

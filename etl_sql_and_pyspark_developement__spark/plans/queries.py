@@ -9194,12 +9194,11 @@ def q124_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     these freshness/extent probes before the real query (pyspark/*
     scripts' head-of-file sanity counts).
     """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        v2_parquet_pushdown,
+    )
+
     path = f"{sf_dir.rstrip('/')}/orders.parquet"
-    confs = {
-        "spark.sql.parquet.aggregatePushdown": "true",
-        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
-    }
-    old = {k: spark.conf.get(k) for k in confs}
 
     def probe() -> list:
         # count(*) (not count(1): only the star form translates to
@@ -9219,13 +9218,8 @@ def q124_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+    with v2_parquet_pushdown(spark):
         footer = probe()[0]
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     scan = probe()[0]
     rows = [
         ("footer", *footer),
@@ -9314,14 +9308,10 @@ def q125_groupby_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_sql_and_pyspark_developement__spark.sources.io import (
         partitioned_events_path,
+        v2_parquet_pushdown,
     )
 
     path, schema = partitioned_events_path(spark, sf_dir)
-    confs = {
-        "spark.sql.parquet.aggregatePushdown": "true",
-        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
-    }
-    old = {k: spark.conf.get(k) for k in confs}
 
     def probe() -> list:
         return (
@@ -9332,13 +9322,8 @@ def q125_groupby_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+    with v2_parquet_pushdown(spark):
         footer = probe()
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     scan = probe()
     rows = [("footer", r["event_day"], r["n_events"]) for r in footer]
     rows += [("scan", r["event_day"], r["n_events"]) for r in scan]

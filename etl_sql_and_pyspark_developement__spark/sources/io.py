@@ -302,6 +302,69 @@ def read_jsonl_quarantine(
 
 _KNN_ARTIFACT_VERSION = 1  # bump when knn_graph semantics change
 _JSON_DOCS_ARTIFACT_VERSION = 1  # bump when the q69 doc format changes
+# one definition for the q97/q125 day-partitioned artifact identity —
+# partitioned_events_artifact and partitioned_events_path must resolve
+# the SAME committed directory or q125 reads stale/missing data
+_EVENTS_BY_DAY_NAME = "events_by_day"
+_EVENTS_BY_DAY_PARAMS = "v=1|layout=hive-day"
+
+
+def v2_parquet_pushdown(spark: SparkSession):
+    """Context manager scoping the DS v2 parquet read path with
+    aggregate pushdown armed (q124/q125 and their plan tests — ONE
+    definition of the conf set, so lane and test cannot drift).
+    Restores the prior values on exit; remember planning is LAZY —
+    materialize inside the `with`, not after (q113's lesson)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        confs = {
+            "spark.sql.parquet.aggregatePushdown": "true",
+            "spark.sql.sources.useV1SourceList":
+                "avro,csv,json,kafka,orc,text",
+        }
+        old = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            yield
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+    return _scope()
+
+
+def _clear_torn_dest(dest: str) -> None:
+    """Clear a destination left half-written by a PRE-atomic writer
+    (dir exists, no _SUCCESS) so a rename-commit can land — without
+    the delete-the-winner race a bare rmtree has: the dir is renamed
+    ASIDE first (atomic — either we got it or a concurrent committer
+    just replaced it), then inspected: a complete artifact that raced
+    in is put back; genuine garbage is deleted."""
+    import os
+    import shutil
+
+    if not os.path.isdir(dest) or os.path.exists(
+        os.path.join(dest, "_SUCCESS")
+    ):
+        return
+    trash = f"{dest}.torn.{os.getpid()}"
+    try:
+        os.rename(dest, trash)
+    except OSError:
+        return  # a concurrent builder already replaced/removed it
+    if os.path.exists(os.path.join(trash, "_SUCCESS")):
+        # raced a winner's commit between check and rename: restore
+        try:
+            os.rename(trash, dest)
+        except OSError:
+            # another complete copy landed at dest meanwhile — this
+            # one is redundant
+            shutil.rmtree(trash, ignore_errors=True)
+    else:
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def _atomic_dir_commit(root: str, dest: str, write_to) -> None:
@@ -318,9 +381,9 @@ def _atomic_dir_commit(root: str, dest: str, write_to) -> None:
     os.makedirs(root, exist_ok=True)
     # dest existing WITHOUT _SUCCESS is pre-atomic/torn garbage (the
     # atomic path only ever publishes complete dirs via rename) — a
-    # rename onto it would fail ENOTEMPTY forever; clear it first
-    if os.path.isdir(dest):
-        shutil.rmtree(dest, ignore_errors=True)
+    # rename onto it would fail ENOTEMPTY forever; clear it (race-
+    # safely: a concurrently committed winner is restored, not razed)
+    _clear_torn_dest(dest)
     tmp = f"{dest}.tmp.{os.getpid()}"
     write_to(tmp)
     if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
@@ -388,6 +451,9 @@ def _staged_artifact(
     root = os.path.dirname(dest)
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         os.makedirs(root, exist_ok=True)
+        # same torn-dest healing as _atomic_dir_commit: a pre-atomic
+        # crash must not wedge every future rename with ENOTEMPTY
+        _clear_torn_dest(dest)
         tmp = f"{dest}.tmp.{os.getpid()}"
         tmp = os.path.join(root, f".{os.path.basename(tmp)}")
         writer = build(spark).write.mode("overwrite")
@@ -523,9 +589,9 @@ def partitioned_events_artifact(
     schema = spark.read.parquet(src).schema.add("event_day", StringType())
     return _staged_artifact(
         spark,
-        "events_by_day",
+        _EVENTS_BY_DAY_NAME,
         src,
-        "v=1|layout=hive-day",
+        _EVENTS_BY_DAY_PARAMS,
         build,
         artifact_dir=artifact_dir,
         partition_by=["event_day"],
@@ -554,7 +620,7 @@ def partitioned_events_path(
     schema = spark.read.parquet(src).schema.add("event_day", StringType())
     return (
         _artifact_dest(
-            "events_by_day", src, "v=1|layout=hive-day", artifact_dir
+            _EVENTS_BY_DAY_NAME, src, _EVENTS_BY_DAY_PARAMS, artifact_dir
         ),
         schema,
     )

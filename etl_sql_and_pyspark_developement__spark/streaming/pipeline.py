@@ -173,15 +173,17 @@ def sink_foreach_batch_parquet(stream_df: DataFrame, out_dir: str):
     return stream_df.writeStream.foreachBatch(write_batch)
 
 
-def stream_stream_attribution(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
-    """st06: stream-stream interval join — each purchase joins the
-    view by the same user within the preceding hour (the streaming
-    twin of the q25 as-of attribution).
-
-    Both sides carry watermarks so Spark can bound the join state; the
-    interval condition (view_ts in [purchase_ts - 1h, purchase_ts])
-    tells the engine exactly when buffered rows expire.
-    """
+def _attribution_interval_join(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    how: str,
+    include_view_id: bool,
+) -> DataFrame:
+    """The ONE definition of the purchase<-view interval join st06 /
+    st38 / st42 share (keys, 1h interval, 2h watermarks) — the three
+    lanes differ only in join type and whether view identity columns
+    ride the output, so a change to the attribution semantics lands
+    in all three or none."""
     purchases = (
         events_a.filter(F.col("event_type") == "purchase")
         .select(
@@ -194,18 +196,37 @@ def stream_stream_attribution(events_a: DataFrame, events_b: DataFrame) -> DataF
     views = (
         events_b.filter(F.col("event_type") == "view")
         .select(
+            F.col("event_id").alias("view_id"),
             F.col("user_id").alias("v_user_id"),
             F.col("ts").alias("view_ts"),
         )
         .withWatermark("view_ts", "2 hours")
     )
-    return purchases.join(
+    joined = purchases.join(
         views,
         (F.col("user_id") == F.col("v_user_id"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
-        "inner",
-    ).select("purchase_id", "user_id", "purchase_ts", "view_ts")
+        how,
+    )
+    cols = ["purchase_id", "user_id", "purchase_ts"]
+    if include_view_id:
+        cols += ["view_id", "v_user_id"]
+    return joined.select(*cols, "view_ts")
+
+
+def stream_stream_attribution(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """st06: stream-stream interval join — each purchase joins the
+    view by the same user within the preceding hour (the streaming
+    twin of the q25 as-of attribution).
+
+    Both sides carry watermarks so Spark can bound the join state; the
+    interval condition (view_ts in [purchase_ts - 1h, purchase_ts])
+    tells the engine exactly when buffered rows expire.
+    """
+    return _attribution_interval_join(
+        events_a, events_b, "inner", include_view_id=False
+    )
 
 
 def stream_ingest_dedup(doc_stream: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -977,30 +998,9 @@ def stream_stream_attribution_outer(
     sentinel advances, because outer results release on the trigger
     AFTER the watermark moves).
     """
-    purchases = (
-        events_a.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
+    return _attribution_interval_join(
+        events_a, events_b, "leftOuter", include_view_id=False
     )
-    views = (
-        events_b.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "2 hours")
-    )
-    return purchases.join(
-        views,
-        (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("view_ts") <= F.col("purchase_ts"))
-        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    ).select("purchase_id", "user_id", "purchase_ts", "view_ts")
 
 
 def stream_attribution_daily_rollup(
@@ -1067,31 +1067,6 @@ def stream_stream_attribution_full(
     never-purchased view and drives both complements out with st38's
     sentinel double-pump.
     """
-    purchases = (
-        events_a.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    views = (
-        events_b.filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "2 hours")
-    )
-    return purchases.join(
-        views,
-        (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("view_ts") <= F.col("purchase_ts"))
-        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
-        "fullOuter",
-    ).select(
-        "purchase_id", "user_id", "purchase_ts",
-        "view_id", "v_user_id", "view_ts",
+    return _attribution_interval_join(
+        events_a, events_b, "fullOuter", include_view_id=True
     )

@@ -1382,12 +1382,11 @@ def test_q124_aggregate_pushes_into_v2_scan(spark, sf_dir):
     footers, zero data pages); on the production v1 path the same
     plan keeps a real aggregate over a FileScan. DataFrames rebuilt
     per conf (Datasets cache their QueryExecution)."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        v2_parquet_pushdown,
+    )
+
     path = f"{sf_dir.rstrip('/')}/orders.parquet"
-    confs = {
-        "spark.sql.parquet.aggregatePushdown": "true",
-        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
-    }
-    old = {k: spark.conf.get(k) for k in confs}
 
     def plan():
         # the lane's exact aggregate list: ALL five must push, or the
@@ -1406,13 +1405,8 @@ def test_q124_aggregate_pushes_into_v2_scan(spark, sf_dir):
             .toString()
         )
 
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+    with v2_parquet_pushdown(spark):
         pushed = plan()
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     naive = plan()
     assert "PushedAggregation" in pushed and "BatchScan" in pushed
     pushed_line = next(
@@ -1432,14 +1426,10 @@ def test_q125_groupby_partition_col_pushes_into_scan(spark, sf_dir):
     motivates day-partitioned layout)."""
     from etl_sql_and_pyspark_developement__spark.sources.io import (
         partitioned_events_path,
+        v2_parquet_pushdown,
     )
 
     path, schema = partitioned_events_path(spark, sf_dir)
-    confs = {
-        "spark.sql.parquet.aggregatePushdown": "true",
-        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
-    }
-    old = {k: spark.conf.get(k) for k in confs}
 
     def plan(col):
         from pyspark.sql import functions as F
@@ -1454,14 +1444,9 @@ def test_q125_groupby_partition_col_pushes_into_scan(spark, sf_dir):
             .toString()
         )
 
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+    with v2_parquet_pushdown(spark):
         part_col = plan("event_day")
         data_col = plan("event_type")
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     # the scan prints the keys even when nothing pushed — assert on
     # CONTENTS: the partition-col plan carries the day key + COUNT(*),
     # the data-col plan's lists are empty
