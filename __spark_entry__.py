@@ -28,70 +28,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # added after the r03 driver snapshot, plus anything round 4
 # touches (appended as it changes).
 _NEEDS_DRIVER_ROW = [
-    # round-8 addition: Python UDTF + LATERAL correlation lane
-    "q118_udtf_lateral",
-    # round-8 addition: CBO join-reorder lane (3-table star, stats-
-    # driven rotation; values join-order-invariant)
-    "q119_cbo_join_reorder",
-    # round-8 addition: SQL scripting (BEGIN/DECLARE/WHILE/IF) lane
+    # round-9 addition: AQE partition-coalescing lane (third AQE
+    # lever after q101 skew-split and q104 DPP)
+    "q126_aqe_coalesce",
+    # round-9 addition: priced Arrow scalar UDF exhibit (in-row
+    # UDF==expression equality; the 4.5x cost recorded in PLANS.md)
+    "q127_arrow_scalar_udf",
+    # round-9 addition: retention/TTL partition-delete maintenance
+    # lane (atomic sweep, survivors value-verified)
+    "q128_retention_delete",
+    # round-9 change: q120's final rollup now filters on thr/2 (the
+    # last threshold keeping >= 1000 orders) so the output is
+    # non-empty and the converged threshold/tier are GENUINELY
+    # value-compared (ADVICE r8: the empty-vs-empty hash match was
+    # vacuous) — operator AND oracle moved together
     "q120_sql_scripting",
-    # round-8 addition: approx_top_k heavy-hitters sketch lane
-    "q121_approx_top_k",
-    # round-8 addition: native XML source interop lane
-    "q122_xml_interop",
-    # round-8 addition: mapInArrow integer-moments kernel lane
+    # round-9 change: vector_features_arrow now fails loudly on NULL
+    # list slots / elements — fresh row re-proves the kernel
     "s11_arrow_vector_features",
-    # round-8 addition: modern-SQL ergonomics lane (params/IDENTIFIER/
-    # listagg/lateral alias/try_cast)
-    "q123_modern_sql",
-    # round-8 addition: parquet footer-stats aggregate pushdown lane
-    "q124_agg_pushdown",
-    # round-8 addition: k-anonymity suppression release lane
-    "p23_k_anonymity",
-    # round-8 addition: GROUP BY partition-column pushdown lane
-    "q125_groupby_pushdown",
-    # round-8 change: q115's reader now localCheckpoints the split
-    # (cache-lifetime-independent plan) — fresh row re-proves it
-    "q115_quarantine_ingest",
-    # round-7 change: BPE re-segmentation rebuilt on both-delimited
-    # symbol strings + two-pass replace (end delimiter kills the
-    # prefix-extension false merge; pass 2 catches consecutive runs)
-    # — operator AND oracle moved together, so fresh rows are needed
-    "t23_bpe_train_iterations", "t24_bpe_compression",
-    # round-7 change: q89's window denominator now DECIMAL(38,0)
-    # (the nation-total sum itself passes 2^63 at big SF)
-    "q89_hhi_concentration",
-    # round-7 additions: explicit salted-join lane and the native
-    # batch session_window twin of q03
-    "q107_salted_join", "q109_session_window",
-    # round-7 addition: ANALYZE TABLE + CBO stats-driven planning lane
-    "q106_cbo_stats_join",
-    # round-7 addition: zone-map / row-group skipping measurement lane
-    "q108_rowgroup_skipping",
-    # round-7 additions: runtime bloom-filter join lane, WindowGroupLimit
-    # rank-pushdown lane, exchange-reuse self-join lane
-    "q110_bloom_filter_join", "q111_window_group_limit",
-    "q112_exchange_reuse",
-    # round-7 addition: leakage-free held-out bigram-LM evaluation
-    "t25_heldout_perplexity",
-    # round-7 addition: Python Data Source filter pushdown lane
-    "q113_python_ds_pushdown",
-    # round-7 addition: SQL INSERT OVERWRITE dynamic-partition refresh
+    # round-9 change: analyzed_part_table / analyzed_star_tables grew
+    # a self-healing metadata-only stats check (crash between
+    # saveAsTable and ANALYZE no longer wedges a stats-less table)
+    # and moved onto the shared _artifact_dest key recipe — fresh
+    # rows re-prove both CBO lanes end-to-end
+    "q106_cbo_stats_join", "q119_cbo_join_reorder",
+    # round-9 change: xml_orders_fixture re-keyed onto _artifact_dest
+    # (artifact rebuilds under the new key)
+    "q122_xml_interop",
+    # round-9 change: maintained_daily_table now derives its CREATE
+    # TABLE DDL from rollup.schema instead of hardcoding it
     "q114_insert_overwrite_dynamic",
-    # round-7 addition: LSH banding parameter sweep (r x b S-curve)
-    "d23_lsh_band_sweep",
-    # round-7 addition: ORC format interop lane
-    "q116_orc_interop",
-    # round-7 addition: composed IVF-PQ ANN (FAISS IVFPQ shape)
-    "s10_ivf_pq_ann",
-    # round-7 addition: leakage-safe (near-dup-grouped) train/test split
-    "p22_leakage_safe_split",
-    # round-7 addition: small-file compaction maintenance lane
-    "q117_compaction_maintenance",
-    # round-7 change: q105's sizing count is now cached per source
-    # identity (one less driver job per pass) — body changed, so a
-    # fresh driver row re-proves it
-    "q105_python_datasource",
 ]
 
 

@@ -1,0 +1,40 @@
+"""Arrow-vectorized scalar pandas UDFs — the PRICED Python scalar
+boundary (q127's exhibit).
+
+This module deliberately has NO ``from __future__ import annotations``:
+pandas_udf resolves the function's type hints to pick the Arrow
+serializer, and stringified annotations (what the future import turns
+every hint into, module-wide) fail its signature check with
+UNSUPPORTED_SIGNATURE. Keeping the UDF definitions here — the same
+worker-import discipline as functions/udtfs.py and sources/pyds.py —
+also lets Spark's Python workers re-import them by module name.
+
+Policy context: row-at-a-time Python UDFs are banned from hot paths in
+this repo; the Arrow scalar UDF is the acceptable middle rung of the
+Python ladder (row UDF << pandas UDF < mapInArrow), and q127 measures
+what even that rung costs against the builtin-expression twin.
+"""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+# LongType(), not the DDL string "bigint": a string return type is
+# parsed through the ACTIVE SparkContext at decoration time, which
+# would make this module unimportable without a live session (and
+# module import is exactly what a Python worker does on a
+# pickle-by-reference path).
+@F.pandas_udf(LongType())
+def quality_score_udf(s: pd.Series) -> pd.Series:
+    """Deterministic integer quality micro-score per document:
+    1000*n_chars + 7*n_spaces + 3*n_digits. Vectorized pandas str
+    kernels across the whole Arrow batch — zero per-row Python.
+    Integer outputs make the DuckDB oracle exact (no float
+    tolerance); the builtin-expression twin in q127 computes the
+    same closed form via length/translate/regexp_replace."""
+    n = s.str.len().astype("int64")
+    ws = s.str.count(" ").astype("int64")
+    dg = s.str.count(r"[0-9]").astype("int64")
+    return 1000 * n + 7 * ws + 3 * dg

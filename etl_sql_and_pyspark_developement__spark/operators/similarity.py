@@ -1374,6 +1374,18 @@ def vector_features_arrow(
                     ),
                     vecs.flatten(),
                 )
+            # NULL list slots / NULL elements have no integer-exact
+            # meaning here (a null list would silently become an
+            # (n_dims=0, 0, 0) row, a null element a NaN whose
+            # floor().astype(int64) is undefined garbage that can slip
+            # past the overflow guard) — fail loudly instead of
+            # emitting wrong values.
+            if vecs.null_count or vecs.values.null_count:
+                raise ValueError(
+                    "vector_features_arrow: NULL embeddings / NULL "
+                    "vector elements are not supported; filter or "
+                    "impute them before the kernel"
+                )
             flat = vecs.values.to_numpy(zero_copy_only=False).astype(
                 np.float64
             )

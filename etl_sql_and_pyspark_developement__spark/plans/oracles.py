@@ -6941,7 +6941,10 @@ ORDER BY nationkey
 """
 
 # q120: the script's doubling WHILE search has the closed form
-# thr = 100 * 2^(min k with count(o_totalprice > 100*2^k) < 1000).
+# thr = 100 * 2^(min k with count(o_totalprice > 100*2^k) < 1000);
+# the final rollup filters on thr/2 (last threshold keeping >= 1000
+# orders) so the output is guaranteed non-empty and the converged
+# threshold/tier are genuinely value-compared.
 ORACLES["q120_sql_scripting"] = """
 WITH counts AS (
     SELECT k,
@@ -6960,7 +6963,7 @@ SELECT o.o_orderpriority,
        CAST(round(p.thr, 2) AS DOUBLE) AS threshold,
        CASE WHEN p.thr >= 102400.0 THEN 'high' ELSE 'low' END AS tier
 FROM orders o CROSS JOIN pick p
-WHERE o.o_totalprice > p.thr
+WHERE o.o_totalprice > p.thr / 2
 GROUP BY o.o_orderpriority, p.thr
 ORDER BY o_orderpriority
 """
@@ -7096,4 +7099,72 @@ SELECT 'footer' AS via, * FROM t
 UNION ALL
 SELECT 'scan' AS via, * FROM t
 ORDER BY via, event_day
+"""
+
+# q126: AQE coalescing changes the PLAN, never the result — the
+# oracle is the plain two-level per-user rollup.
+ORACLES["q126_aqe_coalesce"] = """
+WITH per_user AS (
+    SELECT event_type, user_id, count(*) AS n
+    FROM events
+    GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_per_user
+FROM per_user
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# q127: the UDF and the expression twin compute the same integer
+# score, so the oracle emits the one closed form for BOTH sum columns
+# (the in-row equality is the lane's own subject matter).
+ORACLES["q127_arrow_scalar_udf"] = """
+WITH scored AS (
+    SELECT lang,
+           1000 * length(text)
+           + 7 * (length(text) - length(replace(text, ' ', '')))
+           + 3 * (length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g')))
+               AS score
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS sum_score_udf,
+       CAST(sum(score) AS BIGINT) AS sum_score_expr
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+# q128: the sweep's cutoff is data-derived (max day - 13), so the
+# oracle replays membership from the flat events truth — survivors
+# only, boundary value-verified.
+ORACLES["q128_retention_delete"] = """
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+),
+cut AS (
+    SELECT strftime(max(CAST(ts AS DATE)) - INTERVAL 13 DAY,
+                    '%Y-%m-%d') AS cutoff
+    FROM events
+)
+SELECT d.day,
+       CAST(sum(d.n_events) AS BIGINT) AS n_events,
+       CAST(sum(d.cents) AS BIGINT) AS cents,
+       CAST(count(DISTINCT d.event_type) AS BIGINT) AS n_types,
+       c.cutoff
+FROM daily d CROSS JOIN cut c
+WHERE d.day >= c.cutoff
+GROUP BY d.day, c.cutoff
+ORDER BY d.day
 """

@@ -8923,8 +8923,11 @@ def q120_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     script DECLAREs a threshold, WHILE-loops a doubling search until
     fewer than 1000 orders exceed it (the loop condition is a scalar
     subquery re-evaluated per iteration), IF-classifies the resulting
-    tier, and returns the rollup of the surviving orders with the
-    converged threshold riding every row. The search is a pure
+    tier, and returns the rollup of the orders above thr/2 — the last
+    threshold that kept >= 1000 orders, so the output is non-empty by
+    construction — with the converged threshold riding every row (an
+    empty result would make the value comparison vacuous). The search
+    is a pure
     function of the data (start 100, x2 steps, data-derived stop), so
     the DuckDB oracle replays it SET-BASED: min k in 0..60 with
     count(o_totalprice > 100*2^k) < 1000 — the script's iterative
@@ -8958,6 +8961,13 @@ def q120_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           IF thr >= 102400.0 THEN
             SET tier = 'high';
           END IF;
+          -- filter on thr/2 (the LAST threshold that kept >= 1000
+          -- orders), not thr: thr itself overshoots by construction,
+          -- which left this SELECT empty at every tested scale — and
+          -- an empty frame hash-matches an empty oracle no matter
+          -- what threshold the loop converged to. thr/2 guarantees
+          -- >= 1000 surviving rows, so the converged threshold and
+          -- tier riding every row are ACTUALLY value-compared.
           SELECT o_orderpriority,
                  CAST(count(*) AS BIGINT) AS n_orders,
                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
@@ -8965,7 +8975,7 @@ def q120_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(round(thr, 2) AS DOUBLE) AS threshold,
                  tier
           FROM q120_orders
-          WHERE o_totalprice > thr
+          WHERE o_totalprice > thr / 2
           GROUP BY o_orderpriority
           ORDER BY o_orderpriority;
         END
@@ -9330,3 +9340,153 @@ def q125_groupby_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "via string, event_day string, n_events bigint"
     ).orderBy("via", "event_day")
+
+
+@query("q126_aqe_coalesce")
+def q126_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE PARTITION COALESCING — the third adaptive lever, completing
+    the AQE set (q101 splits skewed partitions, q104 prunes partitions
+    dynamically; this one COLLAPSES over-provisioned ones): shuffle
+    partition count must be sized for the BIGGEST stage of a job, so
+    every small-output stage downstream inherits far more partitions
+    than its data fills — at the session's 32 (production: 100,000 for
+    a 100 TB input) the per-user aggregate here leaves dozens of
+    near-empty post-shuffle partitions, and AQE's coalescePartitions
+    merges them to the advisory size at RUNTIME, from the actual map
+    output statistics. The tests pin the flip (AQEShuffleRead
+    "coalesced" present with the conf on, absent off — DataFrame
+    REBUILT around the flip, plans are cached) and that the VALUES are
+    conf-invariant; the oracle is the plain two-level rollup.
+
+    This is the default-on lever every 100 TB job leans on hardest:
+    without it, either every stage pays 100k tasks' scheduling
+    overhead, or someone hand-tunes shuffle.partitions per stage —
+    the exact knob AQE retired.
+
+    Reference parity: pyspark/User Engagement Funnel Analysis.py
+    chains per-user aggregates into small rollups — the shape whose
+    intermediate stages over-partition worst.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_users"),
+            F.expr("CAST(sum(n) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(max(n) AS BIGINT)").alias("max_per_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("q127_arrow_scalar_udf")
+def q127_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICED Arrow-vectorized SCALAR UDF exhibit — the repo's "no
+    row-at-a-time Python in hot paths" policy, given its measured
+    counterpart the way q118 priced the UDTF surface: ONE pandas_udf
+    (Arrow batch in / Arrow batch out, pandas str kernels vectorized
+    across the batch) computes a deterministic INTEGER quality
+    micro-score per document — 1000*n_chars + 7*n_spaces +
+    3*n_digits — and the SAME score is computed a second time as a
+    pure builtin expression (length/translate/regexp_replace, JVM
+    codegen). Both ride every output row (sum_score_udf ==
+    sum_score_expr, value-verified in-row, q124's footer==scan
+    discipline), so the lane proves the Arrow path bit-agrees with
+    codegen while PLANS.md records what the Python hop costs over the
+    expression twin. Integer outputs make the DuckDB oracle exact —
+    no float tolerance anywhere.
+
+    The plan shows ArrowEvalPython (asserted in tests/test_plans.py)
+    — batch-granular Python, ~100x better than row-at-a-time BUT
+    still a serialization hop + a pinned-thread stage that breaks
+    whole-stage codegen: the PLANS.md row is the number to read
+    before reaching for a UDF that an expression could replace.
+
+    Reference parity: pyspark/Content Performance Analytics.py builds
+    weighted engagement scores as chained withColumn arithmetic — the
+    shape users reflexively write as a Python UDF; this lane is the
+    measured argument for keeping it in expressions.
+    """
+    # Defined in functions/arrow_udfs.py, NOT inline: this module's
+    # `from __future__ import annotations` stringifies type hints,
+    # which pandas_udf's signature resolution rejects — and module-
+    # level definitions are what Spark's Python workers can re-import.
+    from etl_sql_and_pyspark_developement__spark.functions.arrow_udfs import (
+        quality_score_udf as score_udf,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_ws = n_chars - F.length(F.translate("text", " ", ""))
+    n_dg = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    expr_score = (
+        F.lit(1000) * n_chars + F.lit(7) * n_ws + F.lit(3) * n_dg
+    ).cast("bigint")
+    scored = docs.select(
+        "lang",
+        score_udf(F.col("text")).alias("udf_score"),
+        expr_score.alias("expr_score"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(udf_score) AS BIGINT)").alias(
+                "sum_score_udf"
+            ),
+            F.expr("CAST(sum(expr_score) AS BIGINT)").alias(
+                "sum_score_expr"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("q128_retention_delete")
+def q128_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION / TTL PARTITION DELETE — the third write/maintenance
+    lane (q114 refreshes trailing partitions, q117 compacts small
+    files; this AGES OUT old ones): io.retention_swept_path holds a
+    day-partitioned rollup table with every partition older than
+    cutoff = max(day) - 13 dropped atomically (rename-aside per
+    partition, marker-committed sweep, idempotent heal after a crash
+    — the commit protocol is pinned in tests/test_io.py). The lane
+    returns the per-day survivor rollup with the cutoff riding every
+    row; the oracle replays the SAME data-derived cutoff from the
+    flat events truth, so the sweep's membership boundary is
+    value-verified, not just exercised. Dropped days cost ZERO IO
+    afterwards — they no longer exist to list, which
+    tests/test_plans.py pins by asserting the post-sweep scan reads
+    exactly the survivor partitions.
+
+    At 100 TB: the nightly TTL/GDPR pass. Partition drop is the only
+    delete that doesn't rewrite data — O(dropped dirs) metadata work,
+    survivors' files untouched (their mtimes prove it), and every
+    future scan is smaller by construction rather than by filter.
+
+    Reference parity: the reference's warehouse scripts query
+    trailing windows (SQL/Seasonal Viewing Pattern Analysis.txt);
+    retention is the maintenance job that makes "the table IS the
+    window" true.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        retention_swept_path,
+    )
+
+    path, cutoff = retention_swept_path(spark, sf_dir, keep_days=14)
+    swept = spark.read.schema(
+        "event_type string, n_events bigint, cents bigint, day string"
+    ).parquet(path)
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.expr("CAST(sum(n_events) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(sum(cents) AS BIGINT)").alias("cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .withColumn("cutoff", F.lit(cutoff))
+        .orderBy("day")
+    )

@@ -328,6 +328,21 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             entries.append(
                 {"file": os.path.basename(final), "rows": m.n_rows}
             )
+        # Garbage sweep: every message's staged file was just renamed,
+        # so any .staged-* still present is an orphan (failed/retried
+        # task attempt, or a crashed earlier epoch whose abort never
+        # ran) — it can never be referenced by any manifest, and
+        # without the sweep orphans accumulate forever in a
+        # long-running stream. POSIX unlink is safe even against a
+        # straggling speculative attempt still holding the fd open.
+        for leftover in os.listdir(self.path):
+            if leftover.startswith(".staged-") and leftover.endswith(
+                ".jsonl"
+            ):
+                try:
+                    os.remove(os.path.join(self.path, leftover))
+                except OSError:
+                    pass
         mdir = os.path.join(self.path, "_manifests")
         os.makedirs(mdir, exist_ok=True)
         tmp = os.path.join(mdir, f".batch-{batchId:05d}.json.tmp")

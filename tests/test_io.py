@@ -769,3 +769,54 @@ def test_atomic_dir_commit_self_heals_torn_dest(spark, tmp_path):
     assert os.path.exists(os.path.join(dest, "_SUCCESS"))
     assert not os.path.exists(os.path.join(dest, "junk.parquet"))
     assert spark.read.parquet(dest).count() == 3
+
+
+def test_retention_sweep_commit_protocol(spark, sf_dir, tmp_path):
+    """q128's fixture contract: (1) aged partitions are physically
+    gone and the marker commits the sweep; (2) a crash mid-sweep
+    (marker absent, some aged partitions still present) HEALS on the
+    next call — the re-derived cutoff is identical and the re-sweep
+    is idempotent; (3) survivor files are never rewritten (mtimes
+    stable across calls)."""
+    import os
+    import shutil
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        retention_swept_path,
+    )
+
+    root = str(tmp_path / "artifacts")
+    path, cutoff = retention_swept_path(
+        spark, sf_dir, keep_days=7, artifact_dir=root
+    )
+    days = sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert days and min(days).split("=", 1)[1] >= cutoff
+    marker = os.path.join(path, f"_retention_{cutoff}")
+    assert os.path.exists(marker)
+
+    survivor_mtimes = {}
+    for d in days:
+        for f in os.listdir(os.path.join(path, d)):
+            p = os.path.join(path, d, f)
+            survivor_mtimes[p] = os.stat(p).st_mtime_ns
+
+    # simulate a crash mid-sweep: marker gone, one aged partition back
+    os.remove(marker)
+    import datetime
+
+    aged_day = (
+        datetime.date.fromisoformat(cutoff) - datetime.timedelta(days=3)
+    ).isoformat()
+    shutil.copytree(
+        os.path.join(path, days[0]), os.path.join(path, f"day={aged_day}")
+    )
+    path2, cutoff2 = retention_swept_path(
+        spark, sf_dir, keep_days=7, artifact_dir=root
+    )
+    assert (path2, cutoff2) == (path, cutoff), "heal must re-derive the same cutoff"
+    assert not os.path.exists(os.path.join(path, f"day={aged_day}"))
+    assert os.path.exists(marker)
+    for p, m in survivor_mtimes.items():
+        assert os.stat(p).st_mtime_ns == m, "survivors must not be rewritten"

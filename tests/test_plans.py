@@ -1454,3 +1454,88 @@ def test_q125_groupby_partition_col_pushes_into_scan(spark, sf_dir):
     assert "PushedAggregation: [COUNT(*)]" in part_col
     assert "PushedGroupBy: []" in data_col
     assert "PushedAggregation: []" in data_col
+
+
+def test_q126_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """With coalescePartitions on (session default) the executed
+    adaptive plan must show an AQEShuffleRead in `coalesced` mode over
+    the tiny per-user aggregate exchange; with the conf off — the
+    DataFrame REBUILT around the flip, plans cache their
+    QueryExecution — no coalesced read may appear, and the VALUES
+    must be identical either way (the driver row proves them against
+    the plain-rollup oracle)."""
+    df = QUERIES["q126_aqe_coalesce"](spark, sf_dir)
+    rows_on = df.collect()  # AQE finalizes the plan only on execution
+    plan_on = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan_on
+    assert "coalesced" in plan_on, "AQE must coalesce the tiny shuffle"
+    # Flip order matters: the lane's session guard (query decorator ->
+    # configure_existing) re-arms coalescePartitions.enabled at CALL
+    # time by design, so the off-flip is set AFTER building the
+    # DataFrame — AQE reads the live session conf when the adaptive
+    # rules run at EXECUTION. (A size-based flip — advisory=1b — is
+    # not enough: 7 event types over 8 partitions leave an empty
+    # partition, and empty-partition elimination prints `coalesced`
+    # at any advisory size.)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    df_off = QUERIES["q126_aqe_coalesce"](spark, sf_dir)
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        rows_off = df_off.collect()
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+        assert "coalesced" not in plan_off
+        assert rows_on == rows_off, "coalescing must never change values"
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_q127_udf_is_arrow_not_row_python(spark, sf_dir):
+    """The scalar UDF must cross the boundary as Arrow batches
+    (ArrowEvalPython), never row-pickled (BatchEvalPython); the
+    expression twin stays JVM-side, so exactly ONE Python stage
+    appears."""
+    plan = plan_of(spark, "q127_arrow_scalar_udf", sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q127_udf_equals_expression_twin(spark, sf_dir):
+    """In-row equality of the Arrow-UDF score and the codegen twin —
+    the lane's own subject matter, asserted directly."""
+    rows = QUERIES["q127_arrow_scalar_udf"](spark, sf_dir).collect()
+    assert rows, "documents corpus must produce at least one lang"
+    for r in rows:
+        assert r["sum_score_udf"] == r["sum_score_expr"], r
+
+
+def test_q128_dropped_partitions_cost_zero_io(spark, sf_dir):
+    """After the sweep, aged partitions are GONE from the filesystem:
+    the unfiltered scan lists exactly the survivor day dirs (zero IO
+    for dropped days, by non-existence rather than by filter), and a
+    below-cutoff filter scans zero files."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        retention_swept_path,
+    )
+
+    path, cutoff = retention_swept_path(spark, sf_dir, keep_days=14)
+    days_on_disk = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("day=")
+    )
+    assert days_on_disk, "sweep must keep the trailing window"
+    assert min(days_on_disk) >= cutoff, "aged partitions must be gone"
+    schema = "event_type string, n_events bigint, cents bigint, day string"
+    df = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .filter(f"day < '{cutoff}'")
+    )
+    assert df.count() == 0
+    # partition pruning over the swept layout: the below-cutoff scan
+    # matches no partition directories at all
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
