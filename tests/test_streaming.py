@@ -2954,3 +2954,280 @@ def test_st42_full_outer_attribution_emits_both_complements(
     assert got == want and got
     assert (999_000_001, None) in got, "never-viewed purchase must emit"
     assert (None, 999_000_002) in got, "never-converted view must emit"
+
+
+def test_st43_watermark_drop_accounting(spark, tmp_path):
+    """st43: numRowsDroppedByWatermark must equal EXACTLY the planted
+    late-row count — the only place that loss is visible (dropped rows
+    never reach state, the sink, or any count the query emits). Batch
+    1 establishes the watermark (max ts - 10min); batch 2 plants 3
+    rows behind it plus 1 fresh row; the progress metrics must charge
+    3 to the agg operator and the emitted windows must exclude them.
+
+    Granularity boundary (measured, worth pinning): for an AGGREGATE
+    the metric counts rows entering the STATE operator — i.e. groups
+    surviving the partial aggregation — not raw inputs: 3 late rows
+    in one (window, type) group count as 1. The planted rows here
+    land in three DISTINCT windows so groups == inputs and the count
+    is exact; an input-granular SLO needs the rows routed through an
+    operator that sees raw rows (dedup/join — the chain test), or
+    distinct groups."""
+    import datetime
+
+    from etl_sql_and_pyspark_developement__spark.streaming.observability import (
+        state_operator_metrics,
+        total_dropped_by_watermark,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        windowed_event_counts,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(i, minutes, typ="view"):
+        return (i, t0 + datetime.timedelta(minutes=minutes), 1, typ, 1.0, "{}")
+
+    d = tmp_path / "st43_events"
+    d.mkdir()
+    spark.createDataFrame([ev(1, 0), ev(2, 30)], schema).write.mode(
+        "append"
+    ).parquet(str(d))
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st43_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 10:30 - 10min = 10:20; plant 3 rows behind
+        # it in three DISTINCT 5-min windows (see docstring) and one
+        # fresh row that re-advances it (11:00)
+        late = [ev(10, -120), ev(11, -180), ev(12, -240)]
+        spark.createDataFrame(
+            late + [ev(20, 60)], schema
+        ).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        progresses = q.recentProgress
+    finally:
+        q.stop()
+
+    assert total_dropped_by_watermark(progresses) == 3
+    metrics = state_operator_metrics(progresses)
+    assert len(metrics) == 1, "one stateful operator in this query"
+    (m,) = metrics.values()
+    assert m["numRowsDroppedByWatermark"] == 3
+    assert m["numRowsTotal"] > 0 and m["memoryUsedBytes"] > 0
+    # the dropped rows never surface: no 08:00 window exists and the
+    # closed 10:00 window holds exactly its one on-time row
+    got = {
+        (r.window_start, r.n_events)
+        for r in spark.sql("SELECT * FROM st43_out").collect()
+    }
+    assert (t0, 1) in got
+    assert not any(ws < t0 for ws, _ in got)
+
+
+def test_st43_chained_query_reports_both_operators(spark, tmp_path):
+    """st43 on st39's chain: ONE progress stream observes the whole
+    pipeline — the symmetric hash join AND the window aggregate each
+    report state rows + memory, and a late pair planted behind the
+    propagated watermark is charged to the JOIN operator (it never
+    reaches the aggregate, so the chain counts it exactly once)."""
+    import datetime
+
+    from etl_sql_and_pyspark_developement__spark.streaming.observability import (
+        state_operator_metrics,
+        total_dropped_by_watermark,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        stream_attribution_daily_rollup,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(i, minutes, typ, uid=1):
+        return (i, t0 + datetime.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    d = tmp_path / "st43_chain"
+    d.mkdir()
+    spark.createDataFrame(
+        [ev(1, 0, "view"), ev(2, 30, "purchase")], schema
+    ).write.mode("append").parquet(str(d))
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        stream_attribution_daily_rollup(stream, stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st43_chain_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel pumps drive the watermark past the data windows
+        # (st39's double-pump), then a pair planted 26h behind the
+        # new watermark must be DROPPED at the join
+        for i, hours in enumerate((12, 18)):
+            spark.createDataFrame(
+                [
+                    ev(100 + 2 * i, hours * 60, "view", uid=-1),
+                    ev(101 + 2 * i, hours * 60, "purchase", uid=-1),
+                ],
+                schema,
+            ).write.mode("append").parquet(str(d))
+            q.processAllAvailable()
+        spark.createDataFrame(
+            [ev(200, -60, "view"), ev(201, -30, "purchase")], schema
+        ).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        progresses = q.recentProgress
+    finally:
+        q.stop()
+
+    metrics = state_operator_metrics(progresses)
+    assert len(metrics) >= 2, f"chain must report both operators: {metrics}"
+    names = " ".join(metrics)
+    assert "symmetricHashJoin" in names
+    assert "stateStoreSave" in names or "Aggregate" in names
+    for m in metrics.values():
+        assert m["memoryUsedBytes"] > 0
+    join = next(v for k, v in metrics.items() if "symmetricHashJoin" in k)
+    assert join["numRowsTotal"] > 0, "join must hold buffered state"
+    assert join["numRowsDroppedByWatermark"] == 2, (
+        "the late pair is charged to the join, once"
+    )
+    assert total_dropped_by_watermark(progresses) == 2
+    # and the chain's output still matches: one closed 6h window with
+    # the single on-time attributed pair (lag 1800s)
+    rows = {
+        (r.n_pairs, r.lag_seconds_sum)
+        for r in spark.sql("SELECT * FROM st43_chain_out").collect()
+        if r.window_start <= t0 + __import__("datetime").timedelta(hours=1)
+    }
+    assert rows == {(1, 1800)}
+
+
+def test_state_schema_evolution_boundary(spark, tmp_path):
+    """Checkpoint STATE-SCHEMA EVOLUTION boundary, pinned (measured on
+    4.1.2, HDFS + RocksDB providers via the suite's SPARK_GRAFT_ROCKSDB
+    pass): restarting a stateful query from a committed checkpoint
+    with
+
+    - the SAME state struct        -> resumes, state continues;
+    - a RENAMED field (same types) -> ALLOWED — the compatibility
+      check compares TYPES, not names (rename is safe; semantic drift
+      behind a rename is invisible to the engine);
+    - an ADDED field / a CHANGED type / a NARROWED type -> REFUSED at
+      stream start with STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE;
+    - the refusal is NON-DESTRUCTIVE: the original schema restarts
+      fine afterwards and the fold continues where it left off.
+
+    Post-mortem: st40's statestore reader opens the same checkpoint
+    under the COMMITTED schema — the upgrade-gone-wrong forensics
+    (what does state actually hold?) never needs the failed query.
+    """
+    import datetime
+    import re
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_sql_and_pyspark_developement__spark.streaming.statestore import (
+        read_state,
+        read_state_metadata,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    src = tmp_path / "evo_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "evo_ckpt")
+    eid = [0]
+
+    def feed():
+        eid[0] += 1
+        spark.createDataFrame(
+            [(eid[0], t0, 7, "purchase", 1.0, "{}")], schema
+        ).write.mode("append").parquet(str(src))
+
+    out_schema = "user_id bigint, n bigint"
+
+    def make_fn(nfields):
+        def fn(key, pdfs, state):
+            vals = state.get if state.exists else tuple([0] * nfields)
+            n = int(vals[0])
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update(tuple([n] + [0] * (nfields - 1)))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        return fn
+
+    def run(state_schema, nfields):
+        feed()
+        got = []
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                make_fn(nfields),
+                out_schema,
+                state_schema,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: got.extend(tuple(r) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return got
+
+    def refused(state_schema, nfields):
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException) as exc:
+            run(state_schema, nfields)
+        assert "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in str(exc.value)
+
+    assert run("n bigint, aux bigint", 2) == [(7, 1)]
+    assert run("n bigint, aux bigint", 2) == [(7, 2)], "state must continue"
+    # rename: allowed, and the fold CONTINUES through the rename
+    assert run("n bigint, relabeled bigint", 2) == [(7, 3)]
+    refused("n bigint, aux bigint, extra bigint", 3)  # added field
+    refused("n bigint, aux double", 2)  # type change
+    refused("n int, aux bigint", 2)  # narrowed type
+    # non-destructive: the original schema picks up the whole backlog
+    # (its own feed + the three rows the refused attempts left pending
+    # — possibly across several microbatches; the FINAL fold is what
+    # must land on 7)
+    assert run("n bigint, aux bigint", 2)[-1] == (7, 7)
+
+    # st40 post-mortem: the checkpoint reads back under the COMMITTED
+    # schema without any running query
+    meta = read_state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    state = read_state(spark, ckpt).collect()
+    assert len(state) == 1
+    assert state[0]["key"]["user_id"] == 7
+    assert state[0]["value"]["groupState"]["n"] == 7
