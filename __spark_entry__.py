@@ -37,6 +37,10 @@ _NEEDS_DRIVER_ROW = [
     # round-9 addition: retention/TTL partition-delete maintenance
     # lane (atomic sweep, survivors value-verified)
     "q128_retention_delete",
+    # round-9 addition: hidden _metadata file-lineage audit lane
+    "q129_file_metadata_audit",
+    # round-9 addition: mergeSchema two-generation read lane
+    "q130_schema_evolution_read",
     # round-9 change: q120's final rollup now filters on thr/2 (the
     # last threshold keeping >= 1000 orders) so the output is
     # non-empty and the converged threshold/tier are GENUINELY

@@ -7168,3 +7168,34 @@ WHERE d.day >= c.cutoff
 GROUP BY d.day, c.cutoff
 ORDER BY d.day
 """
+
+# q129: one file per bucket BY CONSTRUCTION (bucket-colocated write),
+# so per-file stats equal per-bucket truth and n_files is exactly 1.
+ORACLES["q129_file_metadata_audit"] = """
+SELECT CAST(o_orderkey % 4 AS INT) AS bucket,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderkey % 4
+ORDER BY bucket
+"""
+
+# q130: generation membership is doc_id parity; gen-1 rows NULL-fill
+# source/n_chars under the merged schema.
+ORACLES["q130_schema_evolution_read"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+           AS n_gen2,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+           AS gen2_chars,
+       CAST(min(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) AS INT)
+           AS min_gen,
+       CAST(max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) AS INT)
+           AS max_gen
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

@@ -9490,3 +9490,95 @@ def q128_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cutoff", F.lit(cutoff))
         .orderBy("day")
     )
+
+
+@query("q129_file_metadata_audit")
+def q129_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN _metadata COLUMN file-lineage audit — the per-FILE
+    forensics surface (which physical file holds which rows, how big,
+    written when): Spark exposes _metadata.file_name / file_path /
+    file_size / row_index on every file-source scan with zero extra
+    IO (the values come from the scan's own split bookkeeping — no
+    filesystem round trip, no UDF). Over io.bucketed_files_path's
+    one-file-per-bucket layout the audit is VALUE-verifiable: per-file
+    row counts and key extents equal per-bucket truth replayable from
+    the flat table, and countDistinct(file_name) == 1 per bucket
+    rides every row — the file<->content correspondence is the lane's
+    subject matter, not an assumption. file_size/row_index/file_path
+    sanity is pytest-pinned (engine-generated values no oracle can
+    know).
+
+    At 100 TB this is the ingest-forensics query: "which landed file
+    produced these corrupt rows" (pair with q115's quarantine),
+    "which files does partition X actually hold" (pair with q117's
+    compaction) — answered by the scan itself, no catalog round trip.
+
+    Reference parity: the reference's warehouse loads land files it
+    can never trace back (SQL/*.txt query tables, not lineage); this
+    is the surface that closes that gap in a lake.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        bucketed_files_path,
+    )
+
+    path = bucketed_files_path(spark, sf_dir, n_buckets=4)
+    df = spark.read.parquet(path)
+    return (
+        df.select(
+            "bucket",
+            F.col("_metadata.file_name").alias("fname"),
+            "o_orderkey",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("fname").alias("n_files"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(min(o_orderkey) AS BIGINT)").alias("min_key"),
+            F.expr("CAST(max(o_orderkey) AS BIGINT)").alias("max_key"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .orderBy("bucket")
+    )
+
+
+@query("q130_schema_evolution_read")
+def q130_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFT-TOLERANT READ (mergeSchema) — the layout every
+    long-lived lake table has after a column is added: generation-1
+    files (even doc_id) predate source/n_chars, generation-2 files
+    carry them, ONE directory holds both
+    (io.two_generation_docs_path). A default read plans whichever
+    schema it samples and silently drops or fails on the other
+    generation's columns; option("mergeSchema", "true") unions the
+    file schemas — old rows surface with NULLs exactly where the
+    columns didn't exist yet. The rollup counts per-lang totals,
+    gen-2 coverage (count(source) skips the NULL-filled gen-1 rows),
+    and gen-2 chars; membership is a pure function of doc_id so the
+    oracle replays the NULL-fill from the flat truth — the union
+    semantics are value-verified, not just exercised.
+
+    At 100 TB: schema evolution is additive-by-contract (the probe in
+    tests/test_streaming.py pins the STATE-side version of the same
+    rule); mergeSchema is the read-side half — it pays a per-file
+    footer read at planning, so production tables pin the merged
+    schema in the catalog and readers pass it explicitly (q125's
+    explicit-schema discipline). The lane demonstrates the drift
+    boundary itself.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        two_generation_docs_path,
+    )
+
+    path = two_generation_docs_path(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(count(source) AS BIGINT)").alias("n_gen2"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("gen2_chars"),
+            F.expr("CAST(min(gen) AS INT)").alias("min_gen"),
+            F.expr("CAST(max(gen) AS INT)").alias("max_gen"),
+        )
+        .orderBy("lang")
+    )

@@ -1185,6 +1185,89 @@ def retention_swept_path(
     return dest, cutoff
 
 
+def bucketed_files_path(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 4,
+    artifact_dir: str | None = None,
+) -> str:
+    """ONE-FILE-PER-BUCKET orders layout — q129's fixture: rows are
+    bucketed by o_orderkey % n_buckets, repartitioned BY the bucket
+    column (co-locating each bucket in exactly one task) and written
+    partitionBy(bucket), so every bucket directory holds exactly one
+    data file whose CONTENTS are a pure function of the data. That
+    determinism is what lets the _metadata file-lineage lane be
+    value-verified: per-file stats == per-bucket stats, replayable
+    from the flat truth by any engine. Atomic commit, shared key
+    recipe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest = _artifact_dest(
+        "orders_bucket_files", src, f"b={n_buckets}|v=1", artifact_dir
+    )
+
+    def build(tmp: str) -> None:
+        df = spark.read.parquet(src).withColumn(
+            "bucket", F.pmod(F.col("o_orderkey"), F.lit(n_buckets))
+        )
+        (
+            df.repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+
+    _atomic_dir_commit(os.path.dirname(dest), dest, build)
+    return dest
+
+
+def two_generation_docs_path(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """TWO-GENERATION parquet directory — q130's schema-drift fixture:
+    generation 1 (even doc_id) was written BEFORE the pipeline added
+    source/n_chars columns; generation 2 (odd doc_id) carries them.
+    Same directory, two file schemas — the layout every long-lived
+    lake table actually has after a schema change, which only a
+    mergeSchema (schema-union) read handles correctly. Membership is
+    a pure function of doc_id, so the oracle replays the NULL-fill
+    from the flat truth. Atomic commit, shared key recipe."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dest = _artifact_dest("docs_two_gen", src, "gen2|v=1", artifact_dir)
+
+    def build(tmp: str) -> None:
+        docs = spark.read.parquet(src)
+        os.makedirs(tmp, exist_ok=True)
+        (
+            docs.filter("doc_id % 2 = 0")
+            .select("doc_id", "text", "lang")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen=1"))
+        )
+        (
+            docs.filter("doc_id % 2 = 1")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen=2"))
+        )
+        # the commit protocol's completeness marker (the per-gen
+        # writes leave their own _SUCCESS inside each subdir)
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    _atomic_dir_commit(os.path.dirname(dest), dest, build)
+    return dest
+
+
 def jsonl_feed_fixture(
     spark: SparkSession,
     sf_dir: str,

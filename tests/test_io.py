@@ -820,3 +820,62 @@ def test_retention_sweep_commit_protocol(spark, sf_dir, tmp_path):
     assert os.path.exists(marker)
     for p, m in survivor_mtimes.items():
         assert os.stat(p).st_mtime_ns == m, "survivors must not be rewritten"
+
+
+def test_q129_metadata_column_sanity(spark, sf_dir):
+    """The engine-generated _metadata values no oracle can know:
+    file_size is the real on-disk size, row_index is dense per file
+    (0..n-1), file_path points inside the committed artifact."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        bucketed_files_path,
+    )
+
+    path = bucketed_files_path(spark, sf_dir, n_buckets=4)
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("fpath"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_metadata.row_index").alias("first_idx"),
+            F.max("_metadata.row_index").alias("last_idx"),
+            F.first("_metadata.file_size").alias("fsize"),
+        )
+        .collect()
+    )
+    assert len(rows) == 4, "one data file per bucket"
+    for r in rows:
+        local = r["fpath"].replace("file:", "")
+        assert local.startswith(os.path.realpath(path) + "/")
+        assert os.path.getsize(local) == r["fsize"]
+        assert (r["first_idx"], r["last_idx"]) == (0, r["n"] - 1), (
+            "row_index must be dense per file"
+        )
+
+
+def test_q130_default_read_cannot_see_evolved_columns(spark, sf_dir):
+    """The motivating failure q130 exists for: WITHOUT mergeSchema the
+    reader plans whichever single footer it samples — the evolved
+    columns are either absent from the schema or the query fails to
+    resolve them. Either way the two-generation directory is
+    unreadable-as-a-whole by a default read, and readable exactly
+    under mergeSchema (the lane's driver row proves the values)."""
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        two_generation_docs_path,
+    )
+
+    path = two_generation_docs_path(spark, sf_dir)
+    default_cols = set(spark.read.parquet(path).columns)
+    merged_cols = set(
+        spark.read.option("mergeSchema", "true").parquet(path).columns
+    )
+    assert {"doc_id", "text", "lang", "gen"} <= merged_cols
+    assert {"source", "n_chars"} <= merged_cols
+    # the default read's schema comes from ONE sampled footer —
+    # measured on 4.1.2: the gen-1 footer wins and the evolved
+    # columns VANISH from the schema (no error, no warning — the
+    # silent-data-loss shape that makes mergeSchema non-optional on
+    # evolved directories)
+    assert default_cols == {"doc_id", "text", "lang", "gen"}
+    assert merged_cols - default_cols == {"source", "n_chars"}
