@@ -41,6 +41,8 @@ _NEEDS_DRIVER_ROW = [
     "q129_file_metadata_audit",
     # round-9 addition: mergeSchema two-generation read lane
     "q130_schema_evolution_read",
+    # round-9 addition: temporal embargo split with crossing audit
+    "p24_temporal_embargo_split",
     # round-9 change: q120's final rollup now filters on thr/2 (the
     # last threshold keeping >= 1000 orders) so the output is
     # non-empty and the converged threshold/tier are GENUINELY

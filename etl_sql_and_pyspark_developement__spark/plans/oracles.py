@@ -7199,3 +7199,59 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+# p24: boundaries derive from min(day); the embargo crossing count is
+# zero by construction (2-day band > 48h horizon) — replayed, not
+# assumed.
+ORACLES["p24_temporal_embargo_split"] = """
+WITH b AS (
+    SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+),
+base AS (
+    SELECT event_id, user_id, ts, strftime(ts, '%Y-%m-%d') AS day,
+           strftime((SELECT d0 FROM b) + INTERVAL 21 DAY,
+                    '%Y-%m-%d') AS cut1,
+           strftime((SELECT d0 FROM b) + INTERVAL 23 DAY,
+                    '%Y-%m-%d') AS cut2
+    FROM events
+),
+tagged AS (
+    SELECT *,
+           CASE WHEN day < cut1 THEN 'train'
+                WHEN day < cut2 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM base
+),
+per_split AS (
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(day) AS first_day,
+           max(day) AS last_day
+    FROM tagged
+    GROUP BY split
+),
+naive AS (
+    SELECT CAST(count(*) AS BIGINT) AS naive_cross_pairs
+    FROM tagged tr JOIN tagged te
+      ON tr.user_id = te.user_id
+     AND tr.day < tr.cut1
+     AND te.day >= te.cut1
+     AND te.ts < tr.ts + INTERVAL 48 HOUR
+     AND tr.ts >= CAST(tr.cut1 AS TIMESTAMP) - INTERVAL 48 HOUR
+     AND te.ts < CAST(te.cut1 AS TIMESTAMP) + INTERVAL 48 HOUR
+),
+emb AS (
+    SELECT CAST(count(*) AS BIGINT) AS embargo_cross_pairs
+    FROM tagged tr JOIN tagged te
+      ON tr.user_id = te.user_id
+     AND tr.day < tr.cut1
+     AND te.day >= te.cut2
+     AND te.ts < tr.ts + INTERVAL 48 HOUR
+     AND tr.ts >= CAST(tr.cut2 AS TIMESTAMP) - INTERVAL 48 HOUR
+     AND te.ts < CAST(te.cut1 AS TIMESTAMP) + INTERVAL 48 HOUR
+)
+SELECT p.*, n.naive_cross_pairs, e.embargo_cross_pairs
+FROM per_split p CROSS JOIN naive n CROSS JOIN emb e
+ORDER BY split
+"""

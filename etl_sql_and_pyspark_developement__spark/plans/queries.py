@@ -9582,3 +9582,94 @@ def q130_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("p24_temporal_embargo_split")
+def p24_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL TRAIN/TEST SPLIT WITH EMBARGO — the time-series
+    leakage defense (p22 guards NEAR-DUP leakage across a random
+    split; this guards TEMPORAL leakage across a chronological one):
+    a model whose features look back 48h must not train on rows whose
+    lookback window overlaps the test period, so the split drops an
+    embargo band — train = first 21 days, embargo = next 2 (>= the
+    48h feature horizon, EXCLUDED from both sides), test = the rest.
+    All boundaries derive from the data's own day span (min day + 21
+    / + 23), never current_date.
+
+    The lane ships its own audit, p22's audited-naive discipline:
+    riding every row are the same-user cross-boundary pair counts
+    within the 48h horizon for the NAIVE no-embargo split (train
+    touching test across the cut — the leakage a random-date split
+    silently accepts) and for the embargo split (ZERO BY CONSTRUCTION
+    — the 2-day band is wider than the 48h window, and the count
+    proves it rather than asserts it). Both pair joins pre-filter to
+    the boundary band (only rows within 48h of the cut can qualify),
+    so the audit join touches O(band), not O(corpus) — at 100 TB the
+    crossing audit reads two days of data, not three years.
+
+    Reference parity: every reference model eval (R13's MAPE/MAE
+    rollups, R18's A/B lanes) trains on history and scores forward;
+    this is the split those evals need to not grade on leaked future.
+    """
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    cut1 = (d0 + datetime.timedelta(days=21)).isoformat()
+    cut2 = (d0 + datetime.timedelta(days=23)).isoformat()
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    split = (
+        F.when(F.col("day") < cut1, F.lit("train"))
+        .when(F.col("day") < cut2, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    per_split = (
+        base.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+    def cross_pairs(test_start: str):
+        """Same-user (train, test) pairs with test.ts - train.ts
+        < 48h — pre-filtered to the boundary band on BOTH sides so
+        the join is O(band)."""
+        tr = base.filter(
+            (F.col("day") < cut1)
+            & (
+                F.col("ts")
+                >= F.to_timestamp(F.lit(test_start))
+                - F.expr("INTERVAL 48 HOURS")
+            )
+        ).select(F.col("user_id").alias("tu"), F.col("ts").alias("tts"))
+        te = base.filter(
+            (F.col("day") >= test_start)
+            & (
+                F.col("ts")
+                < F.to_timestamp(F.lit(cut1)) + F.expr("INTERVAL 48 HOURS")
+            )
+        ).select(F.col("user_id").alias("eu"), F.col("ts").alias("ets"))
+        return tr.join(
+            te,
+            (F.col("tu") == F.col("eu"))
+            & (F.col("ets") < F.col("tts") + F.expr("INTERVAL 48 HOURS")),
+        ).agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+
+    naive = cross_pairs(cut1).withColumnRenamed("n", "naive_cross_pairs")
+    embargoed = cross_pairs(cut2).withColumnRenamed(
+        "n", "embargo_cross_pairs"
+    )
+    return (
+        per_split.crossJoin(F.broadcast(naive))
+        .crossJoin(F.broadcast(embargoed))
+        .orderBy("split")
+    )
