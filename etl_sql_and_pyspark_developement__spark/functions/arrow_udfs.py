@@ -34,7 +34,13 @@ def quality_score_udf(s: pd.Series) -> pd.Series:
     Integer outputs make the DuckDB oracle exact (no float
     tolerance); the builtin-expression twin in q127 computes the
     same closed form via length/translate/regexp_replace."""
-    n = s.str.len().astype("int64")
-    ws = s.str.count(" ").astype("int64")
-    dg = s.str.count(r"[0-9]").astype("int64")
-    return 1000 * n + 7 * ws + 3 * dg
+    n = s.str.len()
+    ws = s.str.count(" ")
+    dg = s.str.count(r"[0-9]")
+    # NULL text must yield NULL (the builtin twin's length(NULL)
+    # semantics), so the arithmetic runs in float64 (NaN-propagating;
+    # exact for these magnitudes, far below 2^53) and lands on the
+    # NULLABLE Int64 dtype — NaN becomes pd.NA becomes SQL NULL. A
+    # bare int64 astype would instead crash the worker on the first
+    # null document.
+    return (1000 * n + 7 * ws + 3 * dg).astype("Int64")

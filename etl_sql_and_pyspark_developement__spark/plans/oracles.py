@@ -7013,6 +7013,8 @@ SELECT vec_id,
               * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
            AS BIGINT) AS sumsq_micro
 FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ORDER BY vec_id
 """
 

@@ -9120,7 +9120,15 @@ def s11_arrow_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    return vector_features_arrow(emb).orderBy("vec_id")
+    # NULL embeddings / NULL elements are filtered BEFORE the kernel
+    # (which fails loudly on them by contract — integer moments of a
+    # missing vector have no meaning); the oracle applies the same
+    # membership filter, so the boundary is value-verified.
+    clean = emb.filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    return vector_features_arrow(clean).orderBy("vec_id")
 
 
 @query("q123_modern_sql")
@@ -9521,8 +9529,16 @@ def q129_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_files_path,
     )
 
+    import os
+
     path = bucketed_files_path(spark, sf_dir, n_buckets=4)
-    df = spark.read.parquet(path)
+    # explicit read schema (source schema + the bucket partition col):
+    # schema inference over partition dirs fails outright on an
+    # empty-corpus fixture, and production readers pin schemas anyway
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).schema.add("bucket", "integer")
+    df = spark.read.schema(schema).parquet(path)
     return (
         df.select(
             "bucket",
@@ -9615,6 +9631,8 @@ def p24_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    if d0 is None:  # empty corpus: any anchor yields the empty split
+        d0 = datetime.date(1970, 1, 1)
     cut1 = (d0 + datetime.timedelta(days=21)).isoformat()
     cut2 = (d0 + datetime.timedelta(days=23)).isoformat()
     base = ev.select(

@@ -1160,7 +1160,10 @@ def retention_swept_path(
         if d.startswith("day=")
     )
     if not days:
-        raise RuntimeError(f"retention fixture at {dest} has no partitions")
+        # empty corpus (cold start / fully filtered ingest): nothing
+        # to sweep; the epoch cutoff keeps the return contract and the
+        # committed-but-empty table reads as zero rows
+        return dest, "1970-01-01"
     # cutoff from max(day): survivors' max is the corpus max (the
     # sweep only removes OLD days), so re-deriving after a sweep —
     # or after a crash mid-sweep — lands on the SAME cutoff.

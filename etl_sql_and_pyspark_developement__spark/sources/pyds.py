@@ -335,6 +335,9 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         # without the sweep orphans accumulate forever in a
         # long-running stream. POSIX unlink is safe even against a
         # straggling speculative attempt still holding the fd open.
+        # Single-writer assumption (same as Spark's own file sink): a
+        # SECOND query streaming into this directory would have its
+        # in-flight staged files swept — one sink dir, one query.
         for leftover in os.listdir(self.path):
             if leftover.startswith(".staged-") and leftover.endswith(
                 ".jsonl"
