@@ -7257,3 +7257,18 @@ SELECT p.*, n.naive_cross_pairs, e.embargo_cross_pairs
 FROM per_split p CROSS JOIN naive n CROSS JOIN emb e
 ORDER BY split
 """
+
+# q131: join strategy never changes values — the oracle is the plain
+# filtered join rollup.
+ORACLES["q131_aqe_runtime_broadcast"] = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 3
+GROUP BY p.p_brand
+ORDER BY p_brand
+"""

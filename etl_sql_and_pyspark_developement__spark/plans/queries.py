@@ -9691,3 +9691,72 @@ def p24_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(embargoed))
         .orderBy("split")
     )
+
+
+@query("q131_aqe_runtime_broadcast")
+def q131_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE RUNTIME SMJ->BHJ CONVERSION — the fourth adaptive lever,
+    completing the quartet (q101 skew split, q104 DPP, q126
+    coalescing, this): the statistics-free twin of q106. There, ANALYZE
+    stats let the STATIC planner see through `p_size <= 3` and
+    broadcast the sliver; here no stats exist (plain parquet, the cold
+    lake table every migration starts with), the static planner prices
+    the dim at file size and plans a SortMergeJoin — and AQE converts
+    it to a BroadcastHashJoin at RUNTIME from the shuffle's actual map
+    output sizes. The price of rescue-at-runtime vs plan-time
+    knowledge: the dim's map-side shuffle write still happens (q106's
+    docstring prices the same asymmetry) — stats buy you out of it,
+    AQE only refunds the reduce side.
+
+    Conf scoping: the static broadcast path is disabled and the
+    ADAPTIVE threshold armed around an EAGER execution (q124's
+    discipline — planning is lazy, a set/restore around a returned
+    frame would unwind before the driver acts); the small rollup is
+    re-emitted via createDataFrame. Values are join-strategy-invariant
+    (oracle = plain join); the SMJ-initial/BHJ-final plan flip is
+    asserted in tests/test_plans.py.
+
+    Reference parity: every reference join chain starts life on
+    stats-less staged files; this lever is why they broadcast anyway.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    confs = {
+        # static broadcast OFF: force the stats-less planner into SMJ
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # runtime conversion ON at the session's production threshold
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    }
+    # the adaptive threshold is UNSET by default (falls back to the
+    # static one) — a None restore must unset, never set(None)
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = (
+            li.join(
+                part.filter(F.col("p_size") <= 3),
+                li.l_partkey == F.col("p_partkey"),
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_items"),
+                F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("sum_qty"),
+                F.expr(
+                    "CAST(sum(CAST(round(l_extendedprice * 100, 0)"
+                    " AS BIGINT)) AS BIGINT)"
+                ).alias("price_cents"),
+            )
+            .collect()  # EAGER: the conversion must happen in-scope
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows,
+        "p_brand string, n_items bigint, sum_qty bigint,"
+        " price_cents bigint",
+    ).orderBy("p_brand")

@@ -1539,3 +1539,53 @@ def test_q128_dropped_partitions_cost_zero_io(spark, sf_dir):
     # matches no partition directories at all
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_q131_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """Stats-less dim + static broadcast disabled: the INITIAL plan is
+    a SortMergeJoin; the FINAL adaptive plan is a BroadcastHashJoin —
+    AQE priced the filtered dim from actual map output. With the
+    adaptive threshold ALSO disabled, the SMJ survives to execution
+    (both directions of the flip; values identical)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def run():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        df = (
+            li.join(
+                part.filter(F.col("p_size") <= 3),
+                li.l_partkey == F.col("p_partkey"),
+            )
+            .groupBy("p_brand")
+            .count()
+        )
+        rows = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return rows, plan
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows_on, plan_on = run()
+        assert "SortMergeJoin" in plan_on.split("== Initial Plan ==")[1]
+        final = plan_on.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, "AQE must convert SMJ->BHJ"
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        rows_off, plan_off = run()
+        final_off = plan_off.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final_off
+        assert "BroadcastHashJoin" not in final_off
+        assert rows_on == rows_off, "join strategy must never change values"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
