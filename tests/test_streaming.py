@@ -3231,3 +3231,85 @@ def test_state_schema_evolution_boundary(spark, tmp_path):
     assert len(state) == 1
     assert state[0]["key"]["user_id"] == 7
     assert state[0]["value"]["groupState"]["n"] == 7
+
+
+def test_st44_stream_static_dim_frozen_for_query_lifetime(spark, tmp_path):
+    """st44 boundary pin (measured on 4.1.2): a stream-static join
+    RE-EXECUTES the static side every micro-batch, but its file
+    LISTING is captured when the static DataFrame is resolved — dim
+    files appended while the query runs are INVISIBLE to it, and even
+    spark.catalog.refreshByPath does not reach a running query's
+    captured index. The slowly-changing-dim fix is st36's pattern:
+    foreachBatch re-reads the dim per batch (a fresh DataFrame = a
+    fresh listing), demonstrated here seeing the update the joined
+    stream provably cannot."""
+    eschema = "event_id bigint, user_id bigint"
+    dschema = "user_id bigint, seg string"
+    src = tmp_path / "st44_src"
+    dim = tmp_path / "st44_dim"
+    src.mkdir(), dim.mkdir()
+    spark.createDataFrame([(1, 10)], eschema).write.mode("append").parquet(
+        str(src)
+    )
+    spark.createDataFrame([(10, "A")], dschema).write.mode("append").parquet(
+        str(dim)
+    )
+    static = spark.read.schema(dschema).parquet(str(dim))
+    stream = spark.readStream.schema(eschema).parquet(str(src))
+    got = []
+    q = (
+        stream.join(static, "user_id", "left")
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: got.append(sorted(map(tuple, df.collect())))
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert got[-1] == [(10, 1, "A")], "initial dim must enrich"
+        # dim gains user 20 WHILE the query runs; the join cannot see it
+        spark.createDataFrame([(20, "B")], dschema).write.mode(
+            "append"
+        ).parquet(str(dim))
+        spark.createDataFrame([(2, 20)], eschema).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        assert got[-1] == [(20, 2, None)], "appended dim file is invisible"
+        # catalog refresh does NOT reach the running query's plan
+        spark.catalog.refreshByPath(str(dim))
+        spark.createDataFrame([(3, 20)], eschema).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        assert got[-1] == [(20, 3, None)], (
+            "refreshByPath must not affect a running query (pin)"
+        )
+    finally:
+        q.stop()
+
+    # the fix: re-read the dim INSIDE foreachBatch (st36's pattern)
+    got2 = []
+
+    def enrich(bdf, bid):
+        fresh = spark.read.schema(dschema).parquet(str(dim))
+        got2.append(
+            sorted(map(tuple, bdf.join(fresh, "user_id", "left").collect()))
+        )
+
+    q2 = (
+        spark.readStream.schema(eschema)
+        .parquet(str(src))
+        .writeStream.outputMode("append")
+        .foreachBatch(enrich)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    all_rows = sorted(r for batch in got2 for r in batch)
+    assert all_rows == [(10, 1, "A"), (20, 2, "B"), (20, 3, "B")], (
+        "per-batch re-read must see the updated dim"
+    )
