@@ -45,6 +45,8 @@ _NEEDS_DRIVER_ROW = [
     "p24_temporal_embargo_split",
     # round-9 addition: AQE runtime SMJ->BHJ conversion lane
     "q131_aqe_runtime_broadcast",
+    # round-9 addition: Hive-style script transform (no-serde) lane
+    "q132_script_transform",
     # round-9 change: q120's final rollup now filters on thr/2 (the
     # last threshold keeping >= 1000 orders) so the output is
     # non-empty and the converged threshold/tier are GENUINELY

@@ -7272,3 +7272,15 @@ WHERE p.p_size <= 3
 GROUP BY p.p_brand
 ORDER BY p_brand
 """
+
+# q132: the external 'tr a-z A-Z' pipe is upper() — the oracle IS the
+# expression rewrite the migration ends at.
+ORACLES["q132_script_transform"] = """
+SELECT upper(event_type) AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events
+GROUP BY upper(event_type)
+ORDER BY event_type
+"""

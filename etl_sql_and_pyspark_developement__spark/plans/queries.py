@@ -9760,3 +9760,49 @@ def q131_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand string, n_items bigint, sum_qty bigint,"
         " price_cents bigint",
     ).orderBy("p_brand")
+
+
+@query("q132_script_transform")
+def q132_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-STYLE SCRIPT TRANSFORM (SELECT ... TRANSFORM ... USING) —
+    the legacy-ETL migration surface: decades of Hive pipelines pipe
+    rows through external processes, and Spark runs the same
+    statement WITHOUT Hive (no-serde mode: rows serialize to
+    tab-separated text on the child's stdin, the declared AS schema
+    re-parses its stdout with type coercion). The external program
+    here ('tr a-z A-Z') genuinely transforms the data OUTSIDE the
+    JVM — the uppercased event types come back through the typed
+    re-parse, and the rollup on top is value-verified against upper()
+    in the oracle, so the serialize -> child process -> re-parse loop
+    is proven, not just exercised.
+
+    Priced honestly (the q118/q127 discipline): this is a per-row
+    PROCESS PIPE — one fork per task plus line-at-a-time text IO,
+    the slowest boundary the engine offers (below even row-Python).
+    It exists for PORTING: run the Hive statement unchanged on day
+    one, then rewrite as expressions (upper() here — the lane's own
+    oracle is the rewrite). Never in a hot path by policy.
+
+    Reference parity: the reference's SQL/*.txt assume a warehouse
+    where TRANSFORM-era pipelines live; this is the bridge statement
+    a migration runs before the rewrite to q01-style expressions.
+    """
+    ev = table(spark, sf_dir, "events")
+    ev.selectExpr(
+        "event_type",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    ).createOrReplaceTempView("q132_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM (
+          SELECT TRANSFORM(event_type, cents)
+            USING 'tr a-z A-Z' AS (event_type STRING, cents BIGINT)
+          FROM q132_events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )

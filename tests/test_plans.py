@@ -1589,3 +1589,24 @@ def test_q131_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q132_script_transform_node_and_null_roundtrip(spark, sf_dir):
+    """The plan must carry a ScriptTransformation stage (the external
+    process boundary is real, not optimized away), and the no-serde
+    NULL marker must round-trip: a NULL cents row serializes as \\N
+    and re-parses as NULL, never as a zero or a crash."""
+    plan = plan_of(spark, "q132_script_transform", sf_dir)
+    assert "ScriptTransformation" in plan
+
+    spark.createDataFrame(
+        [("a", 1), ("b", None)], "event_type string, cents bigint"
+    ).createOrReplaceTempView("q132_nulls")
+    rows = spark.sql(
+        """
+        SELECT TRANSFORM(event_type, cents)
+          USING 'tr a-z A-Z' AS (event_type STRING, cents BIGINT)
+        FROM q132_nulls
+        """
+    ).collect()
+    assert sorted(map(tuple, rows)) == [("A", 1), ("B", None)]
