@@ -24,6 +24,118 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _walk_executed(node):
+    """Depth-first walk of an EXECUTED physical plan, following the
+    adaptive indirections explain text hides: AdaptiveSparkPlanExec
+    yields its finalized plan, *QueryStageExec wrappers yield the
+    stage's materialized subtree. ReusedExchangeExec is a LeafExecNode
+    in Spark (it references, not contains, its exchange), so reuse is
+    counted once at the original and once as a reuse marker — never
+    double-walked."""
+    name = node.getClass().getSimpleName()
+    yield node, name
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_executed(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_executed(node.plan())
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_executed(it.next())
+
+
+def _node_metrics(node) -> dict:
+    out = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def executed_plan_metrics(df: DataFrame) -> dict:
+    """The EXECUTED adaptive plan's own counters — plan_profile's
+    zero-noise twin. Call AFTER an action on df (the metrics are
+    populated by execution; before it they read 0/initial). At fixed
+    input these are DETERMINISTIC — row counts and node counts don't
+    drift with box load the way wall-clock does — so a committed
+    record of them gates regressions with zero headroom: a lost
+    pushdown moves scan_rows, an extra shuffle moves n_shuffles, a
+    broadcast that silently became a sort-merge moves joins. (Byte
+    sizes are deliberately NOT recorded: compression and batch
+    framing make them run-to-run noisy; record counts are exact.)
+
+    Keys:
+    - n_scans / scan_rows: source scans and each one's numOutputRows,
+      sorted (post-pushdown row counts — THE pushdown regression
+      detector)
+    - n_shuffles / shuffle_rows: ShuffleExchangeExec count and each
+      exchange's records written, sorted
+    - n_broadcasts / broadcast_rows: BroadcastExchangeExec count and
+      rows broadcast
+    - n_reused_exchanges: ReusedExchangeExec markers (q112's subject)
+    - n_python_stages: Arrow/Pandas/row-Python eval stages executed
+    - joins: executed join strategy name -> count
+    - has_cartesian: CartesianProduct / BroadcastNestedLoopJoin ran
+
+    Main-tree only: subquery plans (scalar subqueries, DPP filters)
+    execute as separate trees and are pinned by their own contracts
+    (tests/test_plans.py's q104 DPP assertion); this record is the
+    per-lane main-plan fingerprint.
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+    scan_rows: list[int] = []
+    shuffle_rows: list[int] = []
+    broadcast_rows: list[int] = []
+    joins: dict[str, int] = {}
+    n_reused = 0
+    n_python = 0
+    has_cartesian = False
+    for node, name in _walk_executed(plan):
+        if name in (
+            "FileSourceScanExec",
+            "BatchScanExec",
+            "RowDataSourceScanExec",
+            "InMemoryTableScanExec",
+            "LocalTableScanExec",
+        ):
+            scan_rows.append(int(_node_metrics(node).get("numOutputRows", 0)))
+        elif name == "ShuffleExchangeExec":
+            shuffle_rows.append(
+                int(_node_metrics(node).get("shuffleRecordsWritten", 0))
+            )
+        elif name == "BroadcastExchangeExec":
+            broadcast_rows.append(
+                int(_node_metrics(node).get("numOutputRows", 0))
+            )
+        elif name == "ReusedExchangeExec":
+            n_reused += 1
+        elif name.endswith("JoinExec") or name == "CartesianProductExec":
+            joins[name] = joins.get(name, 0) + 1
+            if name in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):
+                has_cartesian = True
+        if (
+            "EvalPython" in name
+            or "InPandas" in name
+            or "InArrow" in name
+            or "PythonUDTF" in name
+        ):
+            n_python += 1
+    return {
+        "n_scans": len(scan_rows),
+        "scan_rows": sorted(scan_rows),
+        "n_shuffles": len(shuffle_rows),
+        "shuffle_rows": sorted(shuffle_rows),
+        "n_broadcasts": len(broadcast_rows),
+        "broadcast_rows": sorted(broadcast_rows),
+        "n_reused_exchanges": n_reused,
+        "n_python_stages": n_python,
+        "joins": dict(sorted(joins.items())),
+        "has_cartesian": has_cartesian,
+    }
+
+
 def plan_profile(df: DataFrame) -> dict:
     """Summarize the physical plan into the counters that matter at
     scale. Keys:
