@@ -292,7 +292,19 @@ class JsonlStreamWriter(DataSourceStreamWriter):
     """
 
     def __init__(self, options: dict):
+        import uuid
+
         self.path = options["path"]
+        # per-writer-instance ownership token (driver-generated, rides
+        # to executors via pickle): the single-writer contract's loud
+        # half. First commit ASSERTS ownership (so a checkpoint
+        # restart — a new instance over a dead predecessor — takes
+        # over cleanly); any later commit that finds the owner file
+        # changed means a SECOND live query is writing here, and this
+        # writer fails loudly instead of silently sweeping its rival's
+        # in-flight files.
+        self.token = uuid.uuid4().hex
+        self._owner_asserted = False
 
     def write(self, iterator):
         import json
@@ -317,6 +329,34 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         import json
         import os
 
+        # ownership check BEFORE any rename/sweep: _writer_owner holds
+        # the live writer's token. First commit takes over (restart
+        # over a dead predecessor); a mismatch on a LATER commit means
+        # a second query asserted ownership mid-run — fail loudly, the
+        # rival keeps the directory, nothing of its state is touched.
+        owner = os.path.join(self.path, "_writer_owner")
+        if self._owner_asserted:
+            try:
+                with open(owner) as f:
+                    current = f.read()
+            except OSError:
+                current = ""
+            if current != self.token:
+                raise RuntimeError(
+                    f"graft_jsonl_sink single-writer violation at "
+                    f"{self.path}: another streaming query took "
+                    f"ownership (owner token {current[:8]!r} != this "
+                    f"writer's {self.token[:8]!r}); one sink dir, one "
+                    f"query"
+                )
+        else:
+            os.makedirs(self.path, exist_ok=True)
+            tmp_owner = owner + f".{self.token}.tmp"
+            with open(tmp_owner, "w") as f:
+                f.write(self.token)
+            os.replace(tmp_owner, owner)
+            self._owner_asserted = True
+
         entries = []
         for m in messages:
             if m is None:
@@ -335,9 +375,10 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         # without the sweep orphans accumulate forever in a
         # long-running stream. POSIX unlink is safe even against a
         # straggling speculative attempt still holding the fd open.
-        # Single-writer assumption (same as Spark's own file sink): a
-        # SECOND query streaming into this directory would have its
-        # in-flight staged files swept — one sink dir, one query.
+        # Single-writer assumption (same as Spark's own file sink) —
+        # now ENFORCED by the ownership check above: a second query
+        # fails loudly at its rival's next commit instead of having
+        # its in-flight staged files silently swept.
         for leftover in os.listdir(self.path):
             if leftover.startswith(".staged-") and leftover.endswith(
                 ".jsonl"

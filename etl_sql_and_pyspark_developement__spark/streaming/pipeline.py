@@ -875,6 +875,41 @@ def available_now_backfill(transformed: DataFrame, checkpoint: str, sink_fn):
     return q
 
 
+def stream_fresh_dim_enrich(
+    stream: DataFrame,
+    dim_path: str,
+    dim_schema,
+    batch_sink,
+    *,
+    on: str = "user_id",
+    how: str = "left",
+):
+    """st44 FIX-OF-RECORD: stream-static enrichment against a dim that
+    UPDATES while the query runs. A plain stream-static join freezes
+    the static side's file LISTING at DataFrame resolution for the
+    query's lifetime (appended dim files are invisible, and
+    spark.catalog.refreshByPath does not reach a running query — both
+    pinned in tests/test_streaming.py's st44 boundary test), so the
+    slowly-changing-dim case needs the join INSIDE foreachBatch: a
+    fresh read per micro-batch is a fresh listing. The dim is
+    broadcast — it's the small side by definition, and at 100 TB of
+    stream the per-batch relist+broadcast of a dim is noise next to
+    the batch itself (a dim too big to broadcast belongs in st36's
+    versioned temporal-enrich instead).
+
+    `batch_sink(enriched_df, batch_id)` receives each enriched batch
+    (the restartable foreachBatch form — memory sinks can't recover a
+    checkpoint). Returns the DataStreamWriter; the caller adds
+    checkpoint/trigger options and starts it."""
+    spark = stream.sparkSession
+
+    def _enrich(bdf: DataFrame, batch_id: int) -> None:
+        fresh = spark.read.schema(dim_schema).parquet(dim_path)
+        batch_sink(bdf.join(F.broadcast(fresh), on, how), batch_id)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_enrich)
+
+
 def sink_stream_temporal_enrich(
     fact_stream: DataFrame,
     versions: DataFrame,

@@ -2869,6 +2869,44 @@ def test_st41_reader_raises_on_manifest_listed_file_missing(spark, tmp_path):
         read_jsonl_sink(spark, out, SYNTH_EVENTS_SCHEMA)
 
 
+def test_st41_second_writer_fails_loudly(tmp_path):
+    """The single-writer contract's LOUD half (r9 ADVICE): a second
+    query that takes ownership of the sink dir makes the FIRST
+    writer's next commit raise — no silent sweep of a live rival's
+    staged files. A fresh instance over a dead predecessor (restart)
+    still takes over cleanly at its first commit."""
+    import os
+
+    import pytest
+
+    from etl_sql_and_pyspark_developement__spark.sources.pyds import (
+        JsonlCommitMessage,
+        JsonlStreamWriter,
+    )
+
+    out = str(tmp_path / "sink3_out")
+    os.makedirs(out)
+
+    def stage(name: str) -> JsonlCommitMessage:
+        p = os.path.join(out, f".staged-{name}-p0.jsonl")
+        with open(p, "w") as f:
+            f.write('{"event_id": 1, "bucket": 0, "cents": 0}\n')
+        return JsonlCommitMessage(p, 1, 0)
+
+    w1 = JsonlStreamWriter({"path": out})
+    w1.commit([stage("w1a")], 0)  # first commit: asserts ownership
+    w1.commit([stage("w1b")], 1)  # still the owner: fine
+
+    w2 = JsonlStreamWriter({"path": out})
+    w2.commit([stage("w2a")], 0)  # takeover (legit restart semantics)
+
+    with pytest.raises(RuntimeError, match="single-writer violation"):
+        w1.commit([stage("w1c")], 2)
+    # the rival's committed state is untouched by the failed commit
+    assert os.path.exists(os.path.join(out, "batch-00000-p0.jsonl"))
+    w2.commit([stage("w2b")], 1)  # rival continues as sole writer
+
+
 def test_st42_full_outer_attribution_emits_both_complements(
     spark, sf_dir, tmp_path
 ):
@@ -3289,22 +3327,25 @@ def test_st44_stream_static_dim_frozen_for_query_lifetime(spark, tmp_path):
     finally:
         q.stop()
 
-    # the fix: re-read the dim INSIDE foreachBatch (st36's pattern)
+    # the fix-of-record: pipeline.stream_fresh_dim_enrich re-reads the
+    # dim INSIDE foreachBatch (a fresh DataFrame = a fresh listing)
+    from etl_sql_and_pyspark_developement__spark.streaming.pipeline import (
+        stream_fresh_dim_enrich,
+    )
+
     got2 = []
 
-    def enrich(bdf, bid):
-        fresh = spark.read.schema(dschema).parquet(str(dim))
-        got2.append(
-            sorted(map(tuple, bdf.join(fresh, "user_id", "left").collect()))
-        )
+    def sink(enriched, bid):
+        got2.append(sorted(map(tuple, enriched.collect())))
 
-    q2 = (
-        spark.readStream.schema(eschema)
-        .parquet(str(src))
-        .writeStream.outputMode("append")
-        .foreachBatch(enrich)
-        .start()
-    )
+    q2 = stream_fresh_dim_enrich(
+        spark.readStream.schema(eschema).parquet(str(src)),
+        str(dim),
+        dschema,
+        sink,
+        on="user_id",
+        how="left",
+    ).start()
     try:
         q2.processAllAvailable()
     finally:
@@ -3312,4 +3353,127 @@ def test_st44_stream_static_dim_frozen_for_query_lifetime(spark, tmp_path):
     all_rows = sorted(r for batch in got2 for r in batch)
     assert all_rows == [(10, 1, "A"), (20, 2, "B"), (20, 3, "B")], (
         "per-batch re-read must see the updated dim"
+    )
+
+
+def test_state_rebuild_migration_bitmap_v1_to_v2(spark, sf_dir, tmp_path):
+    """streaming/migrate.py: the upgrade playbook the schema-evolution
+    probe proves necessary, run end-to-end. A v1 st31 query folds half
+    the corpus into checkpoint A; the v2 query (state widened by one
+    field — exactly what a direct restart of checkpoint A REFUSES) is
+    seeded through migrate_stateful_checkpoint (state export -> bit
+    inverse-transform -> availableNow drain into checkpoint B); live
+    data then continues on B. Contracts:
+
+    1. after the seed batch, B's words equal A's words BIT-EXACTLY
+       (old-query state survives into the new query's fold);
+    2. the widened field exists with its documented cutover semantics
+       (n_folds counts rows folded since migration = popcount of the
+       seeded word);
+    3. after the second half streams in, B's state equals the batch
+       truth over the WHOLE corpus — zero data loss across the
+       migration.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.migrate import (
+        bitmap_rehydration_rows,
+        migrate_stateful_checkpoint,
+        streaming_bitmap_distinct_v2,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.statestore import (
+        read_state,
+        read_state_metadata,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    half1 = ev.filter(F.datediff(F.to_date("ts"), F.lit(d0)) < 15)
+    half2 = ev.filter(F.datediff(F.to_date("ts"), F.lit(d0)) >= 15)
+    assert half2.count() > 0, "second half must actually carry rows"
+
+    # ---- phase 1: v1 query over the first half, checkpoint A
+    src1 = tmp_path / "mig_src_v1"
+    src1.mkdir()
+    half1.coalesce(1).write.parquet(str(src1 / "b0"))
+    ckpt_a = str(tmp_path / "mig_ckpt_a")
+    q1 = (
+        streaming_bitmap_distinct(
+            spark.readStream.schema(ev.schema).parquet(str(src1 / "*"))
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mig_v1_out")
+        .option("checkpointLocation", ckpt_a)
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    def words(ckpt, field):
+        return {
+            (r.t, r.b): r.w
+            for r in read_state(spark, ckpt)
+            .select(
+                F.col("key.event_type").alias("t"),
+                F.col("key.bucket").alias("b"),
+                F.col(f"value.groupState.{field}").alias("w"),
+            )
+            .collect()
+        }
+
+    old_words = words(ckpt_a, "word")
+    assert old_words, "checkpoint A must hold state"
+
+    # ---- phase 2: migrate to the widened v2 state under checkpoint B
+    src2 = str(tmp_path / "mig_src_v2")
+    ckpt_b = str(tmp_path / "mig_ckpt_b")
+
+    def start_v2(source_dir):
+        stream = spark.readStream.schema(
+            "event_type string, user_id bigint"
+        ).parquet(source_dir)
+        return (
+            streaming_bitmap_distinct_v2(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", ckpt_b)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    migrate_stateful_checkpoint(
+        spark, ckpt_a, bitmap_rehydration_rows, src2, start_v2
+    )
+
+    new_words = words(ckpt_b, "word")
+    assert new_words == old_words, (
+        "migrated state must be BIT-EXACT vs checkpoint A"
+    )
+    folds = words(ckpt_b, "n_folds")
+    assert all(
+        folds[k] == bin(w & ((1 << 63) - 1)).count("1")
+        for k, w in new_words.items()
+    ), "n_folds cutover semantics: one synthetic row per set bit"
+
+    # ---- phase 3: live data continues on checkpoint B — zero loss
+    half2.select("event_type", "user_id").write.mode("append").parquet(src2)
+    q3 = start_v2(src2)
+    q3.awaitTermination()
+    md = read_state_metadata(spark, ckpt_b).collect()[0]
+    assert md.maxBatchId >= 1, "phase 3 must commit at least one more batch"
+    final = words(ckpt_b, "word")
+    got = {}
+    for (t, _b), w in final.items():
+        got[t] = got.get(t, 0) + bin(w & ((1 << 63) - 1)).count("1")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want, (
+        "post-migration fold must equal batch truth over the whole corpus"
     )
