@@ -24,50 +24,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries with no driver CORRECTNESS row for their *current* code —
 # listed FIRST so a driver that samples 50 entries per round covers
 # the unproven backlog before re-proving already-green rows.
-# Round-4 backlog (per VERDICT r03 item 1): exactly the 6 entries
-# added after the r03 driver snapshot, plus anything round 4
-# touches (appended as it changes).
+# Round-10 backlog: every lane round 10 added or touched, with the
+# reason (prior rounds' entries are pruned once their fresh row
+# lands — every r9 entry is green in CORRECTNESS_r09.json).
 _NEEDS_DRIVER_ROW = [
-    # round-9 addition: AQE partition-coalescing lane (third AQE
-    # lever after q101 skew-split and q104 DPP)
-    "q126_aqe_coalesce",
-    # round-9 addition: priced Arrow scalar UDF exhibit (in-row
-    # UDF==expression equality; the 4.5x cost recorded in PLANS.md)
-    "q127_arrow_scalar_udf",
-    # round-9 addition: retention/TTL partition-delete maintenance
-    # lane (atomic sweep, survivors value-verified)
-    "q128_retention_delete",
-    # round-9 addition: hidden _metadata file-lineage audit lane
-    "q129_file_metadata_audit",
-    # round-9 addition: mergeSchema two-generation read lane
+    # round-10 addition: equi-height histogram CBO stats lane
+    # (skew-aware estimates + the broadcast-decision flip)
+    "q133_histogram_stats",
+    # round-10 addition: one-scan multi-output ETL fan-out (persist +
+    # atomic 3-table commit; scan-count plan-asserted, each output
+    # value-verified by the consumer rollup)
+    "q134_multi_output_etl",
+    # round-10 change: q130's oracle n_gen2 now replays count(source)
+    # exactly (NULL-source gen-2 rows skipped on both sides — ADVICE
+    # r9); fresh row re-proves the pair
     "q130_schema_evolution_read",
-    # round-9 addition: temporal embargo split with crossing audit
-    "p24_temporal_embargo_split",
-    # round-9 addition: AQE runtime SMJ->BHJ conversion lane
-    "q131_aqe_runtime_broadcast",
-    # round-9 addition: Hive-style script transform (no-serde) lane
-    "q132_script_transform",
-    # round-9 change: q120's final rollup now filters on thr/2 (the
-    # last threshold keeping >= 1000 orders) so the output is
-    # non-empty and the converged threshold/tier are GENUINELY
-    # value-compared (ADVICE r8: the empty-vs-empty hash match was
-    # vacuous) — operator AND oracle moved together
-    "q120_sql_scripting",
-    # round-9 change: vector_features_arrow now fails loudly on NULL
-    # list slots / elements — fresh row re-proves the kernel
-    "s11_arrow_vector_features",
-    # round-9 change: analyzed_part_table / analyzed_star_tables grew
-    # a self-healing metadata-only stats check (crash between
-    # saveAsTable and ANALYZE no longer wedges a stats-less table)
-    # and moved onto the shared _artifact_dest key recipe — fresh
-    # rows re-prove both CBO lanes end-to-end
-    "q106_cbo_stats_join", "q119_cbo_join_reorder",
-    # round-9 change: xml_orders_fixture re-keyed onto _artifact_dest
-    # (artifact rebuilds under the new key)
-    "q122_xml_interop",
-    # round-9 change: maintained_daily_table now derives its CREATE
-    # TABLE DDL from rollup.schema instead of hardcoding it
-    "q114_insert_overwrite_dynamic",
+    # round-10 change: retention sweep renames aside to an
+    # underscore-prefixed trash name (invisible to partition
+    # discovery mid-sweep — ADVICE r9) and heals orphans; fresh row
+    # re-proves the consumer lane
+    "q128_retention_delete",
 ]
 
 

@@ -44,3 +44,22 @@ def quality_score_udf(s: pd.Series) -> pd.Series:
     # bare int64 astype would instead crash the worker on the first
     # null document.
     return (1000 * n + 7 * ws + 3 * dg).astype("Int64")
+
+
+@F.udf(LongType())
+def quality_score_row_udf(text):
+    """ROW-AT-A-TIME twin of quality_score_udf — the PRICING EXHIBIT
+    for the classic ladder rung between the expression and the Arrow
+    UDF (expression >> Arrow UDF >> THIS >> script pipe). Never used
+    in any lane: each call pickles one row through the Python worker
+    (BatchEvalPython — no Arrow batching, no vectorized kernels); it
+    exists so the external-logic policy table carries a MEASURED
+    number for the rung users actually reach for first (PLANS.md
+    q127 pricing row). Semantics identical to the vectorized twin,
+    asserted in tests/test_functions.py."""
+    if text is None:
+        return None
+    n = len(text)
+    ws = text.count(" ")
+    dg = sum(c.isdigit() for c in text)
+    return 1000 * n + 7 * ws + 3 * dg

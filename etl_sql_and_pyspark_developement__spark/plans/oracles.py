@@ -7185,11 +7185,14 @@ ORDER BY bucket
 """
 
 # q130: generation membership is doc_id parity; gen-1 rows NULL-fill
-# source/n_chars under the merged schema.
+# source/n_chars under the merged schema. n_gen2 replays the query's
+# count(source) EXACTLY — a gen-2 row with NULL source (none at any
+# current sf, but legal) is skipped by both sides.
 ORACLES["q130_schema_evolution_read"] = """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+       CAST(count(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+                       THEN 1 END) AS BIGINT)
            AS n_gen2,
        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
            AS gen2_chars,
@@ -7283,4 +7286,78 @@ SELECT upper(event_type) AS event_type,
 FROM events
 GROUP BY upper(event_type)
 ORDER BY event_type
+"""
+
+# q133: the histogram twin's values are conf-invariant — the dominant
+# language (max count, tie-break lang) filter + embedding coverage
+# replayed from the flat truth; lang_code never changes membership.
+ORACLES["q133_histogram_stats"] = """
+WITH dom AS (
+    SELECT lang FROM documents
+    GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(e.vec_id) AS BIGINT) AS n_vecs
+FROM documents d
+JOIN dom ON d.lang = dom.lang
+LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+# q134: each fan-out output recomputed from the flat fact — per-group
+# integer casts replayed exactly, then rolled to the consumer summary.
+ORACLES["q134_multi_output_etl"] = """
+SELECT 'by_flag' AS output,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(sum(m) AS BIGINT) AS measure
+FROM (
+  SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS m
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+UNION ALL
+SELECT 'by_month',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n) AS BIGINT),
+       CAST(sum(m) AS BIGINT)
+FROM (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS m
+  FROM lineitem GROUP BY strftime(l_shipdate, '%Y-%m')
+)
+UNION ALL
+SELECT 'by_suppband',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n) AS BIGINT),
+       CAST(sum(m) AS BIGINT)
+FROM (
+  SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS m
+  FROM lineitem GROUP BY l_suppkey % 10
+)
+ORDER BY output
+"""
+
+# q135: legacy rows replay the exists-default ('unreviewed', 0); the
+# two planted rows are fixed constants — one explicit, one riding the
+# insert-side current-default.
+ORACLES["q135_default_columns"] = """
+WITH evolved AS (
+  SELECT lang, 'unreviewed' AS quality_tier, 0 AS review_pass, n_chars
+  FROM documents
+  UNION ALL
+  SELECT 'en', 'expedited', 2, 11
+  UNION ALL
+  SELECT 'en', 'unreviewed', 0, 12
+)
+SELECT lang, quality_tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(review_pass) AS BIGINT) AS passes,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM evolved
+GROUP BY lang, quality_tier
+ORDER BY lang, quality_tier
 """

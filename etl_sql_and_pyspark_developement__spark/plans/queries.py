@@ -9806,3 +9806,166 @@ def q132_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@query("q133_histogram_stats")
+def q133_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-HEIGHT HISTOGRAM STATISTICS — the stats lever that sees
+    through SKEW, completing the CBO story (q106 proved min/max/ndv
+    drive the broadcast decision through a filter, q119 proved
+    rowCount+ndv drive join ORDER; both price an equality predicate
+    as rowCount/ndv — the UNIFORM assumption, and the exact mistake
+    on skewed data). `ANALYZE ... FOR COLUMNS` under
+    spark.sql.statistics.histogram.enabled=true records 254
+    equi-height bins, and FilterEstimation prices each VALUE from its
+    bin heights instead: on documents.lang (genuinely skewed — en
+    ~44% vs ~13% per tail lang, dictionary-coded to the numeric
+    lang_code histograms require), the measured estimates at sf0.01
+    are uniform 100/100 rows for en/fr (blind, identical) vs
+    histogram 221/65 against actuals 218/64 — near-exact and
+    value-specific. The plan test (tests/test_plans.py) turns that
+    gap into the decision that matters: a broadcast threshold between
+    the two estimates makes the ndv-only twin UNDER-provision the
+    dominant-language sliver onto the broadcast bus (the classic
+    driver-OOM postmortem) while the histogram twin correctly keeps
+    it on the shuffle path — plus estimate-vs-actual assertions on
+    both twins (io.analyzed_docs_hist_tables).
+
+    The lane itself runs under production confs and its VALUES are
+    conf-invariant (q106's discipline — the oracle is the plain
+    filter+join on documents/embeddings): filter the histogram twin
+    to the data-derived dominant language, enrich with embedding
+    coverage, roll up per source.
+
+    At 100 TB: the nightly ANALYZE pays one extra percentile pass per
+    histogram column; in exchange every skewed-dimension predicate —
+    the event-type, the country, the product tier that holds half the
+    fact — is priced from its real frequency, which is the difference
+    between planning for 100 rows and receiving 100 million.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        analyzed_docs_hist_tables,
+    )
+
+    hist_name, _ = analyzed_docs_hist_tables(spark, sf_dir)
+    d = spark.table(hist_name)
+    # dominant language, data-derived (max doc count, tie-break lang)
+    dom = (
+        d.groupBy("lang_code")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("lang").alias("lang"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .collect()[0]["lang_code"]
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
+    )
+    return (
+        d.filter(F.col("lang_code") == dom)
+        .join(emb, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("sum_chars"),
+            F.expr("CAST(count(has_vec) AS BIGINT)").alias("n_vecs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("q134_multi_output_etl")
+def q134_multi_output_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-OUTPUT SINGLE-SCAN ETL — the "one fact scan -> N output
+    tables" production topology (io.multi_output_etl_path): the
+    nightly job that lands by-flag, by-month, and by-supplier-band
+    rollups from ONE materialized pass over lineitem. q112 proved
+    exchange reuse works INSIDE a query and the UNION-no-reuse
+    finding proved it does NOT span separate writes, so the fan-out
+    persists the projected base explicitly (MEMORY_AND_DISK, project
+    first, unpersist in finally) and all three outputs commit as one
+    atomic unit — a consumer never reads by_flag fresh and by_month
+    stale. The scan-count contract lives in tests/test_plans.py:
+    every rollup's executed plan reads the cache (ZERO parquet
+    scans), while the naive shape pays one full scan PER OUTPUT —
+    the deterministic form of the 3x-vs-1x IO price.
+
+    This lane is each output's CONSUMER: it reads the three committed
+    tables and rolls each up to (n_groups, total_rows, measure) — so
+    the driver row value-verifies every output against the flat truth
+    (the oracle recomputes each rollup from lineitem directly; any
+    lost rows, double-counted groups, or drift in ONE output breaks
+    the hash).
+
+    At 100 TB: N outputs x one 100 TB scan each is the single
+    biggest avoidable cost in a warehouse's nightly window; one
+    cached projection + N cheap aggregations is the shape that fits
+    the window — and when the projection outgrows memory it spills
+    per-partition, still decoding the parquet exactly once.
+    """
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        multi_output_etl_path,
+    )
+
+    root = multi_output_etl_path(spark, sf_dir)
+    parts = []
+    for name, measure in (
+        ("by_flag", "sum_qty"),
+        ("by_month", "rev_cents"),
+        ("by_suppband", "sum_qty"),
+    ):
+        out = spark.read.parquet(os.path.join(root, name))
+        parts.append(
+            out.agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_groups"),
+                F.expr("CAST(sum(n) AS BIGINT)").alias("total_rows"),
+                F.expr(f"CAST(sum({measure}) AS BIGINT)").alias("measure"),
+            ).select(F.lit(name).alias("output"), "*")
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.orderBy("output")
+
+
+@query("q135_default_columns")
+def q135_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG DEFAULT-COLUMN EVOLUTION — the free half of schema
+    change, completing the drift story (q130 reads a directory that
+    drifted WITHOUT a catalog via mergeSchema's per-file footer tax;
+    this evolves THROUGH the catalog for zero IO): `ALTER TABLE ...
+    ADD COLUMNS (quality_tier STRING DEFAULT 'unreviewed',
+    review_pass INT DEFAULT 0)` rewrites nothing — the
+    EXISTS_DEFAULT lives in column metadata and every pre-evolution
+    row surfaces it at scan time (file mtimes asserted untouched in
+    tests/test_io.py); post-evolution INSERTs fill omitted columns
+    from the CURRENT_DEFAULT (both planted rows exercise it: one
+    explicit, one defaulted — io.defaults_evolved_table). The rollup
+    groups (lang, quality_tier) with pass and char sums, so the
+    oracle value-verifies all three populations at once: legacy rows
+    under the exists-default, the explicit insert, and the
+    current-default insert.
+
+    At 100 TB: ADD COLUMNS DEFAULT is the only schema change that
+    costs a metadata write instead of a backfill — no file rewrite,
+    no mergeSchema footer pass at planning, no NULL-vs-absent
+    ambiguity (the default is typed and declared). The reference's
+    ALTER-heavy SQL scripts (every R* schema has post-hoc columns)
+    map here.
+    """
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        defaults_evolved_table,
+    )
+
+    name = defaults_evolved_table(spark, sf_dir)
+    return (
+        spark.table(name)
+        .groupBy("lang", "quality_tier")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(review_pass) AS BIGINT)").alias("passes"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("sum_chars"),
+        )
+        .orderBy("lang", "quality_tier")
+    )

@@ -928,6 +928,103 @@ def analyzed_star_tables(
     return tuple(names)
 
 
+def analyzed_docs_hist_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> tuple[str, str]:
+    """HISTOGRAM-STATS twins of documents — the q133 fixture that
+    completes the stats story q106 (min/max/ndv broadcast) and q119
+    (join reorder) began: equi-height histograms are the only stats
+    that see through SKEW. Both twins add `lang_code` (the dense
+    alphabetical rank of lang — histograms only build on
+    numeric/date columns, so the categorical skew is dictionary-coded
+    first, the standard warehouse move) and both are ANALYZE'd with
+    table + column stats; the `_hist` twin additionally runs ANALYZE
+    under spark.sql.statistics.histogram.enabled=true, giving
+    FilterEstimation per-value bin heights instead of the uniform
+    rowCount/ndv assumption. documents.lang is genuinely skewed
+    (en ~44% vs ~13% per tail lang), so the two twins estimate
+    `lang_code = <en>` at ~2.2x apart — the gap the q133 plan test
+    turns into a broadcast-decision flip.
+
+    Same build-once + self-healing-stats contract as
+    analyzed_star_tables; the histogram heal check looks for the
+    `histogram` row in DESCRIBE (metadata-only). Returns
+    (hist_name, nohist_name).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    names = []
+    for hist in (True, False):
+        tag = "hist" if hist else "nohist"
+        dest = _artifact_dest(
+            f"docs_{tag}_stats", src, "histstats|v=1", artifact_dir
+        )
+        name = os.path.basename(dest)
+        if not spark.catalog.tableExists(name):
+            docs = spark.read.parquet(src)
+            # dense alphabetical lang code: the window runs over the
+            # DISTINCT langs only (ndv rows), then broadcasts back —
+            # no global window over the corpus
+            codes = (
+                docs.select("lang")
+                .distinct()
+                .withColumn(
+                    "lang_code", F.row_number().over(Window.orderBy("lang"))
+                )
+            )
+            (
+                docs.join(F.broadcast(codes), "lang")
+                .write.mode("overwrite")
+                .option("path", dest)
+                .saveAsTable(name)
+            )
+        if not _docs_hist_stats_complete(spark, name, hist):
+            old = spark.conf.get("spark.sql.statistics.histogram.enabled")
+            try:
+                spark.conf.set(
+                    "spark.sql.statistics.histogram.enabled",
+                    str(hist).lower(),
+                )
+                spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+                spark.sql(
+                    f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS"
+                    " lang_code, doc_id, n_chars"
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.statistics.histogram.enabled", old
+                )
+        names.append(name)
+    return tuple(names)
+
+
+def _docs_hist_stats_complete(
+    spark: SparkSession, name: str, hist: bool
+) -> bool:
+    """Metadata-only heal check (analyzed_star_tables' discipline,
+    plus the histogram row): table rowCount present, lang_code ndv
+    present, and — for the hist twin — the equi-height histogram
+    actually recorded (a crash between the two ANALYZE statements, or
+    an ANALYZE run under the wrong conf, must rerun)."""
+    if not _star_stats_complete(spark, name, "lang_code"):
+        return False
+    if not hist:
+        return True
+    rows = {
+        r[0]
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {name} lang_code"
+        ).collect()
+    }
+    return "histogram" in rows
+
+
 def orders_layout_twins(
     spark: SparkSession,
     sf_dir: str,
@@ -1173,11 +1270,26 @@ def retention_swept_path(
     ).isoformat()
     marker = os.path.join(dest, f"_retention_{cutoff}")
     if not os.path.exists(marker):
+        # heal crash orphans first: an underscore-prefixed trash dir
+        # is invisible to partition discovery AND to the day= listing
+        # above, so a leftover can never resurrect rows — but it does
+        # hold disk, so each sweep clears any predecessor's corpses.
+        for d in os.listdir(dest):
+            if d.startswith("_trash_day_"):
+                shutil.rmtree(
+                    os.path.join(dest, d), ignore_errors=True
+                )
         for day in days:
             if day >= cutoff:
                 continue
             pdir = os.path.join(dest, f"day={day}")
-            trash = f"{pdir}.trash.{os.getpid()}"
+            # underscore prefix: Hive/Spark partition discovery skips
+            # _-prefixed paths, so between rename and rmtree (or after
+            # a crash mid-window) readers see the partition GONE —
+            # never resurrected under a mangled day value.
+            trash = os.path.join(
+                dest, f"_trash_day_{day}.{os.getpid()}"
+            )
             try:
                 os.rename(pdir, trash)  # atomic: whole or gone
             except OSError:
@@ -1404,3 +1516,189 @@ def compacted_events_fixture(
         with open(done, "w") as f:
             f.write("ok")
     return frag, comp
+
+
+def fanout_rollups(base: DataFrame) -> dict[str, DataFrame]:
+    """The q134 fan-out's rollup set over one projected lineitem
+    frame, factored PURE (DataFrame -> DataFrames) so the builder and
+    the scan-count contract test (tests/test_plans.py) run the SAME
+    logic — the test proves each rollup's executed plan reads the
+    cached base (zero parquet scans), not a re-scan. Integer-exact
+    measures throughout (the repo's rounding discipline)."""
+    from pyspark.sql import functions as F
+
+    return {
+        "by_flag": (
+            base.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("sum_qty"),
+            )
+        ),
+        "by_month": (
+            base.groupBy(
+                F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+            )
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                F.expr(
+                    "CAST(sum(CAST(round(l_extendedprice * 100, 0)"
+                    " AS BIGINT)) AS BIGINT)"
+                ).alias("rev_cents"),
+            )
+        ),
+        "by_suppband": (
+            base.groupBy(F.pmod("l_suppkey", F.lit(10)).alias("supp_band"))
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("sum_qty"),
+            )
+        ),
+    }
+
+
+def multi_output_etl_path(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """ONE FACT SCAN -> N OUTPUT TABLES — the production ETL topology
+    the reference's scripts each run one-at-a-time (every reference
+    workload reads a fact and writes ONE rollup; a real nightly job
+    writes all of them, and re-scanning 100 TB once per output is the
+    naive shape this lane exists to kill). q112 proved Catalyst
+    reuses an exchange INSIDE one query but NOT across separate
+    writes — each .write is its own query execution, so the fan-out
+    must materialize the shared base explicitly:
+
+    - PROJECT FIRST: only the columns any rollup needs leave the
+      scan (the cache holds the narrow projection, not the table);
+    - persist(MEMORY_AND_DISK) + count() materializes ONE parquet
+      scan; every subsequent rollup plans an InMemoryTableScan
+      (asserted in tests/test_plans.py: zero parquet scans per
+      output, vs one EACH for the naive re-read shape);
+    - persist over localCheckpoint: same scan-once effect, but the
+      cache keeps lineage (an executor loss recomputes the lost
+      partitions; a lost localCheckpoint partition kills the job);
+    - the three outputs commit ATOMICALLY AS A UNIT (one tmp dir,
+      one rename): a consumer never sees by_flag updated while
+      by_month is stale — the cross-table consistency a nightly
+      fan-out needs;
+    - unpersist in finally: the cache is scoped to the build, never
+      leaked into later queries' memory budget.
+
+    At 100 TB: if the projected base outgrows cluster memory+disk,
+    MEMORY_AND_DISK spills per-partition (still one decode of the
+    parquet); the break-even is N outputs * scan cost vs one cached
+    materialization — at N=3 and a 5-column projection of a 16-column
+    fact, caching wins ~5x on IO before compression even counts.
+    Returns the committed artifact root with one subdir per output.
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    dest = _artifact_dest("etl_fanout", src, "fanout|v=1", artifact_dir)
+
+    def build(tmp: str) -> None:
+        base = (
+            spark.read.parquet(src)
+            .select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_shipdate",
+                "l_suppkey",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            base.count()  # the ONE parquet scan
+            for name, rollup in fanout_rollups(base).items():
+                rollup.write.mode("overwrite").parquet(
+                    os.path.join(tmp, name)
+                )
+            with open(os.path.join(tmp, "_SUCCESS"), "w"):
+                pass
+        finally:
+            base.unpersist()
+
+    _atomic_dir_commit(os.path.dirname(dest), dest, build)
+    return dest
+
+
+def defaults_evolved_table(
+    spark: SparkSession,
+    sf_dir: str,
+    artifact_dir: str | None = None,
+) -> str:
+    """CATALOG-DEFAULT COLUMN EVOLUTION fixture (q135) — the
+    catalog-side half of the schema-drift story whose read-side half
+    is q130's mergeSchema: `ALTER TABLE ... ADD COLUMNS (c T DEFAULT
+    v)` widens the table WITHOUT touching a single data file (the
+    EXISTS_DEFAULT rides in column metadata; existing rows surface it
+    at scan time), and subsequent INSERTs fill omitted columns from
+    the CURRENT_DEFAULT. The build is deterministic end-to-end:
+
+    1. snapshot documents into a managed table (overwrite);
+    2. ALTER ADD (quality_tier STRING DEFAULT 'unreviewed',
+       review_pass INT DEFAULT 0) — zero rewrite, asserted on file
+       mtimes in tests/test_io.py;
+    3. plant two fixed out-of-domain rows (doc_id -1/-2): one with
+       explicit values, one exercising the INSERT-side default path.
+
+    Torn-state heal: the in-memory catalog forgets tables per
+    session; within a session a crash mid-build leaves either the
+    evolved columns or the planted rows missing — both checks rerun
+    the whole build (overwrite), landing on the same end state.
+
+    At 100 TB: ADD COLUMNS DEFAULT is the ONLY free schema change —
+    no backfill job, no file rewrite, no mergeSchema footer tax at
+    plan time (the default is catalog metadata, not per-file
+    schema) — which is why warehouses evolve via defaults and reserve
+    q130's mergeSchema for directories that drifted without a
+    catalog.
+    """
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dest = _artifact_dest("docs_defaults", src, "defaults|v=1", artifact_dir)
+    name = os.path.basename(dest)
+
+    from pyspark.sql import functions as F
+
+    def _complete() -> bool:
+        if not spark.catalog.tableExists(name):
+            return False
+        cols = {f.name for f in spark.table(name).schema.fields}
+        if not {"quality_tier", "review_pass"} <= cols:
+            return False
+        return (
+            spark.table(name).filter(F.col("doc_id") < 0).count() == 2
+        )
+
+    if not _complete():
+        (
+            spark.read.parquet(src)
+            .write.mode("overwrite")
+            .option("path", dest)
+            .saveAsTable(name)
+        )
+        spark.sql(
+            f"ALTER TABLE {name} ADD COLUMNS ("
+            " quality_tier STRING DEFAULT 'unreviewed',"
+            " review_pass INT DEFAULT 0)"
+        )
+        # one row with explicit values, one riding the INSERT defaults
+        spark.sql(
+            f"INSERT INTO {name} VALUES"
+            " (-1, 'planted expedited doc', 'en', 'src_manual', 11,"
+            "  'expedited', 2)"
+        )
+        spark.sql(
+            f"INSERT INTO {name} (doc_id, text, lang, source, n_chars)"
+            " VALUES (-2, 'planted default doc', 'en', 'src_manual', 12)"
+        )
+    return name

@@ -141,3 +141,45 @@ def test_approx_top_k_regimes(spark):
         .select(F.explode("tk").alias("e")).select("e.*").collect()
     }
     assert len(thin) <= 5
+
+
+def test_row_udf_pricing_exhibit_matches_both_twins(spark, sf_dir):
+    """The row-at-a-time pricing exhibit must agree with the Arrow UDF
+    AND the builtin expression on every document (NULLs included) —
+    it exists only to be measured, but a wrong exhibit would price a
+    different computation. Also pins the plan boundary: the row UDF
+    plans BatchEvalPython, the pandas UDF ArrowEvalPython."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.functions.arrow_udfs import (
+        quality_score_row_udf,
+        quality_score_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    docs = docs.unionByName(
+        spark.createDataFrame([(None,)], "text string")
+    )
+    n_chars = F.length("text")
+    n_ws = n_chars - F.length(F.translate("text", " ", ""))
+    n_dg = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    expr_score = (
+        F.lit(1000) * n_chars + F.lit(7) * n_ws + F.lit(3) * n_dg
+    ).cast("bigint")
+    out = docs.select(
+        quality_score_row_udf("text").alias("row_score"),
+        quality_score_udf("text").alias("arrow_score"),
+        expr_score.alias("expr_score"),
+    )
+    bad = out.filter(
+        ~(
+            (
+                F.col("row_score").eqNullSafe(F.col("arrow_score"))
+            )
+            & F.col("row_score").eqNullSafe(F.col("expr_score"))
+        )
+    ).count()
+    assert bad == 0, "all three rungs must compute the same score"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" in plan, "row UDF must plan BatchEvalPython"
+    assert "ArrowEvalPython" in plan, "pandas UDF must plan ArrowEvalPython"

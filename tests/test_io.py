@@ -821,6 +821,22 @@ def test_retention_sweep_commit_protocol(spark, sf_dir, tmp_path):
     for p, m in survivor_mtimes.items():
         assert os.stat(p).st_mtime_ns == m, "survivors must not be rewritten"
 
+    # crash BETWEEN rename and rmtree: the underscore-prefixed trash
+    # dir must be invisible to partition discovery (no resurrected
+    # rows under a mangled day value) and swept by the next heal.
+    n_committed = spark.read.parquet(path).count()
+    orphan = os.path.join(path, f"_trash_day_{aged_day}.99999")
+    shutil.copytree(os.path.join(path, days[0]), orphan)
+    assert spark.read.parquet(path).count() == n_committed, (
+        "a trash orphan must never be readable as live rows"
+    )
+    os.remove(marker)
+    path3, cutoff3 = retention_swept_path(
+        spark, sf_dir, keep_days=7, artifact_dir=root
+    )
+    assert (path3, cutoff3) == (path, cutoff)
+    assert not os.path.exists(orphan), "heal must clear trash orphans"
+
 
 def test_q129_metadata_column_sanity(spark, sf_dir):
     """The engine-generated _metadata values no oracle can know:
@@ -879,3 +895,72 @@ def test_q130_default_read_cannot_see_evolved_columns(spark, sf_dir):
     # evolved directories)
     assert default_cols == {"doc_id", "text", "lang", "gen"}
     assert merged_cols - default_cols == {"source", "n_chars"}
+
+
+def test_q135_default_columns_evolve_without_rewrite(spark, sf_dir, tmp_path):
+    """The q135 fixture's zero-IO contract: ALTER TABLE ADD COLUMNS
+    DEFAULT must not touch a single pre-evolution data file (mtimes
+    byte-stable across the evolution), legacy rows surface the
+    exists-default at scan time, and the insert-side current-default
+    fills omitted columns. Torn-state heal: dropping the planted rows
+    makes the next call rebuild to the same end state."""
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        _artifact_dest,
+        defaults_evolved_table,
+    )
+
+    root = str(tmp_path / "artifacts")
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    # replicate the build's first step to capture pre-ALTER mtimes
+    dest = _artifact_dest("docs_defaults", src, "defaults|v=1", root)
+    name = defaults_evolved_table(spark, sf_dir, artifact_dir=root)
+    assert name == os.path.basename(dest)
+
+    snap_files = {
+        f: os.stat(os.path.join(dest, f)).st_mtime_ns
+        for f in os.listdir(dest)
+        if f.endswith(".parquet")
+    }
+    assert snap_files, "the snapshot must hold parquet files"
+
+    t = spark.table(name)
+    legacy = t.filter(F.col("doc_id") >= 0)
+    n_docs = spark.read.parquet(src).count()
+    assert legacy.count() == n_docs
+    assert (
+        legacy.filter(
+            (F.col("quality_tier") == "unreviewed")
+            & (F.col("review_pass") == 0)
+        ).count()
+        == n_docs
+    ), "every legacy row must surface the exists-default"
+    planted = {
+        (r.doc_id, r.quality_tier, r.review_pass)
+        for r in t.filter(F.col("doc_id") < 0)
+        .select("doc_id", "quality_tier", "review_pass")
+        .collect()
+    }
+    assert planted == {(-1, "expedited", 2), (-2, "unreviewed", 0)}
+
+    # idempotent re-entry: no rebuild, snapshot files untouched
+    defaults_evolved_table(spark, sf_dir, artifact_dir=root)
+    for f, m in snap_files.items():
+        assert os.stat(os.path.join(dest, f)).st_mtime_ns == m, (
+            "ALTER/INSERT evolution must never rewrite snapshot files"
+        )
+
+    # torn state — a crash right after the snapshot step (table
+    # exists, evolution columns absent) — heals by full rebuild
+    spark.sql(f"DROP TABLE {name}")
+    spark.read.parquet(src).write.mode("overwrite").option(
+        "path", dest
+    ).saveAsTable(name)
+    assert "quality_tier" not in spark.table(name).columns
+    name2 = defaults_evolved_table(spark, sf_dir, artifact_dir=root)
+    assert name2 == name
+    t2 = spark.table(name)
+    assert {"quality_tier", "review_pass"} <= set(t2.columns)
+    assert t2.filter(F.col("doc_id") < 0).count() == 2

@@ -1610,3 +1610,168 @@ def test_q132_script_transform_node_and_null_roundtrip(spark, sf_dir):
         """
     ).collect()
     assert sorted(map(tuple, rows)) == [("A", 1), ("B", None)]
+
+
+def test_q133_histogram_estimates_and_broadcast_flip(spark, sf_dir):
+    """The histogram lever, isolated on both of its surfaces.
+
+    ESTIMATES (CBO on, optimizedPlan().stats()): the ndv-only twin
+    prices every lang_code equality identically (rowCount/ndv — the
+    uniform assumption, blind to skew); the histogram twin prices each
+    VALUE from its bin heights — dominant > rare, both within 10% of
+    the true counts.
+
+    DECISION FLIP: with a broadcast threshold set BETWEEN the two
+    size estimates for the dominant-language sliver, the ndv-only
+    twin under-provisions it onto the broadcast bus (the driver-OOM
+    postmortem shape) while the histogram twin correctly plans the
+    shuffle join. Values are conf-invariant (the lane's driver row is
+    the plain filter+join oracle)."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        analyzed_docs_hist_tables,
+    )
+
+    hist_name, nohist_name = analyzed_docs_hist_tables(spark, sf_dir)
+    counts = sorted(
+        spark.table(hist_name).groupBy("lang", "lang_code").count().collect(),
+        key=lambda r: (-r["count"], r["lang"]),
+    )
+    dom, rare = counts[0], counts[-1]
+    assert dom["count"] > rare["count"] * 1.5, (
+        "fixture sanity: documents.lang must be skewed enough to price"
+    )
+
+    def est(name, code):
+        df = spark.table(name).filter(F.col("lang_code") == code)
+        st = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = st.rowCount()
+        assert rc.isDefined(), "CBO + column stats must yield a rowCount"
+        return int(str(rc.get())), int(str(st.sizeInBytes()))
+
+    confs = ("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        u_dom, u_dom_sz = est(nohist_name, dom["lang_code"])
+        u_rare, _ = est(nohist_name, rare["lang_code"])
+        h_dom, h_dom_sz = est(hist_name, dom["lang_code"])
+        h_rare, _ = est(hist_name, rare["lang_code"])
+
+        assert u_dom == u_rare, (
+            "ndv-only estimation must be uniform — identical for the "
+            "dominant and rare values (that blindness is the subject)"
+        )
+        assert h_dom > h_rare, "histogram must price values distinctly"
+        for got, want in ((h_dom, dom["count"]), (h_rare, rare["count"])):
+            assert abs(got - want) <= max(2, want * 0.10), (
+                f"histogram estimate {got} must be within 10% of {want}"
+            )
+
+        # the flip: threshold strictly between the two size estimates
+        assert h_dom_sz > u_dom_sz, "histogram must size the head larger"
+        thr = (h_dom_sz + u_dom_sz) // 2
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id")
+        )
+
+        def plan(name):
+            df = (
+                spark.table(name)
+                .filter(F.col("lang_code") == dom["lang_code"])
+                .join(emb, "doc_id")
+            )
+            return df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+
+        p_uniform = plan(nohist_name)
+        p_hist = plan(hist_name)
+        assert "BroadcastHashJoin" in p_uniform, (
+            "ndv-only: the under-estimated dominant sliver broadcasts"
+        )
+        assert "BroadcastHashJoin" not in p_hist, (
+            "histogram: the correctly-sized head stays off the broadcast bus"
+        )
+        assert "SortMergeJoin" in p_hist or "ShuffledHashJoin" in p_hist
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_q134_fanout_scans_parquet_exactly_once(spark, sf_dir):
+    """The q134 scan-count contract, deterministic (no wall-clock):
+    with the projected base persisted and materialized, EVERY rollup's
+    executed plan reads the cache — zero parquet scans per output —
+    while the naive shape (same rollups over the raw frame) pays a
+    full parquet scan PER OUTPUT. Plus the atomic-unit contract: the
+    committed artifact carries all three outputs under one _SUCCESS."""
+    import os
+
+    from pyspark import StorageLevel
+
+    from etl_sql_and_pyspark_developement__spark.sources.io import (
+        fanout_rollups,
+        multi_output_etl_path,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.plans.inspect import (
+        _walk_executed,
+    )
+
+    def scan_nodes(df):
+        """(parquet scans, cache scans) among EXECUTED nodes — the
+        plan's toString embeds the cache's parquet lineage, so string
+        matching overcounts; the walk sees only nodes that ran
+        (InMemoryTableScanExec is a leaf — its cached child is not
+        re-executed)."""
+        df.collect()
+        names = [
+            n
+            for _, n in _walk_executed(
+                df._jdf.queryExecution().executedPlan()
+            )
+        ]
+        return (
+            names.count("FileSourceScanExec"),
+            names.count("InMemoryTableScanExec"),
+        )
+
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+        "l_suppkey",
+    )
+    base = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        base.count()  # the one materializing scan
+        for name, rollup in fanout_rollups(base).items():
+            n_parquet, n_cache = scan_nodes(rollup)
+            assert n_parquet == 0, (
+                f"{name}: a cached fan-out rollup must not re-scan parquet"
+            )
+            assert n_cache >= 1, (
+                f"{name}: the rollup must read the materialized base"
+            )
+    finally:
+        base.unpersist()
+
+    # the naive shape: every output pays its own full scan
+    for name, rollup in fanout_rollups(raw).items():
+        n_parquet, _ = scan_nodes(rollup)
+        assert n_parquet == 1, (
+            f"{name}: the uncached shape re-scans — the 1-vs-N price"
+        )
+
+    # atomic unit: one commit, all outputs
+    root = multi_output_etl_path(spark, sf_dir)
+    assert os.path.exists(os.path.join(root, "_SUCCESS"))
+    for name in ("by_flag", "by_month", "by_suppband"):
+        assert os.path.isdir(os.path.join(root, name))

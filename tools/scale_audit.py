@@ -174,11 +174,16 @@ def main() -> None:
             if over and not loaded:
                 breaches.append(key)
         if args.update_envelopes:
-            bucket[key] = {
-                "base_max_s": round((base or 0) * HEADROOM, 2),
-                "scaled_max_s": round(scaled * HEADROOM, 2),
-                "ratio_max": round((ratio or 0) * HEADROOM, 2),
-            }
+            # with --skip-base there IS no base/ratio measurement:
+            # omit those keys (writing 0.0 would make every later
+            # full run a phantom breach) and keep any committed
+            # base/ratio bounds from the previous envelope.
+            entry = dict(bucket.get(key, {}))
+            entry["scaled_max_s"] = round(scaled * HEADROOM, 2)
+            if base is not None:
+                entry["base_max_s"] = round(base * HEADROOM, 2)
+                entry["ratio_max"] = round(ratio * HEADROOM, 2)
+            bucket[key] = entry
             verdict = "envelope-updated"
         print(
             f"# {key}: base={base}s scaled={scaled}s ratio={ratio}x"
