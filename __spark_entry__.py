@@ -35,6 +35,17 @@ _NEEDS_DRIVER_ROW = [
     # atomic 3-table commit; scan-count plan-asserted, each output
     # value-verified by the consumer rollup)
     "q134_multi_output_etl",
+    # round-10 addition: ALTER TABLE ADD COLUMNS DEFAULT evolution
+    # (zero-IO schema change; exists/current-default populations
+    # value-verified, mtimes pinned untouched)
+    "q135_default_columns",
+    # round-10 addition: in-memory cache batch pruning (the cache-tier
+    # zone map — q108's discipline on cached columnar batches; scoped
+    # cache, eager in-scope execution)
+    "q136_cache_zone_pruning",
+    # round-10 addition: grouped-agg Arrow UDF rung (in-row
+    # UDF==builtin equality; mix-refusal and window-form pinned)
+    "q137_grouped_agg_udf",
     # round-10 change: q130's oracle n_gen2 now replays count(source)
     # exactly (NULL-source gen-2 rows skipped on both sides — ADVICE
     # r9); fresh row re-proves the pair

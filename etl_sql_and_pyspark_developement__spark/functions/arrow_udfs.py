@@ -46,6 +46,22 @@ def quality_score_udf(s: pd.Series) -> pd.Series:
     return (1000 * n + 7 * ws + 3 * dg).astype("Int64")
 
 
+@F.pandas_udf(LongType())
+def sum_squares_agg_udf(v: pd.Series) -> int:
+    """GROUPED-AGG Arrow UDF (q137's exhibit) — the aggregate rung of
+    the Python ladder (scalar: quality_score_udf / q127; table: the
+    q118 UDTF; THIS: a whole-group reduction fed as one Arrow batch
+    per group, usable in groupBy().agg() AND over unbounded windows).
+    Sum of squares on int64 — deterministic, integer-exact, and
+    builtin-replayable (sum(c*c)) so q137 can value-verify the
+    boundary in-row. Callers bound the magnitude (q137 squares a
+    1e5 residue) because numpy's int64 sum WRAPS silently where
+    Spark's ANSI sum raises — the two overflow behaviors must never
+    be allowed to diverge in a verified lane."""
+    a = v.astype("int64")
+    return int((a * a).sum())
+
+
 @F.udf(LongType())
 def quality_score_row_udf(text):
     """ROW-AT-A-TIME twin of quality_score_udf — the PRICING EXHIBIT

@@ -116,10 +116,9 @@ def executed_plan_metrics(df: DataFrame) -> dict:
             if name in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):
                 has_cartesian = True
         if (
-            "EvalPython" in name
+            "Python" in name  # Batch/ArrowEvalPython, ArrowAggregatePython, UDTF
             or "InPandas" in name
             or "InArrow" in name
-            or "PythonUDTF" in name
         ):
             n_python += 1
     return {

@@ -7361,3 +7361,32 @@ FROM evolved
 GROUP BY lang, quality_tier
 ORDER BY lang, quality_tier
 """
+
+# q136: values are cache- and layout-invariant — the plain filtered
+# rollup (q108's oracle shape over the unmodified orders).
+ORACLES["q136_cache_zone_pruning"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_totalprice < 2000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# q137: the grouped-agg UDF's sum-of-squares replayed as the builtin
+# expression (both columns — the in-row equality is the verified value).
+ORACLES["q137_grouped_agg_udf"] = """
+SELECT o_orderpriority,
+       CAST(sum(c * c) AS BIGINT) AS udf_ss,
+       CAST(sum(c * c) AS BIGINT) AS expr_ss,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100000 AS c
+  FROM orders
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -9969,3 +9969,112 @@ def q135_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "quality_tier")
     )
+
+
+@query("q136_cache_zone_pruning")
+def q136_cache_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-MEMORY CACHE BATCH PRUNING — the cache-side twin of q108's
+    parquet row-group skipping, completing the zone-map story across
+    all three storage tiers (q97/q104 prune directories, q108 prunes
+    row groups at the footer, this prunes CACHED COLUMNAR BATCHES):
+    Spark's in-memory columnar cache keeps per-batch min/max stats,
+    and with spark.sql.inMemoryColumnarStorage.partitionPruning
+    (default on) a pushed range predicate skips whole batches without
+    touching them — IF the cached layout clusters the predicate
+    column. Measured at sf0.01 (1000-row batches): the range-
+    clustered cache decodes 1000 rows for a 32-row band; the
+    round-robin cache decodes 12250 of 15000 — the same ~crash-vs-
+    skim gap q108 measures on disk, now for the memory tier
+    (contract pinned in tests/test_plans.py over both layouts).
+
+    The cache is SCOPED (q131's eager discipline): the rollup
+    executes against it in-scope, then unpersist — a leaked cache
+    would silently tax every later query's memory budget, the exact
+    bug this repo's fan-out lane (q134) guards with its finally.
+    Values are layout- and cache-invariant (the oracle is the plain
+    filtered rollup), integer-cents discipline throughout.
+
+    At 100 TB: hot dimensions and iteration working sets live in the
+    cache tier; clustering them on the hot predicate column is free
+    at cache time (one repartitionByRange) and turns every
+    selective re-read into a batch-skip instead of a full columnar
+    decode — the same CLUSTER BY judgment call as the disk layout,
+    applied to memory.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    clustered = (
+        orders.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .cache()
+    )
+    try:
+        clustered.count()  # materialize the cached batches
+        rows = (
+            clustered.filter(F.col("o_totalprice") < 2000.0)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+                F.expr(
+                    "CAST(sum(CAST(round(o_totalprice * 100, 0) AS"
+                    " BIGINT)) AS BIGINT)"
+                ).alias("rev_cents"),
+            )
+            .collect()  # EAGER: must run while the cache is alive
+        )
+    finally:
+        clustered.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_orders bigint, rev_cents bigint",
+    ).orderBy("o_orderpriority")
+
+
+@query("q137_grouped_agg_udf")
+def q137_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-AGG ARROW UDF — the aggregate rung of the Python
+    ladder, priced and boundary-pinned like its siblings (scalar:
+    q127, table: q118, row: the pricing exhibit, pipe: q132): a
+    pandas Series->scalar UDF receives each group as ONE Arrow batch
+    and reduces it JVM-side-shuffled/Python-side-folded
+    (ArrowAggregatePythonExec), usable in groupBy().agg() and over
+    unbounded windows. The exhibit computes an integer sum of squares
+    BESIDE its builtin twin (sum(c*c)) and value-verifies equality
+    IN-ROW per group — q127's discipline for the aggregate boundary.
+
+    Two boundaries carried honestly (tests/test_plans.py): (1) a
+    grouped-agg pandas UDF CANNOT mix with non-pandas aggregates in
+    one agg() (INVALID_PANDAS_UDF_PLACEMENT, pinned) — hence the
+    join-of-two-rollups shape here; (2) magnitudes are bounded (the
+    squared term is a 1e5 residue) because numpy's int64 sum WRAPS
+    where Spark's ANSI sum RAISES — never let the two overflow
+    behaviors diverge in a verified lane.
+
+    At 100 TB: unlike a builtin aggregate there is NO partial/merge
+    decomposition — every group's full rows cross the Python boundary
+    after the shuffle (no map-side combine), so this rung is for
+    genuinely non-decomposable group logic (a fitted curve per
+    group, a scipy call); anything expressible as an expression
+    belongs in the builtin tier (the in-row twin IS the proof the
+    expression exists here).
+    """
+    from etl_sql_and_pyspark_developement__spark.functions.arrow_udfs import (
+        sum_squares_agg_udf,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100000"
+        ).alias("c"),
+    )
+    u = df.groupBy("o_orderpriority").agg(
+        sum_squares_agg_udf("c").alias("udf_ss")
+    )
+    b = df.groupBy("o_orderpriority").agg(
+        F.expr("CAST(sum(c * c) AS BIGINT)").alias("expr_ss"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+    )
+    return u.join(b, "o_orderpriority").orderBy("o_orderpriority")

@@ -1775,3 +1775,125 @@ def test_q134_fanout_scans_parquet_exactly_once(spark, sf_dir):
     assert os.path.exists(os.path.join(root, "_SUCCESS"))
     for name in ("by_flag", "by_month", "by_suppband"):
         assert os.path.isdir(os.path.join(root, name))
+
+
+def test_q136_cached_batch_pruning_by_layout(spark, sf_dir):
+    """The q136 metrics contract, q108's discipline moved to the
+    memory tier: the SAME pushed range predicate over the SAME cached
+    rows decodes a fraction of the corpus when the cache is range-
+    clustered on the predicate column (per-batch min/max stats skip
+    whole batches) and nearly everything when it is round-robin.
+    Batch size pinned small so batch granularity is visible at any
+    sf; both caches unpersisted in finally."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.plans.inspect import (
+        _node_metrics,
+        _walk_executed,
+    )
+
+    def cache_scan_rows(df):
+        df.collect()
+        return sum(
+            int(_node_metrics(node).get("numOutputRows", 0))
+            for node, name in _walk_executed(
+                df._jdf.queryExecution().executedPlan()
+            )
+            if name == "InMemoryTableScanExec"
+        )
+
+    old_bs = spark.conf.get("spark.sql.inMemoryColumnarStorage.batchSize")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "100")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    n = orders.count()
+    # DECILE band (q108's lesson): wide enough that every round-robin
+    # batch must contain matches — a too-narrow band lets even random
+    # batches skip when their min lands above it
+    p10 = orders.agg(
+        F.expr("percentile_approx(o_totalprice, 0.1)").alias("p")
+    ).collect()[0]["p"]
+    sel = F.col("o_totalprice") < p10
+    n_match = orders.filter(sel).count()
+    assert 0 < n_match < n // 5, "band must stay selective for the contract"
+    clustered = (
+        orders.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .cache()
+    )
+    rr = orders.repartition(4).cache()
+    try:
+        clustered.count()
+        rr.count()
+        rows_clustered = cache_scan_rows(clustered.filter(sel))
+        rows_rr = cache_scan_rows(rr.filter(sel))
+    finally:
+        clustered.unpersist()
+        rr.unpersist()
+        spark.conf.set(
+            "spark.sql.inMemoryColumnarStorage.batchSize", old_bs
+        )
+    assert rows_clustered >= n_match, "pruning may only skip non-matching batches"
+    assert rows_clustered <= n // 4, (
+        f"clustered cache must batch-skip: decoded {rows_clustered}/{n}"
+    )
+    assert rows_rr >= (n * 9) // 10, (
+        f"round-robin cache spans the decile everywhere: {rows_rr}/{n}"
+    )
+    assert rows_clustered * 4 <= rows_rr, "the layout gap is the lane's subject"
+
+
+def test_q137_grouped_agg_udf_boundaries(spark, sf_dir):
+    """The aggregate-rung boundaries, pinned: (1) the executed plan
+    carries ArrowAggregatePythonExec (the grouped-agg Arrow stage) and
+    the UDF==builtin equality holds in every row; (2) mixing a
+    grouped-agg pandas UDF with a non-pandas aggregate in one agg()
+    is refused with INVALID_PANDAS_UDF_PLACEMENT (the reason the lane
+    is a join of two rollups); (3) the same UDF runs over an
+    unbounded window and equals its own groupBy result."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from etl_sql_and_pyspark_developement__spark.functions.arrow_udfs import (
+        sum_squares_agg_udf,
+    )
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.plans.inspect import (
+        _walk_executed,
+    )
+
+    df = QUERIES["q137_grouped_agg_udf"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.udf_ss == r.expr_ss for r in rows), (
+        "grouped-agg UDF must equal the builtin expression per group"
+    )
+    names = {n for _, n in _walk_executed(df._jdf.queryExecution().executedPlan())}
+    assert "ArrowAggregatePythonExec" in names
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100000"
+        ).alias("c"),
+    )
+    with pytest.raises(AnalysisException, match="INVALID_PANDAS_UDF_PLACEMENT"):
+        base.groupBy("o_orderpriority").agg(
+            sum_squares_agg_udf("c").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+
+    w = Window.partitionBy("o_orderpriority")
+    windowed = {
+        (r.o_orderpriority, r.w_ss)
+        for r in base.select(
+            "o_orderpriority", sum_squares_agg_udf("c").over(w).alias("w_ss")
+        )
+        .distinct()
+        .collect()
+    }
+    assert windowed == {(r.o_orderpriority, r.udf_ss) for r in rows}, (
+        "the window form must equal the groupBy form"
+    )
