@@ -9408,10 +9408,14 @@ def q127_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float tolerance anywhere.
 
     The plan shows ArrowEvalPython (asserted in tests/test_plans.py)
-    — batch-granular Python, ~100x better than row-at-a-time BUT
-    still a serialization hop + a pinned-thread stage that breaks
-    whole-stage codegen: the PLANS.md row is the number to read
-    before reaching for a UDF that an expression could replace.
+    — batch-granular Python: a serialization hop + a pinned-thread
+    stage that breaks whole-stage codegen. PLANS.md carries the r10
+    REVISED pricing (fresh-frame interleaved methodology): on the
+    isolated boundary (pure-arithmetic kernel) the expression wins
+    the ladder order (0.54s < Arrow 0.66s < row-Python 0.81s at 500k
+    docs); on THIS regex-bound kernel pandas' C regex engine beats
+    JVM regexp_replace (1.37s vs 3.0s) — the boundary is not the
+    whole price, so regex-heavy hot paths get measured, not assumed.
 
     Reference parity: pyspark/Content Performance Analytics.py builds
     weighted engagement scores as chained withColumn arithmetic — the

@@ -1897,3 +1897,42 @@ def test_q137_grouped_agg_udf_boundaries(spark, sf_dir):
     assert windowed == {(r.o_orderpriority, r.udf_ss) for r in rows}, (
         "the window form must equal the groupBy form"
     )
+
+
+def test_plan_metrics_record_subset_matches(spark):
+    """The committed plan-metrics record (tools/plan_metrics.json) is
+    guarded by `python tools/plan_audit.py` as the round gate; this
+    test wires a representative subset into the suite so a drifted
+    plan fails EVERY pytest run, not just the tool invocation. The
+    subset spans the regression classes the record exists to catch:
+    a pushdown consumer (q108), a broadcast-strategy lane (q106), the
+    reuse lane (q112), a Python-stage lane (q127), and a plain
+    aggregate (q01). Exact equality, sf0.01 (the record's sf)."""
+    import json
+    import os
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+    from etl_sql_and_pyspark_developement__spark.plans.inspect import (
+        executed_plan_metrics,
+    )
+
+    record_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "plan_metrics.json"
+    )
+    with open(record_path) as f:
+        bucket = json.load(f)["sf0.01"]
+    sf01 = "/root/testdata/sf0.01"
+    for key in (
+        "q01_pricing_summary",
+        "q106_cbo_stats_join",
+        "q108_rowgroup_skipping",
+        "q112_exchange_reuse",
+        "q127_arrow_scalar_udf",
+    ):
+        df = QUERIES[key](spark, sf01)
+        df.collect()
+        got = executed_plan_metrics(df)
+        assert got == bucket[key], (
+            f"{key}: executed plan drifted from the committed record\n"
+            f"recorded: {bucket[key]}\nran:      {got}"
+        )
