@@ -46,6 +46,9 @@ _NEEDS_DRIVER_ROW = [
     # round-10 addition: grouped-agg Arrow UDF rung (in-row
     # UDF==builtin equality; mix-refusal and window-form pinned)
     "q137_grouped_agg_udf",
+    # round-10 addition: unicode hygiene audit (planted fault fixture
+    # replayed by the oracle; NFC via cross-engine-verified Arrow UDF)
+    "t26_unicode_hygiene",
     # round-10 change: q130's oracle n_gen2 now replays count(source)
     # exactly (NULL-source gen-2 rows skipped on both sides — ADVICE
     # r9); fresh row re-proves the pair

@@ -57,9 +57,28 @@ def sum_squares_agg_udf(v: pd.Series) -> int:
     boundary in-row. Callers bound the magnitude (q137 squares a
     1e5 residue) because numpy's int64 sum WRAPS silently where
     Spark's ANSI sum raises — the two overflow behaviors must never
-    be allowed to diverge in a verified lane."""
-    a = v.astype("int64")
+    be allowed to diverge in a verified lane. NULL inputs drop,
+    matching the builtin sum's NULL-skip semantics (nulls arrive as
+    NaN in a float64 series — a bare int64 astype would crash the
+    worker on the first null; the empty-inputs contract)."""
+    a = v.dropna().astype("int64")
     return int((a * a).sum())
+
+
+@F.pandas_udf("boolean")
+def is_not_nfc_udf(s: pd.Series) -> pd.Series:
+    """True where the text is NOT in Unicode NFC (t26's kernel —
+    Spark has no normalization builtin, so this is a legitimate
+    Arrow-UDF use: logic expressions can't say). Vectorized apply of
+    unicodedata.is_normalized per Arrow batch; NULL text stays NULL.
+    Cross-engine contract: DuckDB's nfc_normalize(text) <> text must
+    agree (both implement UAX #15 NFC), which is what lets t26's
+    oracle value-verify this flag."""
+    import unicodedata
+
+    return s.map(
+        lambda t: None if t is None else not unicodedata.is_normalized("NFC", t)
+    ).astype("boolean")
 
 
 @F.udf(LongType())

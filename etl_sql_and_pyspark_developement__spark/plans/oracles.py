@@ -7390,3 +7390,37 @@ FROM (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+# t26: the fault fixture replayed in SQL (same residue classes, same
+# injected suffixes); NFC via DuckDB's nfc_normalize (UAX #15, must
+# agree with Python's unicodedata) — chr(8203)=U+200B zero width,
+# chr(769)=combining acute, chr(65533)=U+FFFD.
+ORACLES["t26_unicode_hygiene"] = """
+WITH perturbed AS (
+  SELECT source,
+         CASE WHEN doc_id % 97 = 0 THEN text || chr(8203)
+              WHEN doc_id % 89 = 0 THEN text || 'e' || chr(769)
+              WHEN doc_id % 83 = 0 THEN text || chr(65533)
+              ELSE text END AS t
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(t,
+            '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_width,
+       CAST(sum(CASE WHEN contains(t, chr(65533)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_replacement,
+       CAST(sum(CASE WHEN regexp_matches(t,
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_control,
+       CAST(sum(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonnfc,
+       CAST(sum(length(t) - length(regexp_replace(t,
+            '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279)
+                || chr(65533) || ']', '', 'g'))) AS BIGINT)
+            AS scrub_delta
+FROM perturbed
+GROUP BY source
+ORDER BY source
+"""

@@ -9853,14 +9853,17 @@ def q133_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist_name, _ = analyzed_docs_hist_tables(spark, sf_dir)
     d = spark.table(hist_name)
-    # dominant language, data-derived (max doc count, tie-break lang)
-    dom = (
+    # dominant language, data-derived (max doc count, tie-break lang);
+    # empty corpus -> sentinel code that matches nothing (the rollup
+    # is empty either way — the empty-input contract)
+    top = (
         d.groupBy("lang_code")
         .agg(F.count(F.lit(1)).alias("n"), F.min("lang").alias("lang"))
         .orderBy(F.desc("n"), "lang")
         .limit(1)
-        .collect()[0]["lang_code"]
+        .collect()
     )
+    dom = top[0]["lang_code"] if top else -1
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
     )
@@ -10082,3 +10085,87 @@ def q137_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
     )
     return u.join(b, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@query("t26_unicode_hygiene")
+def t26_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE HYGIENE AUDIT — the curation stage every web-scale
+    text pipeline runs before tokenization: zero-width characters
+    (U+200B/200C/200D/FEFF — invisible, token-splitting, a dedup
+    evasion vector), replacement characters (U+FFFD — the mojibake
+    fingerprint of a decode gone wrong upstream), C0 control bytes,
+    and non-NFC normalization forms (the same grapheme as different
+    codepoint sequences — 'e'+COMBINING ACUTE vs the precomposed
+    e-acute — splits exact-dedup hashes and vocab entries). The
+    synthetic corpus is pure ASCII, so the lane carries its own
+    deterministic FAULT FIXTURE (q115's planted-corruption
+    discipline, inline): doc_id residues inject one fault class each
+    (%97 zero-width, %89 a combining-accent non-NFC suffix, %83
+    U+FFFD), the oracle replays the identical injection in SQL, and
+    every audit counter is value-verified non-vacuously (each class
+    count > 0 pinned in tests/test_functions.py at every sf).
+
+    Detection is pure codegen (rlike/contains over the batch) except
+    NFC, which Spark has no builtin for — is_not_nfc_udf is a
+    legitimate Arrow-UDF use (q127's policy: the UDF is for logic
+    expressions can't say), and its cross-engine contract is that
+    DuckDB's nfc_normalize(text) <> text agrees (both UAX #15).
+    scrub_delta prices the cleanup: chars removed by the zero-width +
+    U+FFFD scrub, the write-amplification a hygiene pass costs.
+
+    At 100 TB: one linear scan, decomposable counters, no shuffle
+    beyond the per-source rollup — hygiene is free to ride any
+    existing pass over the corpus; the NFC flag's Arrow batch is the
+    only Python and it reads one string column.
+    """
+    from etl_sql_and_pyspark_developement__spark.functions.arrow_udfs import (
+        is_not_nfc_udf,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    perturbed = (
+        F.when(F.col("doc_id") % 97 == 0, F.concat("text", F.lit("\u200b")))
+        .when(
+            F.col("doc_id") % 89 == 0, F.concat("text", F.lit("e\u0301"))
+        )
+        .when(F.col("doc_id") % 83 == 0, F.concat("text", F.lit("\ufffd")))
+        .otherwise(F.col("text"))
+    )
+    audited = docs.select(
+        "source",
+        perturbed.alias("t"),
+    ).select(
+        "source",
+        F.col("t").rlike("[\u200b\u200c\u200d\ufeff]").alias("zw"),
+        F.col("t").contains("\ufffd").alias("repl"),
+        F.col("t").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").alias("ctl"),
+        is_not_nfc_udf("t").alias("nonnfc"),
+        (
+            F.length("t")
+            - F.length(
+                F.regexp_replace(
+                    "t", "[\u200b\u200c\u200d\ufeff\ufffd]", ""
+                )
+            )
+        ).alias("delta"),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(CASE WHEN zw THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "n_zero_width"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN repl THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_replacement"),
+            F.expr("CAST(sum(CASE WHEN ctl THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "n_control"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN nonnfc THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_nonnfc"),
+            F.expr("CAST(sum(delta) AS BIGINT)").alias("scrub_delta"),
+        )
+        .orderBy("source")
+    )

@@ -183,3 +183,40 @@ def test_row_udf_pricing_exhibit_matches_both_twins(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" in plan, "row UDF must plan BatchEvalPython"
     assert "ArrowEvalPython" in plan, "pandas UDF must plan ArrowEvalPython"
+
+
+def test_t26_fault_classes_non_vacuous_and_nfc_kernel(spark, sf_dir):
+    """t26's audit must count NON-ZERO totals for every planted fault
+    class (a hygiene lane that audits all-zeros is vacuous — the q120
+    lesson), and the NFC kernel must agree with Python's unicodedata
+    on canonical cases including NULL."""
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.functions.arrow_udfs import (
+        is_not_nfc_udf,
+    )
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    out = QUERIES["t26_unicode_hygiene"](spark, sf_dir)
+    tot = out.agg(
+        F.sum("n_zero_width").alias("zw"),
+        F.sum("n_replacement").alias("re"),
+        F.sum("n_nonnfc").alias("nn"),
+        F.sum("scrub_delta").alias("sd"),
+    ).collect()[0]
+    assert tot.zw > 0 and tot.re > 0 and tot.nn > 0, (
+        f"every planted fault class must be counted: {tot}"
+    )
+    assert tot.sd >= tot.zw + tot.re, (
+        "the scrub must remove at least the injected characters"
+    )
+
+    cases = spark.createDataFrame(
+        [("plain",), ("café",), ("café",), (None,)],
+        "t string",
+    )
+    got = [
+        r.f
+        for r in cases.select(is_not_nfc_udf("t").alias("f")).collect()
+    ]
+    assert got == [False, False, True, None], got
