@@ -60,8 +60,12 @@ def sum_squares_agg_udf(v: pd.Series) -> int:
     be allowed to diverge in a verified lane. NULL inputs drop,
     matching the builtin sum's NULL-skip semantics (nulls arrive as
     NaN in a float64 series — a bare int64 astype would crash the
-    worker on the first null; the empty-inputs contract)."""
-    a = v.dropna().astype("int64")
+    worker on the first null; the empty-inputs contract) — INCLUDING
+    the all-NULL group, where the builtin returns NULL, not 0."""
+    a = v.dropna()
+    if a.empty:
+        return None  # sum over an all-NULL group is NULL, like the builtin
+    a = a.astype("int64")
     return int((a * a).sum())
 
 
@@ -96,5 +100,9 @@ def quality_score_row_udf(text):
         return None
     n = len(text)
     ws = text.count(" ")
-    dg = sum(c.isdigit() for c in text)
+    # explicit ASCII range, NOT str.isdigit(): isdigit matches every
+    # Unicode Nd/No digit (superscripts, Arabic-Indic, Thai) and
+    # would silently price a DIFFERENT computation than the [0-9]
+    # kernels of both twins
+    dg = sum("0" <= c <= "9" for c in text)
     return 1000 * n + 7 * ws + 3 * dg

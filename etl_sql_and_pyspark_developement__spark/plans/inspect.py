@@ -99,6 +99,8 @@ def executed_plan_metrics(df: DataFrame) -> dict:
             "RowDataSourceScanExec",
             "InMemoryTableScanExec",
             "LocalTableScanExec",
+            "RDDScanExec",  # createDataFrame/localCheckpoint replays
+            "ExternalRDDScanExec",
         ):
             scan_rows.append(int(_node_metrics(node).get("numOutputRows", 0)))
         elif name == "ShuffleExchangeExec":

@@ -335,6 +335,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         # a second query asserted ownership mid-run — fail loudly, the
         # rival keeps the directory, nothing of its state is touched.
         owner = os.path.join(self.path, "_writer_owner")
+        takeover = not self._owner_asserted
         if self._owner_asserted:
             try:
                 with open(owner) as f:
@@ -350,6 +351,16 @@ class JsonlStreamWriter(DataSourceStreamWriter):
                     f"query"
                 )
         else:
+            # Takeover is RESTART semantics: a fresh writer instance
+            # cannot distinguish a dead predecessor (the legitimate
+            # case) from a live rival misconfigured onto the same
+            # path — the deterministic batch-file names make a
+            # restart's replay idempotent, and that same mechanism
+            # means a true rival's first commit overwrites batches it
+            # shares ids with. What the protocol guarantees is that
+            # the CONTESTED state cannot persist: the established
+            # writer's next commit fails loudly (above) instead of
+            # the two queries silently interleaving forever.
             os.makedirs(self.path, exist_ok=True)
             tmp_owner = owner + f".{self.token}.tmp"
             with open(tmp_owner, "w") as f:
@@ -375,18 +386,20 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         # without the sweep orphans accumulate forever in a
         # long-running stream. POSIX unlink is safe even against a
         # straggling speculative attempt still holding the fd open.
-        # Single-writer assumption (same as Spark's own file sink) —
-        # now ENFORCED by the ownership check above: a second query
-        # fails loudly at its rival's next commit instead of having
-        # its in-flight staged files silently swept.
-        for leftover in os.listdir(self.path):
-            if leftover.startswith(".staged-") and leftover.endswith(
-                ".jsonl"
-            ):
-                try:
-                    os.remove(os.path.join(self.path, leftover))
-                except OSError:
-                    pass
+        # SKIPPED on the takeover commit: if the "predecessor" is in
+        # fact a live rival, its in-flight staged files survive until
+        # its own commit raises the single-writer violation — nothing
+        # of the contested state is silently destroyed, and a real
+        # predecessor's orphans are cleared one commit later.
+        if not takeover:
+            for leftover in os.listdir(self.path):
+                if leftover.startswith(".staged-") and leftover.endswith(
+                    ".jsonl"
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, leftover))
+                    except OSError:
+                        pass
         mdir = os.path.join(self.path, "_manifests")
         os.makedirs(mdir, exist_ok=True)
         tmp = os.path.join(mdir, f".batch-{batchId:05d}.json.tmp")

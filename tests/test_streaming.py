@@ -2898,13 +2898,20 @@ def test_st41_second_writer_fails_loudly(tmp_path):
     w1.commit([stage("w1b")], 1)  # still the owner: fine
 
     w2 = JsonlStreamWriter({"path": out})
+    w1_inflight = stage("w1-inflight")  # w1's not-yet-committed work
     w2.commit([stage("w2a")], 0)  # takeover (legit restart semantics)
+    # the takeover commit must NOT sweep the (possibly live) rival's
+    # in-flight staged files — nothing contested is destroyed before
+    # the violation is raised
+    assert os.path.exists(w1_inflight.tmp_path)
 
     with pytest.raises(RuntimeError, match="single-writer violation"):
-        w1.commit([stage("w1c")], 2)
+        w1.commit([w1_inflight], 2)
     # the rival's committed state is untouched by the failed commit
     assert os.path.exists(os.path.join(out, "batch-00000-p0.jsonl"))
     w2.commit([stage("w2b")], 1)  # rival continues as sole writer
+    # ...and the established owner's later commits resume sweeping
+    assert not os.path.exists(w1_inflight.tmp_path)
 
 
 def test_st42_full_outer_attribution_emits_both_complements(
@@ -3477,3 +3484,100 @@ def test_state_rebuild_migration_bitmap_v1_to_v2(spark, sf_dir, tmp_path):
     assert got == want, (
         "post-migration fold must equal batch truth over the whole corpus"
     )
+
+
+def test_rocksdb_changelog_checkpointing_recovery(spark, sf_dir, tmp_path):
+    """RocksDB CHANGELOG CHECKPOINTING probe — the state-store ops
+    lever the plain RocksDB pass doesn't flip: with
+    changelogCheckpointing enabled, each commit uploads a changelog
+    delta instead of snapshotting the full store (the tail-latency
+    fix for large state), and recovery REPLAYS changelogs over the
+    last snapshot. The probe pins: (1) the fold's values are
+    provider-mode-invariant (same bitmap words as the batch truth);
+    (2) a RESTART from the changelog-checkpointed state resumes the
+    fold losslessly (the recovery path actually replays). Runs under
+    the RocksDB provider explicitly — the conf is meaningless on
+    HDFS, so the test forces the provider itself."""
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev = table(spark, sf_dir, "events")
+        d0 = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+        src = tmp_path / "clog_src"
+        src.mkdir()
+        ev.filter(
+            F.datediff(F.to_date("ts"), F.lit(d0)) < 15
+        ).coalesce(1).write.parquet(str(src / "b0"))
+        ckpt = str(tmp_path / "clog_ckpt")
+
+        def run():
+            q = (
+                streaming_bitmap_distinct(
+                    spark.readStream.schema(ev.schema).parquet(str(src / "*"))
+                )
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, bid: df.count())
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run()
+        # restart over the changelog-checkpointed state with new data
+        ev.filter(
+            F.datediff(F.to_date("ts"), F.lit(d0)) >= 15
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        run()
+
+        from etl_sql_and_pyspark_developement__spark.streaming.statestore import (
+            read_state,
+        )
+
+        words = {
+            (r.t, r.b): r.w
+            for r in read_state(spark, ckpt)
+            .select(
+                F.col("key.event_type").alias("t"),
+                F.col("key.bucket").alias("b"),
+                F.col("value.groupState.word").alias("w"),
+            )
+            .collect()
+        }
+        got = {}
+        for (t, _b), w in words.items():
+            got[t] = got.get(t, 0) + bin(w & ((1 << 63) - 1)).count("1")
+        want = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert got == want, (
+            "changelog-checkpointed state must equal the batch truth "
+            "across a restart"
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -16,6 +16,16 @@ This generalizes the per-lane pushdown contracts of
 tests/test_plans.py (q108/q116/q124...) to ALL batch lanes in one
 command.
 
+Scope, stated honestly: the gate fingerprints each lane's RETURNED
+DataFrame's executed plan. Lanes that must execute EAGERLY in-scope
+(q131's conf-scoped AQE conversion, q136's scoped cache, q128/q114's
+data-derived cutoffs) return a small local replay, so their real
+scan/cache/join plan is NOT visible here — those lanes' in-scope plan
+contracts live in tests/test_plans.py (q131 flip, q136 batch-pruning
+metrics, q134 scan counts), which the suite runs every time. The gate
+also fails when a committed lane disappears from the registry — a
+deleted lane is the most total plan regression.
+
 Usage (run from /root/repo — Python Data Source lanes pickle by module
 reference and workers resolve the package via cwd):
     python tools/plan_audit.py                      # gate all lanes
@@ -114,6 +124,19 @@ def main() -> None:
                 print(f"#   {line}", file=sys.stderr)
         else:
             print(f"# {key}: ok", file=sys.stderr)
+
+    # a lane DELETED from the registry is the most total plan
+    # regression there is — on full runs, committed entries with no
+    # matching QUERIES key are drift (and a full --update prunes them)
+    if not args.lanes:
+        stale = sorted(set(bucket) - set(QUERIES))
+        for key in stale:
+            if args.update:
+                del bucket[key]
+                print(f"# {key}: pruned (no longer registered)", file=sys.stderr)
+            else:
+                drifted[key] = ["recorded lane is no longer in QUERIES"]
+                print(f"# {key}: DRIFT (lane unregistered)", file=sys.stderr)
 
     if args.update:
         with open(RECORD_PATH, "w") as f:
