@@ -49,6 +49,10 @@ _NEEDS_DRIVER_ROW = [
     # round-10 addition: unicode hygiene audit (planted fault fixture
     # replayed by the oracle; NFC via cross-engine-verified Arrow UDF)
     "t26_unicode_hygiene",
+    # round-10 addition: ANSI arithmetic-safety ladder (plain sum
+    # raises / try_* NULLs / DECIMAL widens — all three regimes on
+    # one planted-boundary fixture, HUGEINT-replayed oracle)
+    "q138_try_arithmetic",
     # round-10 change: q130's oracle n_gen2 now replays count(source)
     # exactly (NULL-source gen-2 rows skipped on both sides — ADVICE
     # r9); fresh row re-proves the pair

@@ -7424,3 +7424,30 @@ FROM perturbed
 GROUP BY source
 ORDER BY source
 """
+
+# q138: the try_* NULL-on-overflow semantics replayed in HUGEINT
+# (DuckDB's sum(BIGINT) is HUGEINT already — range-check then narrow);
+# the DECIMAL twin compared as digit strings.
+ORACLES["q138_try_arithmetic"] = """
+WITH t AS (
+  SELECT o_orderpriority AS g,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN 2305843009213693952
+                   + CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         END AS b
+  FROM orders
+)
+SELECT g,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CASE WHEN sum(CAST(b AS HUGEINT))
+                 BETWEEN -9223372036854775808 AND 9223372036854775807
+            THEN CAST(sum(b) AS BIGINT) ELSE NULL END AS try_sum_b,
+       CAST(sum(CAST(b AS DECIMAL(38,0))) AS VARCHAR) AS exact_sum,
+       CAST(sum(CASE WHEN CAST(b AS HUGEINT) * 16
+                          > 9223372036854775807
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow
+FROM t
+GROUP BY g
+ORDER BY g
+"""

@@ -10169,3 +10169,61 @@ def t26_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("q138_try_arithmetic")
+def q138_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ARITHMETIC-SAFETY LADDER — the overflow story this engine
+    runs under, pinned as a lane instead of scattered docstring notes
+    (q89/t25 each documented "move to DECIMAL(38) near 2^63"; this
+    demonstrates all three regimes on one fixture). Under ANSI mode
+    (the engine default) a BIGINT sum that exceeds 2^63-1 RAISES
+    ARITHMETIC_OVERFLOW mid-job (pinned in tests/test_plans.py — the
+    failure a nightly rollup hits the day a counter crosses the
+    boundary); the production choices are the ladder:
+
+    - try_sum / try_add / try_multiply: NULL-on-overflow — the job
+      survives, the poisoned aggregate is visibly absent (never
+      silently wrapped, which is what non-ANSI mode would do);
+    - DECIMAL(38,0) widening: exact through 38 digits, the correct
+      answer at ~2x the agg cost — carried here as a STRING so the
+      oracle compares digits, not float round-trips.
+
+    The fixture plants the boundary deterministically: the dominant
+    priority class carries a 2^61 offset per row, so ITS group sum
+    overflows int64 (any group with >= 5 rows) while every other
+    group stays exact — try_sum returns NULL exactly there, the
+    DECIMAL twin returns the true 21-digit sum, and the row-level
+    census counts how many rows would overflow a *16 rescale
+    (try_multiply's per-row form). The oracle replays all three in
+    HUGEINT/DECIMAL arithmetic.
+
+    At 100 TB: overflow is not hypothetical — a cents counter over
+    10^13 rows crosses 2^63 at avg >= 92 cents. ANSI's raise is the
+    safety net; try_* is the explicit opt-out; DECIMAL is the
+    answer. Never spark.sql.ansi.enabled=false, which converts the
+    error into silent wraparound.
+    """
+    orders = table(spark, sf_dir, "orders")
+    b = F.expr(
+        "CASE WHEN o_orderpriority = '1-URGENT'"
+        " THEN 2305843009213693952 +"
+        "      CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+        " ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END"
+    )
+    t = orders.select(F.col("o_orderpriority").alias("g"), b.alias("b"))
+    return (
+        t.groupBy("g")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+            F.expr("try_sum(b)").alias("try_sum_b"),
+            F.expr(
+                "CAST(sum(CAST(b AS DECIMAL(38,0))) AS STRING)"
+            ).alias("exact_sum"),
+            F.expr(
+                "CAST(sum(CASE WHEN try_multiply(b, 16) IS NULL"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_mul_overflow"),
+        )
+        .orderBy("g")
+    )

@@ -1936,3 +1936,41 @@ def test_plan_metrics_record_subset_matches(spark):
             f"{key}: executed plan drifted from the committed record\n"
             f"recorded: {bucket[key]}\nran:      {got}"
         )
+
+
+def test_q138_plain_sum_raises_where_try_sum_nulls(spark, sf_dir):
+    """The reason q138 exists: under ANSI (the engine default,
+    asserted), the PLAIN sum over the same fixture RAISES
+    ARITHMETIC_OVERFLOW mid-job — try_sum's NULL is the survivable
+    form and the DECIMAL twin is the correct one. Also pins that the
+    overflow group's try_sum is NULL while every other group's equals
+    its exact DECIMAL digits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_sql_and_pyspark_developement__spark.plans import QUERIES
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = F.expr(
+        "CASE WHEN o_orderpriority = '1-URGENT'"
+        " THEN 2305843009213693952 +"
+        "      CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+        " ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END"
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        orders.select(b.alias("b")).groupBy().agg(F.expr("sum(b)")).collect()
+
+    rows = QUERIES["q138_try_arithmetic"](spark, sf_dir).collect()
+    by_g = {r.g: r for r in rows}
+    assert by_g["1-URGENT"].try_sum_b is None, "overflow group must NULL"
+    assert len(by_g["1-URGENT"].exact_sum) >= 19, "DECIMAL twin carries the true magnitude"
+    for g, r in by_g.items():
+        if g != "1-URGENT":
+            assert r.try_sum_b is not None
+            assert str(r.try_sum_b) == r.exact_sum, (
+                "in-range groups: try_sum must equal the exact digits"
+            )
+    assert by_g["1-URGENT"].n_mul_overflow == by_g["1-URGENT"].n_rows, (
+        "every offset row overflows the *16 rescale"
+    )
