@@ -73,3 +73,82 @@ def total_dropped_by_watermark(progresses) -> int:
         m["numRowsDroppedByWatermark"] + m["numLateInputs"]
         for m in state_operator_metrics(progresses).values()
     )
+
+
+class CollectingListener:
+    """st46: the PUSH half of streaming observability — st43's
+    state_operator_metrics PULLS recentProgress off a query handle
+    you hold; production fleets instead register one
+    StreamingQueryListener per session and receive EVERY query's
+    lifecycle (started / per-trigger progress / terminated) as
+    events, holding no handles at all. This is that surface,
+    implemented over pyspark's StreamingQueryListener (classic-mode
+    Python listeners, Spark 3.4+): events append to in-memory lists
+    keyed by (query id, run id), with the per-trigger numInputRows /
+    batchId / state-operator payloads preserved as dicts (the same
+    JSON shape recentProgress returns, so state_operator_metrics
+    folds listener-collected progress too — one metrics kernel for
+    both transports).
+
+    Contracts (tests/test_streaming.py): the listener sees the SAME
+    batch ids and input-row totals the query's own recentProgress
+    holds; start/termination events carry the matching ids; a
+    listener registered for the session observes a query it was
+    given NO handle to; removeListener detaches it (later queries
+    unseen). At 100 TB the listener is the integration point for
+    metric shippers (statsd/OTel) — the engine already emits
+    everything per trigger, so monitoring costs no extra jobs, the
+    st43 argument carried to fleet scope."""
+
+    def __init__(self):
+        import json as _json
+        import threading
+
+        from pyspark.sql.streaming import listener as _l
+
+        self._json = _json
+        self._lock = threading.Lock()
+        self.started: list[dict] = []
+        self.progress: list[dict] = []
+        self.terminated: list[dict] = []
+
+        outer = self
+
+        class _Inner(_l.StreamingQueryListener):
+            def onQueryStarted(self, event):
+                with outer._lock:
+                    outer.started.append(
+                        {"id": str(event.id), "runId": str(event.runId),
+                         "name": event.name}
+                    )
+
+            def onQueryProgress(self, event):
+                # event.progress.json is the same payload
+                # recentProgress serves — keep it as a dict so
+                # state_operator_metrics folds it unchanged
+                with outer._lock:
+                    outer.progress.append(
+                        outer._json.loads(event.progress.json)
+                    )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                with outer._lock:
+                    outer.terminated.append(
+                        {"id": str(event.id), "runId": str(event.runId),
+                         "exception": event.exception}
+                    )
+
+        self._inner = _Inner()
+
+    def register(self, spark) -> None:
+        spark.streams.addListener(self._inner)
+
+    def unregister(self, spark) -> None:
+        spark.streams.removeListener(self._inner)
+
+    def progress_for(self, query_id: str) -> list[dict]:
+        with self._lock:
+            return [p for p in self.progress if p.get("id") == query_id]

@@ -3581,3 +3581,87 @@ def test_rocksdb_changelog_checkpointing_recovery(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_st46_query_listener_matches_recent_progress(spark, sf_dir, tmp_path):
+    """st46: the session-level listener must observe a query it holds
+    no handle to — start event with matching ids, per-trigger
+    progress whose batchIds and input-row totals equal the query's
+    own recentProgress, a termination event, and the SAME
+    state_operator_metrics fold from either transport. After
+    removeListener a subsequent query is unseen."""
+    import time
+
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+    from etl_sql_and_pyspark_developement__spark.streaming.observability import (
+        CollectingListener,
+        state_operator_metrics,
+    )
+    from etl_sql_and_pyspark_developement__spark.streaming.stateful import (
+        streaming_bitmap_distinct,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tmp_path / "st46_src"
+    src.mkdir()
+    ev.limit(500).coalesce(1).write.parquet(str(src / "b0"))
+    ev.limit(900).coalesce(1).write.parquet(str(src / "b1"))
+
+    lis = CollectingListener()
+    lis.register(spark)
+    try:
+        q = (
+            streaming_bitmap_distinct(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*"))
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", str(tmp_path / "st46_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        qid = str(q.id)
+        own = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        q.awaitTermination()
+        # listener events are delivered asynchronously on the bus
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(t["id"] == qid for t in lis.terminated) and len(
+                [p for p in lis.progress_for(qid) if p["numInputRows"] > 0]
+            ) >= len(own):
+                break
+            time.sleep(0.5)
+
+        assert any(s["id"] == qid for s in lis.started)
+        heard = [
+            p for p in lis.progress_for(qid) if p["numInputRows"] > 0
+        ]
+        assert {(p["batchId"], p["numInputRows"]) for p in own} == {
+            (p["batchId"], p["numInputRows"]) for p in heard
+        }, "listener progress must equal the handle's recentProgress"
+        assert state_operator_metrics(heard).keys() == (
+            state_operator_metrics(own).keys()
+        ), "one metrics kernel must fold both transports"
+        term = [t for t in lis.terminated if t["id"] == qid]
+        assert term and term[0]["exception"] is None
+    finally:
+        lis.unregister(spark)
+
+    # detached: a later query is unseen
+    n_started = len(lis.started)
+    q2 = (
+        spark.readStream.schema(ev.schema)
+        .parquet(str(src / "*"))
+        .groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("st46_unseen")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert len(lis.started) == n_started, "removed listener must be deaf"
