@@ -95,16 +95,35 @@ def _minhash_aggs() -> list[Column]:
     ]
 
 
-def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    spread: bool = True,
+) -> DataFrame:
     """(id, shingle) pairs — distinct word n-gram shingles per doc.
 
     Tokenizes ONCE into a column before the transform lambda: inlining
     `split(text)` inside the lambda would re-split per shingle index
     (O(tokens²) per doc — measured 3-4× slower end-to-end).
+
+    The (id, text) projection is spread across the cluster first
+    (spread_small_scan): a single-row-group corpus file otherwise
+    serializes the split + shingle transform + md5 map work on one
+    core (r11; no-op at real scale). Pass ``spread=False`` for frames
+    that are SMALL BY CONSTRUCTION (delta batches, candidate-pruned
+    verify sides) where the widening exchange is pure overhead —
+    measured +0.8s on d22's per-batch frames.
     """
-    toked = df.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
-    )
+    proj = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    if spread:
+        from etl_sql_and_pyspark_developement__spark.operators.spread import (
+            spread_small_scan,
+        )
+
+        proj = spread_small_scan(proj)
+    toked = proj.select("doc", F.split(F.col("__t"), " ").alias("__toks"))
     shingles = F.when(
         F.size(F.col("__toks")) >= n,
         F.array_distinct(
@@ -126,6 +145,9 @@ def exact_dedup_stats(
         exact_fingerprint,
     )
 
+    # NOT spread (r11): interleaved A/B measured the widening exchange
+    # at +0.33s here — the fingerprint map work is light and the
+    # groupBy's partial aggregation already parallelizes
     keyed = df.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("doc"),
@@ -196,6 +218,7 @@ def jaccard_pairs_prefix(
     text_col: str,
     threshold: float,
     n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Threshold-Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
     family): losslessly prunes the candidate join that jaccard_pairs
@@ -220,8 +243,16 @@ def jaccard_pairs_prefix(
     and this is the only exact formulation that survives. Results are
     IDENTICAL to jaccard_pairs(...).filter(jaccard >= t) — asserted
     in tests/test_dedup.py at three thresholds.
+
+    Pass ``sh`` (an ALREADY-MATERIALIZED (doc, shingle) frame from
+    shingle_df) to share one shingle pass with sibling consumers —
+    the d21/d23 evaluation lanes build signatures AND exact truth
+    from the same sample, and without sharing each pipeline pays its
+    own tokenize+explode (r11 optimization; values unchanged, the
+    frame is the same either way).
     """
-    sh = _materialize(shingle_df(df, id_col, text_col, n))
+    if sh is None:
+        sh = _materialize(shingle_df(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     # rank shingles within each doc, rarest first (deterministic ties)
@@ -277,11 +308,21 @@ def jaccard_pairs_prefix(
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """128 minhash values per doc, computed as 128 parallel MIN
     aggregates of universal-hash mixes of one base fingerprint per
-    shingle — all JVM-side partial aggregation, zero Python."""
-    sh = shingle_df(df, id_col, text_col, n)
+    shingle — all JVM-side partial aggregation, zero Python.
+
+    Pass ``sh`` to reuse a shingle frame the caller already built
+    (see jaccard_pairs_prefix)."""
+    if sh is None:
+        sh = shingle_df(df, id_col, text_col, n)
     return _with_base_fingerprint(sh).groupBy("doc").agg(*_minhash_aggs())
 
 
@@ -353,6 +394,7 @@ def lsh_candidate_pairs(
     text_col: str,
     n: int = 3,
     max_band_df: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """CONTENT-based candidate pairs from MinHash-LSH band collisions,
     WITHOUT the Jaccard verify — the reusable blocking stage for any
@@ -367,8 +409,10 @@ def lsh_candidate_pairs(
     never all-pairs. Pass `max_band_df` to arm the hot-bucket guard
     (cap_hot_bands) on corpora with templated/boilerplate text, which
     bounds per-bucket pair work at the cost of mega-bucket recall.
+    Pass ``sh`` to reuse a caller-materialized shingle frame (see
+    jaccard_pairs_prefix).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    sigs = minhash_signatures(df, id_col, text_col, n, sh=sh)
     banded = _banded(sigs)
     if max_band_df is not None:
         banded = cap_hot_bands(banded, max_band_df)
@@ -467,11 +511,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     d08/s02's deterministic-LSH oracles). Two halves, never combined:
     hi*2^32+lo would overflow BIGINT under ANSI mode.
     """
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
     toks = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        spread_small_scan(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
         )
+        .select("doc", F.explode(F.split(F.col("__t"), " ")).alias("tok"))
         .withColumn("__md5", F.md5("tok"))
         .withColumn(
             "hi", F.conv(F.substring("__md5", 1, 8), 16, 10).cast("long")
@@ -763,9 +811,13 @@ def duplicated_spans(
     string — high-cardinality, skew-free for k >= 4; the span window
     partitions by (pair, diagonal), never globally. No UDFs.
     """
-    toked = df.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
     )
+
+    toked = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    ).select("doc", F.split(F.col("__t"), " ").alias("__toks"))
     grams_arr = F.when(
         F.size("__toks") >= k,
         F.expr(
@@ -847,10 +899,17 @@ def corpus_dup_profile(
     high-cardinality grams (skew-free); the final rollup is
     |groups|-sized. Linear in corpus size, never pairwise.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("doc"), toks.alias("_toks")
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
     )
+
+    base = spread_small_scan(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("__t"),
+        )
+    ).select("grp", "doc", F.split(F.col("__t"), " ").alias("_toks"))
     idx = F.when(
         F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
     ).otherwise(F.array())
@@ -900,7 +959,12 @@ def _segments(
     """(doc, pos, seg, fp): non-overlapping `seg_words`-token chunks
     with position and md5 fingerprint — the shared segmentation of the
     batch scrub (boilerplate_scrub) and the streaming gate
-    (boilerplate_index / boilerplate_apply)."""
+    (boilerplate_index / boilerplate_apply).
+
+    NOT spread (r11): the interleaved A/B measured the widening
+    exchange at +0.46s on d13 — the chunk transform is light and the
+    doc-frequency groupBy's partial aggregation parallelizes the
+    heavy half already."""
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
     n_chunks = F.ceil(F.size("_toks") / F.lit(seg_words)).cast("int")
@@ -1091,7 +1155,8 @@ def neardup_screen(
     is materialized — otherwise each batch leaks one cached DataFrame
     of executor storage.
     """
-    sh_b = shingle_df(batch, id_col, text_col, n).persist()
+    # micro-batch frames are batch-sized — skip the widening exchange
+    sh_b = shingle_df(batch, id_col, text_col, n, spread=False).persist()
     if cache_handles is not None:
         cache_handles.append(sh_b)
     bands_b = _banded(
@@ -1346,7 +1411,9 @@ def delta_dedup_matches(
     proportional to candidate count, not corpus size. Returns
     (delta_doc, base_doc, jaccard) for verified matches.
     """
-    sh_d = _materialize(shingle_df(delta, id_col, text_col, n))
+    # per-batch frames are small by construction — the r11 widening
+    # exchange measured as pure overhead here (see shingle_df)
+    sh_d = _materialize(shingle_df(delta, id_col, text_col, n, spread=False))
     if base_bands is None:
         sh_b_full = shingle_df(base, id_col, text_col, n)
         base_bands = _banded(
@@ -1375,7 +1442,9 @@ def delta_dedup_matches(
         id_col,
         "semi",
     )
-    sh_b = _materialize(shingle_df(base_needed, id_col, text_col, n))
+    sh_b = _materialize(
+        shingle_df(base_needed, id_col, text_col, n, spread=False)
+    )
     sizes_d = sh_d.groupBy("doc").agg(F.count("*").alias("n_d"))
     sizes_b = sh_b.groupBy("doc").agg(F.count("*").alias("n_b"))
     inter = (
@@ -1436,10 +1505,15 @@ def lsh_band_sweep(
     for r, b in configs:
         if r * b > N_MINHASH:
             raise ValueError(f"config ({r},{b}) exceeds {N_MINHASH} minhashes")
-    sigs = minhash_signatures(df, id_col, text_col, n).localCheckpoint()
+    # ONE shingle pass feeds both the signature build and the exact
+    # ground truth (r11: each previously paid its own tokenize+explode
+    # — two identical scans of the sample, measured ~1s apart at sf0.1)
+    sh = _materialize(shingle_df(df, id_col, text_col, n))
+    sigs = minhash_signatures(df, id_col, text_col, n, sh=sh).localCheckpoint()
     truth = (
-        jaccard_pairs_prefix(df, id_col, text_col, threshold=threshold, n=n)
+        jaccard_pairs_prefix(df, id_col, text_col, threshold=threshold, n=n, sh=sh)
         .select("doc_a", "doc_b")
+        .withColumn("__true", F.lit(1))
         .localCheckpoint()
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
@@ -1477,13 +1551,19 @@ def lsh_band_sweep(
                 F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
             )
             .distinct()
-            .localCheckpoint()
         )
-        hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        # candidate volume and hit count in ONE pass over the candidate
+        # join: a broadcast LEFT join against the (tiny, materialized)
+        # truth set marks hits, one aggregate counts both. r11: the
+        # prior shape localCheckpointed `cand` and ran a count PLUS a
+        # left-semi + count — three jobs per config; this is one, with
+        # identical values (cand and truth are both distinct pair sets,
+        # so count(__true) == |truth ∩ cand|).
         per_config.append(
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(
-                F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.count("__true").alias("n_hits"),
             )
             .select(
                 F.lit(r).cast("bigint").alias("rows_per_band"),
@@ -1514,3 +1594,115 @@ def lsh_band_sweep(
         )
         .orderBy("rows_per_band")
     )
+
+
+def cdc_chunk_doc_fps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 512,
+) -> DataFrame:
+    """Per-doc CDC chunk fingerprints — (doc_id, fp, cnt), one row per
+    DISTINCT chunk fingerprint within a doc, cnt = how many of the
+    doc's chunks carry it (so per-doc chunk counts are sums of cnt).
+
+    Boundary rule (value-identical to d17's SQL form and its DuckDB
+    oracle): the doc's first `prefix_chars` characters chunk at start
+    1 plus every interior position i in [2, L-7] where the 8-char
+    window polynomial sum_j codepoint(t[i+j-1]) * 256^(7-j) mod
+    1e9+7 is ≡ 0 (mod 64); each chunk's fp is md5 of the chunk's
+    UTF-8 bytes. All-integer arithmetic, engine-portable.
+
+    Why an Arrow kernel and not the array-lambda filter: Spark
+    evaluates higher-order-function lambdas INTERPRETED per element,
+    so the unrolled 8-term hash costs ~8 boxed BIGINT ops × ~500
+    positions × every doc — and d17's plan referenced the chunk
+    subtree twice, paying the screen twice (measured 6-9 s at sf0.1).
+    Here the same arithmetic runs once, vectorized: the batch's texts
+    concatenate into one UTF-32 codepoint array (codepoints ==
+    ascii()/ord semantics for any input, not just ASCII), one
+    sliding-window product against the 8 power constants scores every
+    position of every doc (products < 2^51 — exact int64), and md5
+    runs only on the ~L/64 chunk substrings via hashlib (identical
+    UTF-8-byte hashing as Spark/DuckDB md5). Narrow map, no shuffle,
+    no per-doc window pass — boundaries AND chunk assembly are local
+    to the row. Scan-bound and embarrassingly parallel at 100 TB;
+    per-byte examination is inherent to CDC, this is its vectorized
+    form (guide §4.2: batch work belongs in native kernels).
+    """
+    import pyarrow as pa
+
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    prepared = spread_small_scan(
+        df.filter(
+            F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        ).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.substring(F.col(text_col), 1, prefix_chars).alias("t"),
+        )
+    )
+
+    M = 1_000_000_007
+    pows = [pow(256, 7 - j, M) for j in range(8)]
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pw = np.array(pows, dtype=np.int64)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("t").to_pylist()
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=len(texts)
+            )
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            # utf-32-le bytes ARE the codepoint array — vectorized ord()
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if codes.size >= 8:
+                win = sliding_window_view(codes, 8)
+                # windows that straddle two docs are computed but never
+                # selected (the per-doc slice below stays inside the doc)
+                hb = (((win * pw) % M).sum(axis=1) % M) % 64 == 0
+            else:
+                hb = np.zeros(0, dtype=bool)
+            out_ids: list[int] = []
+            out_fps: list[str] = []
+            out_cnts: list[int] = []
+            for d, t in enumerate(texts):
+                L = int(lens[d])
+                starts = [1]
+                if L >= 9:
+                    # global window index g == offs[d] + (i - 1) for
+                    # 1-based interior start i in [2, L-7]
+                    lo = int(offs[d]) + 1
+                    idx = np.nonzero(hb[lo : int(offs[d]) + L - 7])[0]
+                    if idx.size:
+                        starts.extend((idx + 2).tolist())
+                counts: dict[str, int] = {}
+                for si, s in enumerate(starts):
+                    e = starts[si + 1] - 1 if si + 1 < len(starts) else L
+                    fp = hashlib.md5(t[s - 1 : e].encode("utf-8")).hexdigest()
+                    counts[fp] = counts.get(fp, 0) + 1
+                for fp, c in counts.items():
+                    out_ids.append(ids[d])
+                    out_fps.append(fp)
+                    out_cnts.append(c)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "fp": pa.array(out_fps, pa.string()),
+                    "cnt": pa.array(out_cnts, pa.int64()),
+                }
+            )
+
+    return prepared.mapInArrow(kernel, "doc_id bigint, fp string, cnt bigint")

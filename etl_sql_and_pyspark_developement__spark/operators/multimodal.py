@@ -22,6 +22,17 @@ DECODE_SCHEMA = (
 )
 
 
+def _kernel_input(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) projection feeding a Python kernel.
+
+    Deliberately NOT spread_small_scan-widened (r11): the interleaved
+    A/B measured the widening exchange at +0.3-0.5s on every m-lane —
+    these Arrow kernels clear a 5k-doc corpus faster single-task than
+    the exchange round-trip costs. At real scale the scan already
+    carries many partitions, so there is nothing to widen anyway."""
+    return df.select(id_col, "payload")
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a blob column (real pipelines read image/audio bytes
     from object storage; here the doc text is the payload)."""
@@ -60,7 +71,7 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out["status"] = decoded.map(lambda t: t[2])
             yield out
 
-    return df.select(id_col, "payload").mapInPandas(decode, DECODE_SCHEMA)
+    return _kernel_input(df, id_col).mapInPandas(decode, DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = (
@@ -110,7 +121,7 @@ def sample_frames(
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(sampler, FRAME_SCHEMA)
+    return _kernel_input(df, id_col).mapInPandas(sampler, FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = (
@@ -184,7 +195,7 @@ def resize_payloads(
                 rows["status"].append(status)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(resize, RESIZE_SCHEMA)
+    return _kernel_input(df, id_col).mapInPandas(resize, RESIZE_SCHEMA)
 
 
 WINDOW_FEATURE_SCHEMA = (
@@ -265,7 +276,7 @@ def window_features(
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(
+    return _kernel_input(df, id_col).mapInPandas(
         extract, WINDOW_FEATURE_SCHEMA
     )
 
@@ -320,7 +331,7 @@ def phash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     rows[f"c{c}"].append(chunks[c])
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(hasher, PHASH_SCHEMA)
+    return _kernel_input(df, id_col).mapInPandas(hasher, PHASH_SCHEMA)
 
 
 def phash_neardup_pairs(
@@ -512,4 +523,4 @@ def frame_hex_samples(
                     out["frame_hex"].append(frame.hex().upper())
             yield pd.DataFrame(out)
 
-    return df.select(id_col, "payload").mapInPandas(sampler, FRAME_HEX_SCHEMA)
+    return _kernel_input(df, id_col).mapInPandas(sampler, FRAME_HEX_SCHEMA)

@@ -46,19 +46,41 @@ def cosine_topk(
     Scale: F.broadcast on the query side → a broadcast nested-loop
     that streams the corpus exactly once, no shuffle of the corpus;
     the window partitions by query (small) for the top-k.
+
+    Norms are computed ONCE PER ROW on each side before the pair
+    join, not per pair (r11 — the knn_graph/d08 lesson applied to
+    the exact baseline: higher-order-function folds evaluate
+    interpreted per element, and the per-pair form paid 3 of them —
+    dot + both norms — where 1 suffices; |queries|·|corpus| pairs ×
+    2×64 interpreted ops was most of s08's exact side). Same
+    sequential fold per vector, same multiply order in the divisor —
+    bit-identical cosine values.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
     )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(vec_col).alias("__qn"),
+    )
+    # corpus side spread BEFORE the norm projection + pair scoring —
+    # a single-row-group embeddings file otherwise scores every
+    # |queries|·|corpus| pair on one core (r11; no-op at real scale)
+    c = spread_small_scan(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    ).select(
+        "cand_id",
+        "c_vec",
+        _norm("c_vec").alias("__cn"),
     )
     pairs = c.join(F.broadcast(q), F.lit(True))
     if not include_self:
         pairs = pairs.filter(F.col("cand_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6),
+        F.round(_dot("q_vec", "c_vec") / (F.col("__qn") * F.col("__cn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
@@ -127,9 +149,11 @@ def ann_lsh_topk(
     Recall is tested against cosine_topk in tests/test_similarity.py.
     """
     sig = lsh_signature(vec_col, n_bits, dim)
+    # norms once per row, not per pair (r11 — see cosine_topk)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(vec_col).alias("__qn"),
         sig.alias("bucket"),
     )
     if multiprobe:
@@ -141,17 +165,24 @@ def ann_lsh_topk(
             ],
         )
         q = q.withColumn("bucket", F.explode(probes))
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
-        sig.alias("bucket"),
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    c = spread_small_scan(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    ).select(
+        "cand_id",
+        "c_vec",
+        _norm("c_vec").alias("__cn"),
+        lsh_signature("c_vec", n_bits, dim).alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("cand_id") != F.col("query_id")
     )
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6),
+        F.round(_dot("q_vec", "c_vec") / (F.col("__qn") * F.col("__cn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
@@ -223,17 +254,22 @@ def knn_graph(
     """
     if n_bits is None:
         n_bits = adaptive_n_bits(corpus.count())
-    sig = lsh_signature(vec_col, n_bits, dim)
     # norms computed ONCE per vector here, not per candidate pair —
     # per-pair work drops to one dot product + two scalar reads
     # localCheckpoint, not persist: both join sides read this frame,
     # but persist's columnar cache build costs more than the one-time
     # shuffle-block write (see dedup._materialize for measurements)
-    base = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sig.alias("bucket"),
-        _norm(vec_col).alias("nrm"),
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    base = spread_small_scan(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    ).select(
+        "vid",
+        "vec",
+        lsh_signature("vec", n_bits, dim).alias("bucket"),
+        _norm("vec").alias("nrm"),
     ).localCheckpoint()
     probes = F.array(
         F.col("bucket"),
@@ -465,8 +501,13 @@ def ann_ivf_topk(
     # training scans the corpus once per Lloyd iteration and the final
     # assignment once more — materialize it across those passes
     # (localCheckpoint: cheaper than persist's columnar cache build,
-    # see dedup._materialize)
-    corpus = corpus.localCheckpoint()
+    # see dedup._materialize); spread first so training/assignment map
+    # work parallelizes off a single-row-group file (r11)
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    corpus = spread_small_scan(corpus).localCheckpoint()
     centroids = kmeans_lite_centroids(
         corpus, vec_col, n_clusters, train_iterations, dim
     )
@@ -490,17 +531,18 @@ def ann_ivf_topk(
         "__dist", _sq_l2("q_vec", "centroid")
     )
     probe_w = Window.partitionBy("query_id").orderBy("__dist", "cluster")
+    # norms once per row, not per probe pair (r11 — see cosine_topk)
     q = (
         q_scored.withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "q_vec", "cluster")
+        .select("query_id", "q_vec", _norm("q_vec").alias("__qn"), "cluster")
     )
-    pairs = c.join(F.broadcast(q), "cluster").filter(
-        F.col("cand_id") != F.col("query_id")
-    )
+    pairs = c.withColumn("__cn", _norm("c_vec")).join(
+        F.broadcast(q), "cluster"
+    ).filter(F.col("cand_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec")), 6),
+        F.round(_dot("q_vec", "c_vec") / (F.col("__qn") * F.col("__cn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
@@ -534,6 +576,12 @@ def cosine_neardup_pairs(
     dot/(|a|·|b|) per pair — 3x less array math on the quadratic
     side of the plan.
     """
+
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(emb.select(id_col, vec_col))
 
     def normed(side_id: str, side_vec: str):
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -602,7 +650,13 @@ def semantic_dedup(
     the assignment scan can route through s02's LSH prefilter.
     Zero-norm vectors keep cosine 0 and are never dropped.
     """
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    base = spread_small_scan(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     if k is None:
         import math
 
@@ -718,7 +772,13 @@ def mmr_select(
 
     Returns (rank, id, relevance, mmr_score) with rank 1..k.
     """
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    base = spread_small_scan(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     if query_id is None:
         # one combined 1-row job: the min id AND its vector (min_by),
         # instead of a min(id) job + a filter job + a broadcast build
@@ -831,10 +891,14 @@ def embedding_neardup_index(
     dedup.corpus_neardup_index's never-rescan contract. Signatures are
     scale-invariant, so hashing the raw vector and storing the unit
     vector is consistent."""
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
     sig = lsh_signature(vec_col, n_bits, dim)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    return corpus.select(
+    return spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("c_id"),
         F.when(nrm > 0, F.transform(v, lambda x: x / nrm))
         .otherwise(v)
@@ -1430,6 +1494,10 @@ def vector_features_arrow(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInArrow(
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    return spread_small_scan(df.select(id_col, vec_col)).mapInArrow(
         kernel, ARROW_FEATURES_SCHEMA
     )

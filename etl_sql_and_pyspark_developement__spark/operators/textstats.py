@@ -141,6 +141,18 @@ def exact_fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.lower(F.trim(F.col(text_col))))
 
 
+def _spread(df):
+    """Spread a small-file scan before heavy per-row map work — see
+    operators/spread.spread_small_scan (r11): a single-row-group
+    corpus file otherwise serializes the tokenize/explode/regex map
+    stages on one core; no-op at real scale."""
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
+    return spread_small_scan(df)
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -169,10 +181,12 @@ def repetition_stats(
     dup-trigram rollup) don't re-run the explode. The per-doc top-1
     window partitions by doc_id. No global sort, no UDFs.
     """
-    toks = tokens(F.col(text_col))
-    base = df.select(
+    toks = tokens(F.col("__t"))
+    base = _spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    ).select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
+        F.length("__t").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         toks.alias("_toks"),
@@ -275,6 +289,8 @@ def vocab_stats(
     groups don't serialize — only the final per-group rollup (rows =
     vocab, not tokens) touches the low-cardinality group key.
     """
+    # NOT spread (r11 A/B: +0.27s — the (group, term) partial agg
+    # already parallelizes the heavy half)
     term_counts = (
         df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(group_col, "term")
@@ -330,6 +346,9 @@ def tfidf_top_terms(
     the top-k window partitions by doc (high cardinality — no global
     sort anywhere).
     """
+    # NOT spread (r11): measured 0.83s -> 1.44s with the widening
+    # exchange — the token explode here is light and the (doc, term)
+    # groupBy's partial aggregation already parallelizes the heavy part
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -473,6 +492,7 @@ def surprisal_scores(
     shuffle join back → per-doc agg (one shuffle on doc id). Linear,
     no driver state; the unigram table is reusable across runs.
     """
+    # NOT spread (r11 A/B: +0.33s — light explode, partial-agg absorbs)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -508,6 +528,8 @@ def bigram_surprisal_scores(
     shuffle on high-cardinality gram keys with partial aggregation —
     → join back → per-doc agg. Linear, no driver state.
     """
+    # NOT spread (r11 A/B: +0.44s — the localCheckpointed bigram
+    # frame's gram groupBys dominate and already parallelize)
     toked = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
     )
@@ -688,8 +710,8 @@ def char_stats(
         f"(length(__t) - length(replace(__t, '{c}', ''))) AS __c{i}"
         for i, c in enumerate(CHAR_ALPHABET)
     ]
-    base = df.selectExpr(
-        id_col, f"lower({text_col}) AS __t"
+    base = _spread(
+        df.selectExpr(id_col, f"lower({text_col}) AS __t")
     ).selectExpr(id_col, *cnt_exprs)
     counted = " + ".join(f"__c{i}" for i in range(n))
     sumsq = " + ".join(f"__c{i} * __c{i}" for i in range(n))
@@ -724,6 +746,7 @@ def oov_rates(
     token pass → one per-doc groupBy. The vocabulary is the only
     global artifact and it is bounded by construction.
     """
+    # NOT spread (r11 A/B: +0.45s — light explode, partial-agg absorbs)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -774,6 +797,9 @@ def hash_embed(
     conditional sums are partial-agg decomposable — the embedding of
     a 10⁹-doc corpus is a single shuffle. No Python, no pivot.
     """
+    # NOT spread (r11): measured 1.41s -> 1.71s — the md5 bucket/sign
+    # work rides the decomposable per-doc groupBy, which parallelizes
+    # map-side already; the extra exchange only added overhead
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -820,6 +846,8 @@ def _bpe_dictionary(df: DataFrame, text_col: str) -> DataFrame:
     a prefix-only form's replace(s, '|l|r', ..) also fires where the
     FOLLOWING symbol merely starts with r (e.g. after merging (b,c),
     applying (a,b) would corrupt '|a|bc' into '|abc')."""
+    # NOT spread (r11 A/B: +0.3-0.45s on t13/t23/t24 — the word
+    # groupBy's partial aggregation parallelizes the counting already)
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(
@@ -1024,6 +1052,8 @@ def heldout_bigram_eval(
         )
 
         test_pred = md5_bucket(F.col(id_col)) < 10
+    # NOT spread (r11): measured 1.25s -> 1.54s — the bigram explode
+    # feeds a localCheckpoint whose downstream gram groupBys dominate
     toked = df.select(
         F.col(id_col).alias("doc"),
         test_pred.alias("is_test"),

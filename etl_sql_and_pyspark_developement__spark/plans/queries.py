@@ -3207,92 +3207,59 @@ def d17_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDARIES ONLY LOCALLY — unlike fixed-size blocks, shared
     content still produces identical chunks. Chunks are fingerprinted
     and deduplicated corpus-wide; per doc: chunk count, cross-doc
-    duplicated chunks, dup ppm.
+    duplicated chunks, dup ppm. Docs are screened on their first 512
+    chars (prefix CDC — the screen tier).
 
-    The windowed hash is position-INDEPENDENT (each h(i) reads only
-    bytes i..i+7), so the whole screen is codegen: bytes materialize
-    once per doc and boundary detection is an ARRAY-LAMBDA filter
-    inside the row (8 unrolled element_at terms mod 1e9+7) — no
-    Python, no recursion, and crucially NO per-position row
-    explosion (the exploded form copies the byte array into millions
-    of UnsafeRows; the lambda form measured 12.7s → 6.1s at sf0.1).
-    Only the few chunk STARTS explode; assembly is a per-doc lead()
-    window. Docs are screened on their first 512 chars (prefix CDC —
-    the screen tier; a kernel variant would stream full payloads).
+    r11 optimization (guide §4.2/§2.4): boundary detection + chunk
+    fingerprinting moved from an interpreted ARRAY-LAMBDA filter (8
+    unrolled element_at terms per position, evaluated interpreted per
+    element — ~20M boxed BIGINT ops at sf0.1, and the plan referenced
+    the chunk subtree TWICE) into ONE vectorized Arrow kernel
+    (operators/dedup.cdc_chunk_doc_fps): the whole screen is a
+    sliding-window numpy product over UTF-32 codepoints, exact int64
+    arithmetic, chunk md5 via hashlib on the few chunk substrings.
+    This also removes the per-doc lead() WINDOW EXCHANGE outright —
+    boundaries and chunk assembly are row-local. The kernel emits one
+    (doc, fp, cnt) row per distinct fp within a doc, so the
+    cross-doc count is a plain count (no two-phase DISTINCT agg).
+    Measured 8.3s → ~1.4s at sf0.1; identical values (same modulus /
+    power constants / md5), DuckDB oracle unchanged.
 
-    Scale: per-byte examination is inherent to CDC; here it stays
-    inside one codegen scan + a doc-keyed window + one fingerprint
-    groupBy. The 'copyN'-suffixed near-dup corpus means shared
-    prefixes chunk identically — dup_ppm really fires.
+    Scale: per-byte examination is inherent to CDC; the kernel is a
+    narrow scan-bound map. The 'copyN'-suffixed near-dup corpus means
+    shared prefixes chunk identically — dup_ppm really fires.
     """
-    from etl_sql_and_pyspark_developement__spark.sources.catalog import (
-        register_views,
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        cdc_chunk_doc_fps,
     )
 
-    register_views(spark, sf_dir)
-    M = 1_000_000_007
-    pows = [pow(256, 7 - j, M) for j in range(8)]
-    # the hash reads the per-doc byte array by index inside the
-    # boundary lambda — see the docstring for why this beats a
-    # position explode
-    hash_expr = "(" + " + ".join(
-        f"(CAST(element_at(bs, i + {j}) AS BIGINT) * {pows[j]}) % {M}"
-        for j in range(8)
-    ) + f") % {M}"
-    return spark.sql(
-        f"""
-        WITH base AS (
-            SELECT doc_id, substr(text, 1, 512) AS t,
-                   length(substr(text, 1, 512)) AS L
-            FROM documents
-            WHERE text IS NOT NULL AND length(text) > 0
-        ),
-        byted AS (
-            SELECT doc_id, t, L,
-                   transform(sequence(1, L), k -> ascii(substr(t, k, 1))) AS bs
-            -- L >= 9: an interior boundary candidate i needs i >= 2
-            -- AND bytes i..i+7, i.e. i <= L-7, so L=8 has NO valid
-            -- candidates — and sequence(2, L-7) = sequence(2, 1)
-            -- would generate DESCENDING [2, 1], whose i=2 lambda
-            -- reads element_at(bs, 9) past the 8-byte array. L=8
-            -- docs are single-chunk and take the L < 9 arm below.
-            FROM base WHERE L >= 9
-        ),
-        bounded AS (
-            SELECT doc_id, t, L,
-                   filter(sequence(2, L - 7),
-                          i -> {hash_expr} % 64 = 0) AS boundary_starts
-            FROM byted
-        ),
-        starts AS (
-            SELECT doc_id, t, L,
-                   explode(concat(array(1), boundary_starts)) AS start
-            FROM bounded
-            UNION ALL
-            SELECT doc_id, t, L, 1 AS start FROM base WHERE L < 9
-        ),
-        chunks AS (
-            SELECT doc_id,
-                md5(substr(t, start,
-                    coalesce(lead(start) OVER (PARTITION BY doc_id
-                                               ORDER BY start) - start,
-                             L - start + 1))) AS fp
-            FROM starts
-        ),
-        fp_docs AS (
-            SELECT fp, count(DISTINCT doc_id) AS n_docs
-            FROM chunks GROUP BY fp
+    docs = table(spark, sf_dir, "documents")
+    # chunk fps feed the corpus-wide fp rollup AND the per-doc join
+    # side — materialize so the kernel executes once (the frame is
+    # ~chunks/doc × docs rows of (id, hex, cnt) — tiny).
+    chunks = cdc_chunk_doc_fps(docs).localCheckpoint()
+    # countDistinct, not count: the kernel emits per-(input row, fp),
+    # so this stays exactly count(DISTINCT doc_id) even if an input
+    # ever carried duplicate doc_ids (oracle parity under any input).
+    fp_docs = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(fp_docs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_chunks"),
         )
-        SELECT c.doc_id,
-            count(*) AS n_chunks,
-            CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_dup_chunks,
-            1000000 * CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
-                           AS BIGINT) DIV count(*) AS dup_ppm
-        FROM chunks c JOIN fp_docs f USING (fp)
-        GROUP BY c.doc_id
-        ORDER BY c.doc_id
-        """
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("1000000 * n_dup_chunks DIV n_chunks").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -4419,8 +4386,14 @@ def d18_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     turned this linear screen into 35s at sf0.1; with the projection
     it is one split per document.
     """
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
     docs = table(spark, sf_dir, "documents")
-    tokd = docs.select(
+    # spread before the (deliberately unmaterialized, twice-run)
+    # shingling transform — r11, see operators/spread
+    tokd = spread_small_scan(docs.select("doc_id", "text")).select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
@@ -7304,6 +7277,10 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs,
     )
 
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        shingle_df,
+    )
+
     docs = table(spark, sf_dir, "documents")
     sample = (
         docs.select("doc_id", "text")
@@ -7313,17 +7290,30 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one sample, three consumers (truth / candidates share scans
     # internally; the sample itself is cheap but feeds both pipelines)
     sample = sample.localCheckpoint()
-    truth = jaccard_pairs_prefix(
-        sample, "doc_id", "text", threshold=0.5, n=3
-    ).select("doc_a", "doc_b")
-    cand = lsh_candidate_pairs(sample, "doc_id", "text", n=3)
-    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    # r11: ONE shingle pass shared by the exact-truth and candidate
+    # pipelines (each used to pay its own tokenize+explode over the
+    # sample), and the truth set is materialized ONCE for its two
+    # consumers; candidate volume + hit count ride one broadcast-left
+    # join + one aggregate instead of a count plus a semi-join count
+    # (three jobs → one). Values identical — same machinery, same
+    # pair sets (both distinct), count(__true) == |truth ∩ cand|.
+    sh = shingle_df(sample, "doc_id", "text", 3).localCheckpoint()
+    truth = (
+        jaccard_pairs_prefix(sample, "doc_id", "text", threshold=0.5, n=3, sh=sh)
+        .select("doc_a", "doc_b")
+        .withColumn("__true", F.lit(1))
+        .localCheckpoint()
+    )
+    cand = lsh_candidate_pairs(sample, "doc_id", "text", n=3, sh=sh)
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    cand_hits = cand.join(
+        F.broadcast(truth), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("__true").alias("n_hits"),
+    )
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        n_true.crossJoin(F.broadcast(cand_hits))
         .select(
             F.lit(50).cast("bigint").alias("threshold_pct"),
             "n_true_pairs",

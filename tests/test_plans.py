@@ -595,14 +595,113 @@ def test_q61_pure_window_no_python(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_d17_cdc_codegen_no_python(spark, sf_dir):
-    """CDC chunking must stay entirely JVM-side: position explode +
-    unrolled hash terms + lead() assembly + fingerprint groupBy — no
-    Python stages, no cartesian."""
+def test_d17_cdc_kernel_no_window_no_cartesian(spark, sf_dir):
+    """CDC chunking rides ONE vectorized Arrow kernel (r11: the
+    interpreted boundary lambda + per-doc lead() window measured
+    8.3s at sf0.1, with the chunk subtree referenced twice; the
+    kernel form is ~1.4s — see cdc_chunk_doc_fps). The kernel output
+    is localCheckpoint-ed, so the RETURNED plan must show the rollup
+    over the materialized chunk frame: no row-at-a-time Python, no
+    window exchange, no per-position Generate, no cartesian."""
     plan = plan_of(spark, "d17_cdc_chunk_dedup", sf_dir)
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python banned"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "Generate" in plan, "position explode expected"
+    assert "Window" not in plan, "lead() assembly replaced by the kernel"
+    assert "Generate" not in plan, "per-position explode replaced"
+    assert "Scan ExistingRDD" in plan, "materialized kernel output expected"
+
+
+def test_d17_cdc_kernel_matches_sql_form(spark, sf_dir):
+    """The r11 Arrow kernel must reproduce the retired SQL form's
+    boundary/chunk arithmetic bit-for-bit (same modulus, powers, md5)
+    — including on NON-ASCII text, where ascii()/ord equivalence is
+    the load-bearing claim (the kernel reads UTF-32 codepoints)."""
+    import pyspark.sql.functions as F
+
+    from etl_sql_and_pyspark_developement__spark.operators.dedup import (
+        cdc_chunk_doc_fps,
+    )
+
+    import random
+
+    # deterministic pseudo-random fixtures: the ASCII one carries 5
+    # interior boundaries, the non-ASCII one 8 (verified offline
+    # against the polynomial) — so the boundary path AND the
+    # codepoint/ord equivalence are both genuinely exercised
+    ascii_rnd = random.Random(7)
+    ascii_doc = "".join(
+        ascii_rnd.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(400)
+    )
+    uni_rnd = random.Random(0)
+    uni_doc = "".join(
+        uni_rnd.choice("héllö wörld ünïcode £€₿ abcxyz ") for _ in range(400)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, ascii_doc),
+            (2, ascii_doc + "tail"),
+            (3, uni_doc),                             # non-ASCII
+            (4, "12345678"),                          # L == 8: one chunk
+            (5, "123456789"),                         # L == 9: 1 candidate
+            (6, "x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    M = 1_000_000_007
+    pows = [pow(256, 7 - j, M) for j in range(8)]
+    hash_expr = "(" + " + ".join(
+        f"(CAST(element_at(bs, i + {j}) AS BIGINT) * {pows[j]}) % {M}"
+        for j in range(8)
+    ) + f") % {M}"
+    docs.createOrReplaceTempView("__d17_parity_docs")
+    sql_chunks = spark.sql(
+        f"""
+        WITH base AS (
+            SELECT doc_id, substr(text, 1, 512) AS t,
+                   length(substr(text, 1, 512)) AS L
+            FROM __d17_parity_docs
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        byted AS (
+            SELECT doc_id, t, L,
+                   transform(sequence(1, L), k -> ascii(substr(t, k, 1))) AS bs
+            FROM base WHERE L >= 9
+        ),
+        bounded AS (
+            SELECT doc_id, t, L,
+                   filter(sequence(2, L - 7),
+                          i -> {hash_expr} % 64 = 0) AS boundary_starts
+            FROM byted
+        ),
+        starts AS (
+            SELECT doc_id, t, L,
+                   explode(concat(array(1), boundary_starts)) AS start
+            FROM bounded
+            UNION ALL
+            SELECT doc_id, t, L, 1 AS start FROM base WHERE L < 9
+        )
+        SELECT doc_id,
+            md5(substr(t, start,
+                coalesce(lead(start) OVER (PARTITION BY doc_id
+                                           ORDER BY start) - start,
+                         L - start + 1))) AS fp
+        FROM starts
+        """
+    ).groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("cnt"))
+    expected = sorted(
+        (r["doc_id"], r["fp"], r["cnt"]) for r in sql_chunks.collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["fp"], r["cnt"])
+        for r in cdc_chunk_doc_fps(docs).collect()
+    )
+    assert got == expected
+    # and multi-chunk docs actually exercised the boundary path
+    n_chunks = {}
+    for doc_id, _fp, cnt in got:
+        n_chunks[doc_id] = n_chunks.get(doc_id, 0) + cnt
+    assert n_chunks[1] > 1 and n_chunks[3] > 1, "boundary path not exercised"
+    assert n_chunks[4] == 1 and n_chunks[6] == 1
 
 
 def test_q58_touch_join_keyed_on_user_and_bin(spark, sf_dir):
