@@ -29,9 +29,9 @@ def _walk_executed(node):
     adaptive indirections explain text hides: AdaptiveSparkPlanExec
     yields its finalized plan, *QueryStageExec wrappers yield the
     stage's materialized subtree. ReusedExchangeExec is a LeafExecNode
-    in Spark (it references, not contains, its exchange), so reuse is
-    counted once at the original and once as a reuse marker — never
-    double-walked."""
+    in Spark (it references, not contains, its exchange) — the walk
+    yields the marker itself; executed_plan_metrics decides how to
+    account for the referenced subtree."""
     name = node.getClass().getSimpleName()
     yield node, name
     if name == "AdaptiveSparkPlanExec":
@@ -39,6 +39,8 @@ def _walk_executed(node):
         return
     if name.endswith("QueryStageExec"):
         yield from _walk_executed(node.plan())
+        return
+    if name == "ReusedExchangeExec":
         return
     it = node.children().iterator()
     while it.hasNext():
@@ -70,14 +72,28 @@ def executed_plan_metrics(df: DataFrame) -> dict:
     - n_scans / scan_rows: source scans and each one's numOutputRows,
       sorted (post-pushdown row counts — THE pushdown regression
       detector)
-    - n_shuffles / shuffle_rows: ShuffleExchangeExec count and each
-      exchange's records written, sorted
-    - n_broadcasts / broadcast_rows: BroadcastExchangeExec count and
-      rows broadcast
-    - n_reused_exchanges: ReusedExchangeExec markers (q112's subject)
+    - n_shuffles / shuffle_rows: shuffle-exchange REFERENCES and each
+      reference's records written, sorted (see below)
+    - n_broadcasts / broadcast_rows: broadcast-exchange REFERENCES and
+      rows broadcast per reference
     - n_python_stages: Arrow/Pandas/row-Python eval stages executed
     - joins: executed join strategy name -> count
     - has_cartesian: CartesianProduct / BroadcastNestedLoopJoin ran
+
+    Exchange counts are REFERENCE counts, not build counts (r11):
+    whether AQE's stage cache dedupes two identical BROADCAST stages
+    is a RACE — when both submit before either registers, the executed
+    plan carries two built BroadcastExchangeExec nodes; when one wins,
+    the second is a ReusedExchangeExec marker (observed flapping on
+    q112 with identical code and input — the one nondeterminism the
+    old build-count fingerprint leaked). A ReusedExchangeExec
+    therefore contributes its REFERENCED exchange's kind and rows, and
+    the referenced subtree is walked in reference-mode so exchanges
+    inside it count once more as references too — both race outcomes
+    yield the SAME fingerprint, while a real plan change still moves
+    reference counts or rows. Reuse-as-a-contract (q112's subject) is
+    pinned by tests/test_plans.py's textual assert (exactly one marker
+    exists in either outcome), not by this record.
 
     Main-tree only: subquery plans (scalar subqueries, DPP filters)
     execute as separate trees and are pinned by their own contracts
@@ -89,9 +105,33 @@ def executed_plan_metrics(df: DataFrame) -> dict:
     shuffle_rows: list[int] = []
     broadcast_rows: list[int] = []
     joins: dict[str, int] = {}
-    n_reused = 0
     n_python = 0
     has_cartesian = False
+
+    def _count_exchange_refs(node):
+        """Reference-mode walk of a reused exchange's subtree: every
+        exchange (or nested marker) below it was ALREADY built once and
+        is being referenced again — count kind + rows only, never
+        joins/python/scans (those belong to the original build)."""
+        name = node.getClass().getSimpleName()
+        if name == "ReusedExchangeExec":
+            _count_exchange_refs(node.child())
+            return
+        if name == "ShuffleExchangeExec":
+            shuffle_rows.append(
+                int(_node_metrics(node).get("shuffleRecordsWritten", 0))
+            )
+        elif name == "BroadcastExchangeExec":
+            broadcast_rows.append(
+                int(_node_metrics(node).get("numOutputRows", 0))
+            )
+        if name.endswith("QueryStageExec"):
+            _count_exchange_refs(node.plan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            _count_exchange_refs(it.next())
+
     for node, name in _walk_executed(plan):
         if name in (
             "FileSourceScanExec",
@@ -112,7 +152,7 @@ def executed_plan_metrics(df: DataFrame) -> dict:
                 int(_node_metrics(node).get("numOutputRows", 0))
             )
         elif name == "ReusedExchangeExec":
-            n_reused += 1
+            _count_exchange_refs(node.child())
         elif name.endswith("JoinExec") or name == "CartesianProductExec":
             joins[name] = joins.get(name, 0) + 1
             if name in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):
@@ -130,7 +170,6 @@ def executed_plan_metrics(df: DataFrame) -> dict:
         "shuffle_rows": sorted(shuffle_rows),
         "n_broadcasts": len(broadcast_rows),
         "broadcast_rows": sorted(broadcast_rows),
-        "n_reused_exchanges": n_reused,
         "n_python_stages": n_python,
         "joins": dict(sorted(joins.items())),
         "has_cartesian": has_cartesian,

@@ -2031,7 +2031,12 @@ def test_plan_metrics_record_subset_matches(spark):
         df = QUERIES[key](spark, sf01)
         df.collect()
         got = executed_plan_metrics(df)
-        assert got == bucket[key], (
+        # a record entry may be a LIST of accepted alternates (AQE
+        # replan-timing flappers — plan_audit.py module docstring)
+        accepted = (
+            bucket[key] if isinstance(bucket[key], list) else [bucket[key]]
+        )
+        assert got in accepted, (
             f"{key}: executed plan drifted from the committed record\n"
             f"recorded: {bucket[key]}\nran:      {got}"
         )

@@ -34,10 +34,22 @@ reference and workers resolve the package via cwd):
     python tools/plan_audit.py --sf /root/testdata/sf0.001  # separate bucket
 
 Record format (committed): {"<sf basename>": {"<lane>": {fingerprint}}}
-Fingerprints are compared for EXACT equality. A legitimate plan change
-(a lane rewritten, Spark upgraded) re-baselines with --update — the
-diff of plan_metrics.json in review then SHOWS the plan change, which
-is the point.
+— or, for a lane with a KNOWN AQE-timing alternate, a LIST of
+fingerprints, any of which passes. Fingerprints are compared for EXACT
+equality. A legitimate plan change (a lane rewritten, Spark upgraded)
+re-baselines with --update — the diff of plan_metrics.json in review
+then SHOWS the plan change, which is the point.
+
+Alternates, stated honestly (r11): AQE re-optimizes between stage
+materializations, and WHICH stages have materialized when the replan
+loop runs is a timing race — measured on q57, whose plan carries 6
+shuffle exchanges in most executions and 5 when a late replan elides
+one (same values, same joins; observed flapping with identical code,
+input, and session). For such a lane, `--add-alternate --lanes <lane>`
+APPENDS the currently-observed fingerprint to the committed entry
+instead of replacing it — the record's diff shows exactly which
+alternate was admitted and why (this comment). Every other lane stays
+single-fingerprint, zero headroom.
 """
 
 from __future__ import annotations
@@ -84,7 +96,16 @@ def main() -> None:
         action="store_true",
         help="write the measured fingerprints back to the record",
     )
+    ap.add_argument(
+        "--add-alternate",
+        action="store_true",
+        help="append the measured fingerprint as an accepted alternate "
+        "for the given --lanes (AQE-timing flappers only — see module "
+        "docstring) instead of replacing the entry",
+    )
     args = ap.parse_args()
+    if args.add_alternate and not args.lanes:
+        ap.error("--add-alternate requires --lanes (never blanket)")
 
     from etl_sql_and_pyspark_developement__spark.plans import QUERIES
     from etl_sql_and_pyspark_developement__spark.session import get_spark
@@ -109,16 +130,32 @@ def main() -> None:
             errored[key] = f"{type(e).__name__}: {e}"
             print(f"# {key}: ERROR {errored[key][:200]}", file=sys.stderr)
             continue
+        if args.add_alternate:
+            alts = bucket.get(key)
+            alts = [] if alts is None else (alts if isinstance(alts, list) else [alts])
+            if fp in alts:
+                print(f"# {key}: alternate already recorded", file=sys.stderr)
+            else:
+                alts.append(fp)
+                bucket[key] = alts if len(alts) > 1 else alts[0]
+                print(
+                    f"# {key}: alternate added ({len(alts)} accepted forms)",
+                    file=sys.stderr,
+                )
+            continue
         if args.update:
             bucket[key] = fp
             print(f"# {key}: recorded", file=sys.stderr)
             continue
         old = bucket.get(key)
+        alts = (
+            None if old is None else (old if isinstance(old, list) else [old])
+        )
         if old is None:
             print(f"# {key}: no committed record (run --update)", file=sys.stderr)
             drifted[key] = ["no committed record"]
-        elif old != fp:
-            drifted[key] = _diff(old, fp)
+        elif fp not in alts:
+            drifted[key] = _diff(alts[0], fp)
             print(f"# {key}: DRIFT", file=sys.stderr)
             for line in drifted[key]:
                 print(f"#   {line}", file=sys.stderr)
@@ -138,7 +175,7 @@ def main() -> None:
                 drifted[key] = ["recorded lane is no longer in QUERIES"]
                 print(f"# {key}: DRIFT (lane unregistered)", file=sys.stderr)
 
-    if args.update:
+    if args.update or args.add_alternate:
         with open(RECORD_PATH, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -151,7 +188,7 @@ def main() -> None:
                 "lanes": len(lanes),
                 "drifted": drifted,
                 "errored": errored,
-                "updated": bool(args.update),
+                "updated": bool(args.update or args.add_alternate),
             },
             sort_keys=True,
         )
