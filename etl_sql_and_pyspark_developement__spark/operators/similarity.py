@@ -1494,10 +1494,9 @@ def vector_features_arrow(
                 }
             )
 
-    from etl_sql_and_pyspark_developement__spark.operators.spread import (
-        spread_small_scan,
-    )
-
-    return spread_small_scan(df.select(id_col, vec_col)).mapInArrow(
+    # NOT spread (r11 A/B: 0.51s -> 0.91s with the widening exchange —
+    # the vectorized Arrow kernel clears a small corpus faster
+    # single-task than the exchange round-trip, the m-lane finding)
+    return df.select(id_col, vec_col).mapInArrow(
         kernel, ARROW_FEATURES_SCHEMA
     )
