@@ -118,10 +118,14 @@ def main() -> None:
         loadavg_1m = round(os.getloadavg()[0], 2)
         # normalized by the core count the session was built with —
         # a loadavg of 6 is idle on 32 cores and saturated on 4, and
-        # driver records from different boxes should self-adjudicate
-        n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # driver records from different boxes should self-adjudicate.
+        # ValueError (malformed env) must not kill the whole record;
+        # unset falls back to the real core count, not a constant.
+        n_cpus = int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)
+        )
         loadavg_per_cpu = round(loadavg_1m / max(n_cpus, 1), 3)
-    except OSError:
+    except (OSError, ValueError):
         loadavg_1m = None
         loadavg_per_cpu = None
     total = round(sum(timings.values()), 3)
@@ -171,6 +175,18 @@ def main() -> None:
             json.dump(record, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # Per-query timings in DRIVER-PARSEABLE form on stdout (r12,
+    # VERDICT r11 item 2): one compact JSON object per line, printed
+    # in ASCENDING time order immediately before the final line. The
+    # driver's stdout capture keeps only the last ~2000 chars, so this
+    # ordering guarantees the capture always contains the HEAVIEST
+    # lanes (the ones round-over-round adjudication needs) plus the
+    # intact final line — truncation only ever costs the cheapest
+    # lanes. (Inlining the full 230-entry dict in the final line is
+    # exactly what overflowed the capture and nulled BENCH_r03;
+    # the full record stays in BENCH_full.json.)
+    for k in sorted(timings, key=lambda q: (timings[q], q)):
+        print(json.dumps({"q": k, "s": timings[k]}, separators=(",", ":")))
     # ...and stdout gets ONE compact machine-parseable line, printed
     # LAST so a tail capture always sees it whole.
     compact = {k: record[k] for k in

@@ -29,6 +29,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Partition-count probe cache (r12): df.rdd.getNumPartitions() builds
+# a full plan-to-RDD conversion (analysis -> optimization -> physical
+# planning) PER CALL — measurable driver time when ~30 call sites each
+# probe per query construction. The count it returns is a function of
+# (leaf file set, maxPartitionBytes, default parallelism) for the
+# scan-projection frames this helper is called on, so one probe per
+# distinct file set serves every later call in the session. A cache
+# hit costs one walk of the frame's ALREADY-analyzed plan
+# (df.inputFiles()); frames with no file leaves (localCheckpoint /
+# in-memory inputs) skip the cache and probe directly. A stale or
+# colliding entry can only mis-ROUTE the perf decision (spread or
+# not), never change values — the repartition is semantically a no-op
+# either way. Bounded so a long-lived session can't grow it without
+# limit.
+_PART_CACHE: dict[tuple, int] = {}
+_PART_CACHE_MAX = 256
+
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Widen ``df`` to the session's default parallelism when (and only
@@ -36,9 +53,35 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
 
     Call it on the PROJECTED frame right before heavy per-row map work
     (after column pruning / filters, so scan pushdown is unaffected
-    below the exchange)."""
+    below the exchange).
+
+    Notes (r11 advice): the probe reads the pre-AQE physical plan's
+    partition count — for the leaf scans this helper targets, AQE does
+    not change scan splits, so the two agree; and determinism of the
+    keyless repartition under task retry relies on
+    spark.sql.execution.sortBeforeRepartition staying at its default
+    (true; SPARK-23207) — do not disable it in sessions that spread."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = df.inputFiles()
+    n = None
+    key = None
+    if files:
+        # no-default get: returns the conf's session default when
+        # unset (a passed default string is TYPE-VALIDATED by Spark 4
+        # and '' is not a bytes value)
+        key = (
+            tuple(sorted(files)),
+            target,
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"),
+        )
+        n = _PART_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_PART_CACHE) >= _PART_CACHE_MAX:
+                _PART_CACHE.clear()
+            _PART_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)

@@ -20,7 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+from etl_sql_and_pyspark_developement__spark.sources.catalog import (
+    cached_parquet,
+    table,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -8206,7 +8209,7 @@ def q108_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clustered, _ = orders_layout_twins(spark, sf_dir)
     return (
-        spark.read.parquet(clustered)
+        cached_parquet(spark, clustered)
         .filter(F.col("o_totalprice") < 2000.0)
         .groupBy("o_orderpriority")
         .agg(
@@ -8776,7 +8779,7 @@ def q117_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, compacted = compacted_events_fixture(spark, sf_dir)
-    ev = spark.read.parquet(compacted)
+    ev = cached_parquet(spark, compacted)
     lo = F.lit("2024-01-08 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
     return (
@@ -9215,7 +9218,7 @@ def q124_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         # non-pushable member (e.g. a timestamp min under rebase
         # rules) silently reverts the whole probe to a scan
         return (
-            spark.read.parquet(path)
+            cached_parquet(spark, path)
             .agg(
                 F.expr("count(*)").alias("n_orders"),
                 F.min("o_totalprice").alias("min_price"),
@@ -9529,8 +9532,8 @@ def q129_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit read schema (source schema + the bucket partition col):
     # schema inference over partition dirs fails outright on an
     # empty-corpus fixture, and production readers pin schemas anyway
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "orders.parquet")
+    schema = cached_parquet(
+        spark, os.path.join(sf_dir, "orders.parquet")
     ).schema.add("bucket", "integer")
     df = spark.read.schema(schema).parquet(path)
     return (
@@ -9912,7 +9915,7 @@ def q134_multi_output_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("by_month", "rev_cents"),
         ("by_suppband", "sum_qty"),
     ):
-        out = spark.read.parquet(os.path.join(root, name))
+        out = cached_parquet(spark, os.path.join(root, name))
         parts.append(
             out.agg(
                 F.expr("CAST(count(*) AS BIGINT)").alias("n_groups"),
