@@ -172,16 +172,27 @@ def exact_dedup_stats(
     )
 
 
-def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Exact pairwise n-gram Jaccard over ALL pairs sharing ≥1 shingle.
 
     Quadratic in colliding docs — the small-data oracle / verifier.
     At scale use minhash_lsh_pairs, which feeds only LSH candidates
     into this same verification math.
+
+    Pass ``sh`` (an ALREADY-MATERIALIZED (doc, shingle) frame from
+    shingle_df) to share one shingle pass with sibling consumers —
+    same contract as jaccard_pairs_prefix's ``sh``.
     """
     # The shingle set feeds sizes AND both sides of the pair join —
     # materialize it so the tokenize+explode runs once, not three times.
-    sh = _materialize(shingle_df(df, id_col, text_col, n))
+    if sh is None:
+        sh = _materialize(shingle_df(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     # Shingles unique to one doc can't intersect any pair — dropping
     # them before the self-join is semantics-preserving (sizes are
@@ -1515,9 +1526,27 @@ def lsh_band_sweep(
     # ground truth (r11: each previously paid its own tokenize+explode
     # — two identical scans of the sample, measured ~1s apart at sf0.1)
     sh = _materialize(shingle_df(df, id_col, text_col, n))
-    sigs = minhash_signatures(df, id_col, text_col, n, sh=sh).localCheckpoint()
+    # sigs NOT localCheckpointed (r12): since the r11 single-tagged-
+    # join rewrite the signature frame has exactly ONE consumer (the
+    # tagged band explode, which IS materialized below) — the old LC
+    # paid an eager job + one extra pass over sh for nothing.
+    sigs = minhash_signatures(df, id_col, text_col, n, sh=sh)
+    # Ground truth via the PLAIN shared-shingle all-pairs join (r12):
+    # on the bounded evaluation sample this operator is built for
+    # (d21/d23 fix the sample at 2000 docs, so the exact pair work is
+    # bounded at ANY corpus size), the prefix filter's extra passes
+    # (global DF aggregate + per-doc rank window) cost more than the
+    # candidate pruning saves — interleaved A/B at sf0.1: prefix
+    # 1.70s vs plain 1.05s (noop), with IDENTICAL pair sets (48=48,
+    # asserted generally in tests/test_dedup.py at three thresholds).
+    # jaccard_pairs_prefix remains the corpus-WIDE exact form for
+    # unbounded inputs (its docstring's 10^6+-doc crossover).
     truth = (
-        jaccard_pairs_prefix(df, id_col, text_col, threshold=threshold, n=n, sh=sh)
+        jaccard_pairs(df, id_col, text_col, n=n, sh=sh)
+        .filter(
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            >= threshold
+        )
         .select("doc_a", "doc_b")
         .withColumn("__true", F.lit(1))
         .localCheckpoint()

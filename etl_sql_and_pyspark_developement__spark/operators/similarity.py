@@ -426,6 +426,7 @@ def kmeans_lite_centroids(
     iterations: int = 2,
     dim: int = 64,
     train_sample_mod: int | None = None,
+    seed_vectors: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's iterations for IVF coarse quantization.
 
@@ -446,8 +447,17 @@ def kmeans_lite_centroids(
         corpus = corpus.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
         )
-    seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in row[0]] for row in seeds]
+    if seed_vectors is not None:
+        # Caller-provided seeds (r12): a composed index (ann_ivf_pq)
+        # already collects the lowest-id vectors for its PQ codebooks —
+        # passing the same rows here merges two orderBy-limit collect
+        # jobs into one. The caller owns the contract that these ARE
+        # the k lowest-id vectors of the (possibly sampled) train
+        # corpus, i.e. exactly what the collect below would return.
+        centroids = [[float(x) for x in v] for v in seed_vectors[:k]]
+    else:
+        seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+        centroids = [[float(x) for x in row[0]] for row in seeds]
     for _ in range(iterations):
         assigned = assign_clusters(
             corpus, centroids, id_col, vec_col, formulation="join"
@@ -1291,10 +1301,33 @@ def ann_ivf_pq_topk(
     corpus; the probe join is a broadcast equi-join on cluster id;
     refine re-reads refine_n real vectors per query.
     """
+    from etl_sql_and_pyspark_developement__spark.operators.spread import (
+        spread_small_scan,
+    )
+
     spark = corpus.sparkSession
-    corpus = corpus.filter(F.col(vec_col).isNotNull()).localCheckpoint()
+    # r12 (VERDICT item 5): project to the two consumed columns, SPREAD
+    # before materializing (the corpus feeds the heavy inline argmin +
+    # PQ-code map pass — off a single-row-group file it ran on one
+    # core; no-op at real scale, the s03 fix applied here), and collect
+    # the k-means seeds and PQ codebook seeds in ONE job (both are "the
+    # lowest-id vectors", k_codes ≤ n_clusters here and the slice is
+    # free) instead of two separate orderBy-limit collects.
+    corpus = spread_small_scan(
+        corpus.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    ).localCheckpoint()
+    n_seed = max(k_codes, n_clusters)
+    seed_rows = (
+        corpus.orderBy(id_col).limit(n_seed).select(vec_col).collect()
+    )
+    all_seeds = [[float(x) for x in r[0]] for r in seed_rows]
     centroids = kmeans_lite_centroids(
-        corpus, vec_col, n_clusters, train_iterations, dim
+        corpus,
+        vec_col,
+        n_clusters,
+        train_iterations,
+        dim,
+        seed_vectors=all_seeds[:n_clusters],
     )
     empty_schema = (
         "query_id BIGINT, rnk INT, cand_id BIGINT,"
@@ -1303,10 +1336,7 @@ def ann_ivf_pq_topk(
     if not centroids:
         return spark.createDataFrame([], empty_schema)
     sub_dim = dim // m_sub
-    seed_rows = (
-        corpus.orderBy(id_col).limit(k_codes).select(vec_col).collect()
-    )
-    seeds = [[float(x) for x in r[0]] for r in seed_rows]
+    seeds = all_seeds[:k_codes]
     codebooks = [
         [s[m * sub_dim : (m + 1) * sub_dim] for s in seeds]
         for m in range(m_sub)
@@ -1317,11 +1347,12 @@ def ann_ivf_pq_topk(
         )
         for m in range(m_sub)
     ]
-    # ONE map-side pass: coarse cluster id + the m_sub PQ codes
-    enc = (
-        assign_clusters(corpus, centroids, id_col, vec_col)
-        .select(F.col(id_col).alias("cand_id"), "cluster", *code_cols)
-        .localCheckpoint()
+    # ONE map-side pass: coarse cluster id + the m_sub PQ codes.
+    # NOT localCheckpointed (r12): the encoded frame has exactly one
+    # consumer (the probe join) — the old LC paid an eager job + a
+    # materialization for nothing (A/B below in the lane's record).
+    enc = assign_clusters(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "cluster", *code_cols
     )
     cents = _centroids_df(spark, centroids)
     q_scored = (

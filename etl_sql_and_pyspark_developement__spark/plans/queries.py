@@ -7265,8 +7265,9 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH DEDUP-TUNING evaluation — recall AND precision of d03's
     MinHash-LSH band candidates against EXACT threshold-Jaccard ground
     truth (the s08 discipline applied to the dedup lane: measure the
-    band/row trade before trusting it on 100 TB). Ground truth runs
-    the LOSSLESS prefix-filtered AllPairs join (jaccard_pairs_prefix)
+    band/row trade before trusting it on 100 TB). Ground truth is the
+    exact threshold-Jaccard pair set (jaccard_pairs; identical to the
+    prefix-filtered AllPairs form — see the r12 note below) computed
     on a deterministic fixed-COUNT sample (2000 docs by md5 order —
     fixed-count, not fixed-fraction, so the exact pair work stays
     bounded at any corpus size; the s08 lesson), candidates run the
@@ -7276,7 +7277,7 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate costs.
     """
     from etl_sql_and_pyspark_developement__spark.operators.dedup import (
-        jaccard_pairs_prefix,
+        jaccard_pairs,
         lsh_candidate_pairs,
     )
 
@@ -7285,14 +7286,15 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    # The sample is NOT localCheckpointed (r12): since the r11 sh=
+    # threading, its only real consumer is the shingle pass below
+    # (truth and candidates both ride `sh`) — the old LC paid an
+    # eager job for a frame read exactly once.
     sample = (
         docs.select("doc_id", "text")
         .orderBy(F.md5(F.col("doc_id").cast("string")))
         .limit(2000)
     )
-    # one sample, three consumers (truth / candidates share scans
-    # internally; the sample itself is cheap but feeds both pipelines)
-    sample = sample.localCheckpoint()
     # r11: ONE shingle pass shared by the exact-truth and candidate
     # pipelines (each used to pay its own tokenize+explode over the
     # sample), and the truth set is materialized ONCE for its two
@@ -7300,9 +7302,19 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join + one aggregate instead of a count plus a semi-join count
     # (three jobs → one). Values identical — same machinery, same
     # pair sets (both distinct), count(__true) == |truth ∩ cand|.
+    # r12: ground truth via the PLAIN shared-shingle all-pairs join —
+    # on the FIXED 2000-doc sample (bounded at any corpus size) the
+    # prefix filter's extra rank/window passes cost more than they
+    # save (interleaved A/B 1.70s vs 1.05s at sf0.1; identical pair
+    # sets, asserted at three thresholds in tests/test_dedup.py).
+    # jaccard_pairs_prefix remains the corpus-WIDE exact form.
     sh = shingle_df(sample, "doc_id", "text", 3).localCheckpoint()
     truth = (
-        jaccard_pairs_prefix(sample, "doc_id", "text", threshold=0.5, n=3, sh=sh)
+        jaccard_pairs(sample, "doc_id", "text", n=3, sh=sh)
+        .filter(
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            >= 0.5
+        )
         .select("doc_a", "doc_b")
         .withColumn("__true", F.lit(1))
         .localCheckpoint()
@@ -8541,11 +8553,14 @@ def d23_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    # sample NOT localCheckpointed (r12): lsh_band_sweep's signature
+    # and truth pipelines both ride its internally-shared shingle
+    # frame, so the sample has exactly one consumer — the old LC was
+    # one eager job for nothing.
     sample = (
         docs.select("doc_id", "text")
         .orderBy(F.md5(F.col("doc_id").cast("string")))
         .limit(2000)
-        .localCheckpoint()
     )
     return lsh_band_sweep(sample)
 
