@@ -623,6 +623,114 @@ def cosine_neardup_pairs(
     )
 
 
+_ASSIGN_KERNEL_SCHEMA = "id bigint, cluster bigint, cent double, u array<double>"
+
+
+def _assign_seeded_argmax_kernel(pts: DataFrame, seeds) -> DataFrame:
+    """mapInArrow seeded-argmax assignment — (id, cluster, cent, u),
+    bit-identical to the retired SQL form
+    max(struct(round(dot(u, su), 6), -seed_id)) over a broadcast seed
+    join (parity test in tests/test_similarity.py):
+
+    - dot: the SQL form materializes zip_with products then left-folds
+      from 0.0 — the kernel multiplies one dimension at a time into an
+      accumulator (`acc += U[:, d] * S[:, d]` per d), the identical
+      IEEE op sequence per (point, seed) element (numpy mul/add are
+      plain IEEE doubles, no FMA);
+    - round(· , 6): Spark rounds HALF_UP on BigDecimal(repr(double)).
+      Fast path: sign·floor(|x|·1e6 + 0.5)/1e6, EXACT whenever the
+      scaled fraction is farther than 1e-7 from .5 (double mul error
+      ≤1e-10 at |x|≤~1, repr-vs-binary gap ≤1e-11); elements inside
+      that window are recomputed with decimal.Decimal(repr(x)) —
+      Python repr is shortest-roundtrip like the JVM's, and ONLY the
+      boundary window can disagree between the two paths. -0.0 results
+      normalize to +0.0 (BigDecimal has no signed zero);
+    - argmax tie rule: seeds arrive sorted by seed_id ascending and
+      np.argmax takes the FIRST maximum — exactly max(-seed_id);
+    - u passes through, replacing the SQL form's join-back.
+
+    NULL embeddings / NULL elements / ragged lengths raise loudly (the
+    SQL form would propagate NULL cents silently; this engine's corpora
+    have none — vector_features_arrow's fail-loud contract).
+
+    `seeds`: [(seed_id, [float, ...]), ...] sorted by seed_id.
+    """
+    import pyarrow as pa
+
+    seed_list = [(int(s), [float(x) for x in vec]) for s, vec in seeds]
+
+    def kernel(batches):
+        import numpy as np
+
+        S = np.asarray([vec for _, vec in seed_list], dtype=np.float64)
+        sids = np.asarray([s for s, _ in seed_list], dtype=np.int64)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            ids = batch.column("id")
+            u = batch.column("u")
+            if u.offset != 0:
+                u = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.asarray(u.offsets) - u.offsets[0].as_py()
+                    ),
+                    u.flatten(),
+                )
+            if u.null_count or u.values.null_count:
+                raise ValueError(
+                    "seeded-argmax kernel: NULL vectors/elements are "
+                    "not supported; filter or impute them first"
+                )
+            offs = np.asarray(u.offsets)
+            lens = np.diff(offs)
+            d = S.shape[1] if S.size else 0
+            if S.size and not np.all(lens == d):
+                raise ValueError(
+                    "seeded-argmax kernel: ragged vector lengths "
+                    f"(expected {d}, saw {set(np.unique(lens))})"
+                )
+            U = (
+                u.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, d)
+            )
+            # left-fold dot, one dimension at a time (see docstring)
+            acc = np.zeros((n, S.shape[0]), dtype=np.float64)
+            for dim in range(d):
+                acc += U[:, dim : dim + 1] * S[None, :, dim]
+            # Spark-exact HALF_UP 6dp round: vectorized fast path +
+            # exact Decimal recompute inside the .5-boundary window
+            absx = np.abs(acc)
+            scaled = absx * 1e6
+            frac = scaled - np.floor(scaled)
+            cent = np.sign(acc) * np.floor(scaled + 0.5) / 1e6
+            risky = np.abs(frac - 0.5) < 1e-7
+            if risky.any():
+                for r, c in np.argwhere(risky):
+                    cent[r, c] = float(
+                        Decimal(repr(float(acc[r, c]))).quantize(
+                            q6, ROUND_HALF_UP
+                        )
+                    )
+            cent[cent == 0.0] = 0.0  # no -0.0 (BigDecimal-parity)
+            best = np.argmax(cent, axis=1)
+            rows = np.arange(n)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": ids.cast(pa.int64()),
+                    "cluster": pa.array(sids[best], pa.int64()),
+                    "cent": pa.array(cent[rows, best], pa.float64()),
+                    "u": u.cast(pa.list_(pa.float64())),
+                }
+            )
+
+    return pts.select("id", "u").mapInArrow(kernel, _ASSIGN_KERNEL_SCHEMA)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -675,40 +783,28 @@ def semantic_dedup(
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
     pts = base.select("id", unit.alias("u"))
-    seeds = (
+    # Seeds COLLECTED (k·dim doubles — the same tiny payload the old
+    # broadcast shipped; at n=10⁹, k=√n this is ~16 MB, the standard
+    # quantizer-training collect, NOT a data collect) and handed to
+    # the mapInArrow assignment kernel (r12): the n×k argmax used to
+    # ride an interpreted zip_with/aggregate fold per (point, seed)
+    # PAIR plus a groupBy shuffle and a join back to re-attach u —
+    # the kernel does the same left-fold dot vectorized per dimension
+    # (bit-identical op order), Spark-exact 6dp HALF_UP rounding, and
+    # first-max argmax over seed_id-ascending seeds (== the SQL
+    # max(struct(cent, -seed_id)) tie rule), emitting (id, cluster,
+    # cent, u) in ONE narrow map — no pair explosion, no shuffle, no
+    # re-join. Bit-parity with the retired SQL form is asserted in
+    # tests/test_similarity.py (incl. tie and .5-boundary cases).
+    seed_rows = (
         pts.withColumn("__mk", F.md5(F.col("id").cast("string")))
         .orderBy("__mk", "id")
         .limit(k)
         .select(F.col("id").alias("seed_id"), F.col("u").alias("su"))
+        .collect()
     )
-    cos_seed = F.round(
-        F.aggregate(
-            F.zip_with(F.col("u"), F.col("su"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    # argmax via max(struct(cent, -seed_id)): lexicographic max picks
-    # the highest centrality then the SMALLEST seed id — one shuffle
-    # of n map-side-combined rows, not n×k.
-    assigned = (
-        pts.join(F.broadcast(seeds), F.lit(True))
-        .select("id", F.col("seed_id"), cos_seed.alias("cent"))
-        .groupBy("id")
-        .agg(
-            F.max(
-                F.struct(F.col("cent"), (-F.col("seed_id")).alias("neg_seed"))
-            ).alias("best")
-        )
-        .select(
-            "id",
-            (-F.col("best.neg_seed")).alias("cluster"),
-            F.col("best.cent").alias("cent"),
-        )
-        .join(pts, "id")
-        .localCheckpoint()
-    )
+    seeds = sorted((int(r["seed_id"]), list(r["su"])) for r in seed_rows)
+    assigned = _assign_seeded_argmax_kernel(pts, seeds).localCheckpoint()
     w_rank = Window.partitionBy("cluster").orderBy(F.desc("cent"), F.asc("id"))
     ranked = assigned.withColumn("crank", F.row_number().over(w_rank))
     a = ranked.filter(F.col("crank") <= top_compare).select(

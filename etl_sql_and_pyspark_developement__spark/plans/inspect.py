@@ -30,8 +30,18 @@ def _walk_executed(node):
     yields its finalized plan, *QueryStageExec wrappers yield the
     stage's materialized subtree. ReusedExchangeExec is a LeafExecNode
     in Spark (it references, not contains, its exchange) — the walk
-    yields the marker itself; executed_plan_metrics decides how to
-    account for the referenced subtree."""
+    is TRANSPARENT through it (r12): it yields the marker and then
+    the full REFERENCED subtree, so every node below a reused
+    exchange is accounted exactly as if the exchange had been built
+    a second time. That makes both outcomes of AQE's stage-cache race
+    (two built broadcasts vs one built + one reuse marker) walk
+    identical node multisets — for exchanges AND for the scans/joins/
+    Python stages beneath them (the r11 ref-mode counted only
+    exchange kinds/rows, so a raced subtree containing a scan or
+    join could still flap the fingerprint — r11 ADVICE item, closed
+    here). Referenced nodes expose the original build's metric
+    accumulators, so the counted rows are equal on both sides of the
+    race by construction."""
     name = node.getClass().getSimpleName()
     yield node, name
     if name == "AdaptiveSparkPlanExec":
@@ -41,6 +51,7 @@ def _walk_executed(node):
         yield from _walk_executed(node.plan())
         return
     if name == "ReusedExchangeExec":
+        yield from _walk_executed(node.child())
         return
     it = node.children().iterator()
     while it.hasNext():
@@ -80,20 +91,23 @@ def executed_plan_metrics(df: DataFrame) -> dict:
     - joins: executed join strategy name -> count
     - has_cartesian: CartesianProduct / BroadcastNestedLoopJoin ran
 
-    Exchange counts are REFERENCE counts, not build counts (r11):
-    whether AQE's stage cache dedupes two identical BROADCAST stages
-    is a RACE — when both submit before either registers, the executed
-    plan carries two built BroadcastExchangeExec nodes; when one wins,
-    the second is a ReusedExchangeExec marker (observed flapping on
-    q112 with identical code and input — the one nondeterminism the
-    old build-count fingerprint leaked). A ReusedExchangeExec
-    therefore contributes its REFERENCED exchange's kind and rows, and
-    the referenced subtree is walked in reference-mode so exchanges
-    inside it count once more as references too — both race outcomes
-    yield the SAME fingerprint, while a real plan change still moves
-    reference counts or rows. Reuse-as-a-contract (q112's subject) is
-    pinned by tests/test_plans.py's textual assert (exactly one marker
-    exists in either outcome), not by this record.
+    ALL counts are REFERENCE counts, not build counts (r11 for
+    exchanges; r12 for everything below them): whether AQE's stage
+    cache dedupes two identical BROADCAST stages is a RACE — when
+    both submit before either registers, the executed plan carries
+    two built BroadcastExchangeExec nodes; when one wins, the second
+    is a ReusedExchangeExec marker (observed flapping on q112 with
+    identical code and input). The walk is TRANSPARENT through a
+    ReusedExchangeExec (_walk_executed): the referenced subtree's
+    exchanges, scans, joins, and Python stages all count once more as
+    references, with the original build's metric values — so both
+    race outcomes yield the SAME fingerprint for EVERY field (the r11
+    form counted only exchange kinds/rows in reused subtrees, leaving
+    n_scans/scan_rows/joins able to flap when the raced subtree
+    contained a scan or join — r11 ADVICE item, closed in r12), while
+    a real plan change still moves counts or rows. Reuse-as-a-contract
+    (q112's subject) is pinned by tests/test_plans.py's textual assert
+    (exactly one marker exists in either outcome), not by this record.
 
     Main-tree only: subquery plans (scalar subqueries, DPP filters)
     execute as separate trees and are pinned by their own contracts
@@ -107,30 +121,6 @@ def executed_plan_metrics(df: DataFrame) -> dict:
     joins: dict[str, int] = {}
     n_python = 0
     has_cartesian = False
-
-    def _count_exchange_refs(node):
-        """Reference-mode walk of a reused exchange's subtree: every
-        exchange (or nested marker) below it was ALREADY built once and
-        is being referenced again — count kind + rows only, never
-        joins/python/scans (those belong to the original build)."""
-        name = node.getClass().getSimpleName()
-        if name == "ReusedExchangeExec":
-            _count_exchange_refs(node.child())
-            return
-        if name == "ShuffleExchangeExec":
-            shuffle_rows.append(
-                int(_node_metrics(node).get("shuffleRecordsWritten", 0))
-            )
-        elif name == "BroadcastExchangeExec":
-            broadcast_rows.append(
-                int(_node_metrics(node).get("numOutputRows", 0))
-            )
-        if name.endswith("QueryStageExec"):
-            _count_exchange_refs(node.plan())
-            return
-        it = node.children().iterator()
-        while it.hasNext():
-            _count_exchange_refs(it.next())
 
     for node, name in _walk_executed(plan):
         if name in (
@@ -151,8 +141,6 @@ def executed_plan_metrics(df: DataFrame) -> dict:
             broadcast_rows.append(
                 int(_node_metrics(node).get("numOutputRows", 0))
             )
-        elif name == "ReusedExchangeExec":
-            _count_exchange_refs(node.child())
         elif name.endswith("JoinExec") or name == "CartesianProductExec":
             joins[name] = joins.get(name, 0) + 1
             if name in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):

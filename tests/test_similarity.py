@@ -211,6 +211,154 @@ def test_semantic_dedup_planted_copies(spark, sf_dir):
     assert none_dropped.agg(F.sum("dropped")).collect()[0][0] == 0
 
 
+def _assign_sql_form(pts, seeds):
+    """The retired r11 SQL seeded-argmax assignment, kept verbatim as
+    the parity oracle for the r12 mapInArrow kernel: broadcast seed
+    cross join, interpreted zip_with/aggregate left-fold dot,
+    round(·, 6), max(struct(cent, -seed_id)) argmax."""
+    spark = pts.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    seeds_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in vec]) for s, vec in seeds],
+        StructType(
+            [
+                StructField("seed_id", LongType()),
+                StructField("su", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    cos_seed = F.round(
+        F.aggregate(
+            F.zip_with(F.col("u"), F.col("su"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        pts.join(F.broadcast(seeds_df), F.lit(True))
+        .select("id", F.col("seed_id"), cos_seed.alias("cent"))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("cent"), (-F.col("seed_id")).alias("neg_seed"))
+            ).alias("best")
+        )
+        .select(
+            "id",
+            (-F.col("best.neg_seed")).alias("cluster"),
+            F.col("best.cent").alias("cent"),
+        )
+    )
+
+
+def test_seeded_argmax_kernel_matches_sql_form(spark, sf_dir):
+    """BIT-parity of the r12 mapInArrow assignment kernel against the
+    retired SQL form (the d17 protocol): identical (cluster, cent) —
+    compared via repr, so -0.0 vs 0.0 and last-ulp drift both fail —
+    on (a) adversarial hand-built vectors covering argmax ties,
+    HALF_UP .5-boundaries (positive and negative), zero vectors, and
+    anti-parallel vectors, and (b) the real corpus embeddings through
+    semantic_dedup's own unit projection and md5 seed rule."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sql_and_pyspark_developement__spark.operators.similarity import (
+        _assign_seeded_argmax_kernel,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("u", ArrayType(DoubleType())),
+        ]
+    )
+
+    def check(pts_rows, seeds):
+        pts = spark.createDataFrame(pts_rows, schema)
+        got = {
+            r["id"]: (r["cluster"], repr(r["cent"]))
+            for r in _assign_seeded_argmax_kernel(pts, seeds).collect()
+        }
+        want = {
+            r["id"]: (r["cluster"], repr(r["cent"]))
+            for r in _assign_sql_form(pts, seeds).collect()
+        }
+        assert got == want, {
+            k: (got.get(k), want.get(k))
+            for k in set(got) | set(want)
+            if got.get(k) != want.get(k)
+        }
+
+    # (a) adversarial: seeds = 4 basis-ish directions with distinct ids
+    d = 8
+    basis = [[0.0] * d for _ in range(4)]
+    for j in range(4):
+        basis[j][j] = 1.0
+    seeds = [(10 + j, basis[j]) for j in range(4)]
+    rows = [
+        # exact tie between seeds 10 and 11 -> smaller seed id wins
+        (0, [0.5, 0.5, 0.0, 0.0] + [0.0] * (d - 4)),
+        # HALF_UP boundary: repr(0.1234565) parses to a double whose
+        # binary value sits under the decimal .5 boundary — the fast
+        # path's risky-window recompute must reproduce Spark exactly
+        (1, [0.1234565, 0.0, 0.0, 0.0] + [0.0] * (d - 4)),
+        (2, [0.0000005, 0.0, 0.0, 0.0] + [0.0] * (d - 4)),
+        (3, [-0.0000004, 1.0, 0.0, 0.0] + [0.0] * (d - 4)),
+        # negative best: every cosine negative, HALF_UP away from zero
+        (4, [-0.9999995, -0.0000015, 0.0, 0.0] + [0.0] * (d - 4)),
+        # zero vector: cent 0.0 everywhere -> smallest seed id
+        (5, [0.0] * d),
+        # anti-parallel to one seed, orthogonal to the rest
+        (6, [-1.0, 0.0, 0.0, 0.0] + [0.0] * (d - 4)),
+        # generic irrational-ish values
+        (7, [0.3141592653589793, -0.2718281828459045, 0.57721566, 0.0]
+            + [0.0] * (d - 4)),
+    ]
+    check(rows, seeds)
+
+    # (b) the real corpus through semantic_dedup's own projections
+    from etl_sql_and_pyspark_developement__spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    pts = emb.select(F.col("vec_id").alias("id"), unit.alias("u"))
+    import math
+
+    k = max(1, math.isqrt(pts.count()))
+    seed_rows = (
+        pts.withColumn("__mk", F.md5(F.col("id").cast("string")))
+        .orderBy("__mk", "id")
+        .limit(k)
+        .select(F.col("id").alias("seed_id"), F.col("u").alias("su"))
+        .collect()
+    )
+    seeds_real = sorted((int(r["seed_id"]), list(r["su"])) for r in seed_rows)
+    got = {
+        r["id"]: (r["cluster"], repr(r["cent"]))
+        for r in _assign_seeded_argmax_kernel(pts, seeds_real).collect()
+    }
+    want = {
+        r["id"]: (r["cluster"], repr(r["cent"]))
+        for r in _assign_sql_form(pts, seeds_real).collect()
+    }
+    assert got == want
+
+
 def test_mmr_first_pick_is_argmax_relevance_and_diverse(spark, vectors):
     from etl_sql_and_pyspark_developement__spark.operators.similarity import (
         cosine_topk,
