@@ -1604,6 +1604,14 @@ def lsh_band_sweep(
         )
         .distinct()
     )
+    # Broadcast-hint safety (r11 advice): the truth side is bounded by
+    # the caller's SAMPLE, not the corpus — this sweep is an
+    # evaluation operator over a fixed-count sample (d21/d23 pass 2000
+    # docs), so |truth| ≤ C(|sample|, 2) ≈ 2M pairs of three numeric
+    # columns worst-case (~50 MB), far under broadcast limits at ANY
+    # corpus size. Callers who feed an UNBOUNDED frame would pay the
+    # quadratic exact-truth join long before the broadcast hurt —
+    # don't: sample first (the docstring's contract).
     stats = (
         cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
         .groupBy("r", "b")

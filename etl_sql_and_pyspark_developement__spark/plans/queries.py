@@ -7321,6 +7321,9 @@ def d21_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = lsh_candidate_pairs(sample, "doc_id", "text", n=3, sh=sh)
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    # truth is sample-bounded (≤ C(2000,2) pairs at ANY corpus size),
+    # so the broadcast hint is safe by construction — see the same
+    # note in operators/dedup.lsh_band_sweep (r11 advice item)
     cand_hits = cand.join(
         F.broadcast(truth), ["doc_a", "doc_b"], "left"
     ).agg(
