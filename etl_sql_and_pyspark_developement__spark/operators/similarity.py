@@ -647,83 +647,111 @@ def _assign_seeded_argmax_kernel(pts: DataFrame, seeds) -> DataFrame:
       normalize to +0.0 (BigDecimal has no signed zero);
     - argmax tie rule: seeds arrive sorted by seed_id ascending and
       np.argmax takes the FIRST maximum — exactly max(-seed_id);
-    - u passes through, replacing the SQL form's join-back.
+    - u passes through, replacing the SQL form's join-back;
+    - NULL semantics mirror the SQL form exactly (pinned by the
+      parity test): a NULL vector, a vector containing a NULL
+      element, or a length mismatch vs the seed dimension makes every
+      per-seed cosine NULL in the SQL form, and max(struct) then
+      resolves purely on -seed_id — so such rows emit
+      (min seed_id over ALL seeds, NULL cent); a NULL seed vector can
+      never win against any non-NULL cent and only participates in
+      that all-NULL fallback; with NO seeds at all the SQL form's
+      inner join produces an EMPTY frame, and so does the kernel.
 
-    NULL embeddings / NULL elements / ragged lengths raise loudly (the
-    SQL form would propagate NULL cents silently; this engine's corpora
-    have none — vector_features_arrow's fail-loud contract).
-
-    `seeds`: [(seed_id, [float, ...]), ...] sorted by seed_id.
+    `seeds`: [(seed_id, [float, ...] | None), ...] sorted by seed_id.
     """
     import pyarrow as pa
 
-    seed_list = [(int(s), [float(x) for x in vec]) for s, vec in seeds]
+    seed_list = [
+        (int(s), None if vec is None else [float(x) for x in vec])
+        for s, vec in seeds
+    ]
 
     def kernel(batches):
         import numpy as np
 
-        S = np.asarray([vec for _, vec in seed_list], dtype=np.float64)
-        sids = np.asarray([s for s, _ in seed_list], dtype=np.int64)
+        valid = [(s, vec) for s, vec in seed_list if vec is not None]
+        dims = {len(vec) for _, vec in valid}
+        if len(dims) > 1:
+            raise ValueError(
+                f"seeded-argmax kernel: seed dims differ ({dims})"
+            )
+        d = dims.pop() if dims else 0
+        S = (
+            np.asarray([vec for _, vec in valid], dtype=np.float64)
+            if valid
+            else np.zeros((0, d), dtype=np.float64)
+        )
+        sids = np.asarray([s for s, _ in valid], dtype=np.int64)
+        min_all = min((s for s, _ in seed_list), default=None)
         from decimal import ROUND_HALF_UP, Decimal
 
         q6 = Decimal("0.000001")
         for batch in batches:
             n = len(batch)
-            if n == 0:
+            if n == 0 or min_all is None:
+                # no seeds: the SQL form's inner join yields no rows
                 continue
-            ids = batch.column("id")
+            ids_np = batch.column("id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
             u = batch.column("u")
             if u.offset != 0:
-                u = pa.ListArray.from_arrays(
-                    pa.array(
-                        np.asarray(u.offsets) - u.offsets[0].as_py()
-                    ),
-                    u.flatten(),
-                )
-            if u.null_count or u.values.null_count:
-                raise ValueError(
-                    "seeded-argmax kernel: NULL vectors/elements are "
-                    "not supported; filter or impute them first"
-                )
+                # a sliced ListArray's offsets index the UNsliced
+                # values buffer; take() rebuilds it compacted with
+                # row validity preserved
+                u = u.take(pa.array(np.arange(n), pa.int64()))
             offs = np.asarray(u.offsets)
             lens = np.diff(offs)
-            d = S.shape[1] if S.size else 0
-            if S.size and not np.all(lens == d):
-                raise ValueError(
-                    "seeded-argmax kernel: ragged vector lengths "
-                    f"(expected {d}, saw {set(np.unique(lens))})"
+            row_null = np.asarray(u.is_null())
+            # rows whose vector contains a NULL element fold to NULL
+            # in the SQL form — route them to the NULL path too
+            if u.values.null_count:
+                elem_ok = np.asarray(u.values.is_valid())
+                cs = np.concatenate(([0], np.cumsum(~elem_ok)))
+                has_null_elem = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+            else:
+                has_null_elem = np.zeros(n, dtype=bool)
+            ok = (~row_null) & (~has_null_elem) & (lens == d) & (len(valid) > 0)
+            cluster = np.full(n, min_all, dtype=np.int64)
+            cent_out = np.full(n, np.nan, dtype=np.float64)
+            cent_null = ~ok
+            if ok.any():
+                flat = u.values.to_numpy(zero_copy_only=False).astype(
+                    np.float64
                 )
-            U = (
-                u.values.to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(n, d)
-            )
-            # left-fold dot, one dimension at a time (see docstring)
-            acc = np.zeros((n, S.shape[0]), dtype=np.float64)
-            for dim in range(d):
-                acc += U[:, dim : dim + 1] * S[None, :, dim]
-            # Spark-exact HALF_UP 6dp round: vectorized fast path +
-            # exact Decimal recompute inside the .5-boundary window
-            absx = np.abs(acc)
-            scaled = absx * 1e6
-            frac = scaled - np.floor(scaled)
-            cent = np.sign(acc) * np.floor(scaled + 0.5) / 1e6
-            risky = np.abs(frac - 0.5) < 1e-7
-            if risky.any():
-                for r, c in np.argwhere(risky):
-                    cent[r, c] = float(
-                        Decimal(repr(float(acc[r, c]))).quantize(
-                            q6, ROUND_HALF_UP
+                idx = offs[:-1][ok][:, None] + np.arange(d)[None, :]
+                U = flat[idx]
+                m = U.shape[0]
+                # left-fold dot, one dimension at a time (docstring)
+                acc = np.zeros((m, S.shape[0]), dtype=np.float64)
+                for dim in range(d):
+                    acc += U[:, dim : dim + 1] * S[None, :, dim]
+                # Spark-exact HALF_UP 6dp round: vectorized fast path
+                # + exact Decimal recompute inside the .5-boundary
+                # window
+                scaled = np.abs(acc) * 1e6
+                frac = scaled - np.floor(scaled)
+                cent = np.sign(acc) * np.floor(scaled + 0.5) / 1e6
+                risky = np.abs(frac - 0.5) < 1e-7
+                if risky.any():
+                    for r, c in np.argwhere(risky):
+                        cent[r, c] = float(
+                            Decimal(repr(float(acc[r, c]))).quantize(
+                                q6, ROUND_HALF_UP
+                            )
                         )
-                    )
-            cent[cent == 0.0] = 0.0  # no -0.0 (BigDecimal-parity)
-            best = np.argmax(cent, axis=1)
-            rows = np.arange(n)
+                cent[cent == 0.0] = 0.0  # no -0.0 (BigDecimal-parity)
+                best = np.argmax(cent, axis=1)
+                cluster[ok] = sids[best]
+                cent_out[ok] = cent[np.arange(m), best]
             yield pa.RecordBatch.from_pydict(
                 {
-                    "id": ids.cast(pa.int64()),
-                    "cluster": pa.array(sids[best], pa.int64()),
-                    "cent": pa.array(cent[rows, best], pa.float64()),
+                    "id": pa.array(ids_np, pa.int64()),
+                    "cluster": pa.array(cluster, pa.int64()),
+                    "cent": pa.array(
+                        cent_out, pa.float64(), mask=cent_null
+                    ),
                     "u": u.cast(pa.list_(pa.float64())),
                 }
             )
@@ -803,7 +831,13 @@ def semantic_dedup(
         .select(F.col("id").alias("seed_id"), F.col("u").alias("su"))
         .collect()
     )
-    seeds = sorted((int(r["seed_id"]), list(r["su"])) for r in seed_rows)
+    seeds = sorted(
+        (
+            int(r["seed_id"]),
+            None if r["su"] is None else list(r["su"]),
+        )
+        for r in seed_rows
+    )
     assigned = _assign_seeded_argmax_kernel(pts, seeds).localCheckpoint()
     w_rank = Window.partitionBy("cluster").orderBy(F.desc("cent"), F.asc("id"))
     ranked = assigned.withColumn("crank", F.row_number().over(w_rank))

@@ -226,7 +226,10 @@ def _assign_sql_form(pts, seeds):
     )
 
     seeds_df = spark.createDataFrame(
-        [(int(s), [float(x) for x in vec]) for s, vec in seeds],
+        [
+            (int(s), None if vec is None else [float(x) for x in vec])
+            for s, vec in seeds
+        ],
         StructType(
             [
                 StructField("seed_id", LongType()),
@@ -326,8 +329,14 @@ def test_seeded_argmax_kernel_matches_sql_form(spark, sf_dir):
         # generic irrational-ish values
         (7, [0.3141592653589793, -0.2718281828459045, 0.57721566, 0.0]
             + [0.0] * (d - 4)),
+        # NULL vector: every cosine NULL -> smallest seed id, NULL cent
+        (8, None),
     ]
     check(rows, seeds)
+    # a NULL seed never wins for valid rows and joins the all-NULL
+    # fallback: with seed 9 (< every other id) carrying a NULL vector,
+    # the NULL-u row must now cluster to 9, valid rows unchanged
+    check(rows, [(9, None)] + seeds)
 
     # (b) the real corpus through semantic_dedup's own projections
     from etl_sql_and_pyspark_developement__spark.sources.catalog import table
